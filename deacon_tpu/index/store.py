@@ -1,0 +1,130 @@
+"""Index container: format-v2 codec and in-memory representation.
+
+On-disk format is byte-compatible with the reference (bincode standard stream:
+IndexHeader{format_version=2:u8, k:u8, w:u8}, count:usize varint, then count
+u64 hash varints; ref: src/index.rs:17-31, 130-164).
+
+In memory the index is a **sorted** uint64 array (plus count), not a hash set:
+membership probes are branchless vectorized binary searches that map directly
+onto the device-side sorted-array probe in HBM (SURVEY §2.2 "rustc-hash" row).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from ..constants import INDEX_FORMAT_VERSION
+from ..utils import bincode
+
+
+class IndexFormatError(ValueError):
+    pass
+
+
+@dataclass
+class IndexHeader:
+    """ref: src/index.rs:17-54."""
+
+    format_version: int
+    kmer_length: int
+    window_size: int
+
+    @classmethod
+    def new(cls, kmer_length: int, window_size: int) -> "IndexHeader":
+        return cls(INDEX_FORMAT_VERSION, int(kmer_length), int(window_size))
+
+    def validate(self) -> None:
+        if self.format_version != INDEX_FORMAT_VERSION:
+            raise IndexFormatError(
+                f"Unsupported index format version: {self.format_version}"
+            )
+
+    def to_dict(self) -> dict:
+        return {
+            "format_version": self.format_version,
+            "kmer_length": self.kmer_length,
+            "window_size": self.window_size,
+        }
+
+
+@dataclass
+class MinimizerIndex:
+    header: IndexHeader
+    hashes: np.ndarray  # sorted unique uint64
+
+    def __len__(self) -> int:
+        return int(self.hashes.size)
+
+    def contains(self, queries: np.ndarray) -> np.ndarray:
+        """Vectorized membership of uint64 queries against the sorted array."""
+        q = np.asarray(queries, dtype=np.uint64)
+        if self.hashes.size == 0 or q.size == 0:
+            return np.zeros(q.shape, dtype=bool)
+        idx = np.searchsorted(self.hashes, q)
+        idx_c = np.minimum(idx, self.hashes.size - 1)
+        return self.hashes[idx_c] == q
+
+
+def _read_header(buf: np.ndarray, pos: int) -> tuple[IndexHeader, int]:
+    if buf.size < pos + 3:
+        raise IndexFormatError("Failed to deserialise index header (truncated)")
+    header = IndexHeader(int(buf[pos]), int(buf[pos + 1]), int(buf[pos + 2]))
+    header.validate()
+    return header, pos + 3
+
+
+def load_header_and_count(path: str | Path) -> tuple[IndexHeader, int]:
+    """Header-only fast path (ref: src/index.rs:57-72)."""
+    with open(path, "rb") as f:
+        head = f.read(32)
+    buf = np.frombuffer(head, dtype=np.uint8)
+    header, pos = _read_header(buf, 0)
+    count, _ = bincode.decode_uint(memoryview(head), pos)
+    return header, count
+
+
+def load_index(path: str | Path, sort: bool = True) -> MinimizerIndex:
+    """Load a full index file into a sorted uint64 array
+    (ref: src/index.rs:80-107)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    header, pos = _read_header(buf, 0)
+    count, pos = bincode.decode_uint(memoryview(data), pos)
+    hashes, _ = bincode.decode_u64_array(buf, pos, count)
+    if sort:
+        hashes = np.unique(hashes)  # sorted + dedup (set semantics)
+    return MinimizerIndex(header, hashes)
+
+
+def write_index(
+    hashes: np.ndarray,
+    header: IndexHeader,
+    output_path: str | Path | None,
+) -> None:
+    """Serialize header, count, hashes (ref: src/index.rs:130-164).
+
+    ``output_path`` of None or "-" writes to stdout.
+    """
+    uniq = np.unique(np.asarray(hashes, dtype=np.uint64))
+    payload = io.BytesIO()
+    payload.write(
+        bytes([header.format_version, header.kmer_length, header.window_size])
+    )
+    payload.write(bincode.encode_uint(int(uniq.size)))
+    payload.write(bincode.encode_u64_array(uniq))
+    data = payload.getvalue()
+    if output_path is None or str(output_path) == "-":
+        sys.stdout.buffer.write(data)
+        sys.stdout.buffer.flush()
+    else:
+        tmp = str(output_path) + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, output_path)
