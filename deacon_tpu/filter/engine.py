@@ -1,0 +1,316 @@
+"""Local filter engine: streaming batch pipeline over FASTX input.
+
+Orchestration mirrors the reference engines' semantics (banner, index load,
+three input modes, per-batch decide + ordered write, stats, summary; ref:
+src/local_filter.rs:575-824, src/remote_filter.rs:431-693) with a batched
+architecture designed for device offload: records are read in batches,
+minimizers extracted for the whole batch (NumPy host path or the JAX/Pallas
+device path), membership decided for the whole batch, then written in order.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..config import FilterConfig
+from ..constants import TOOL_NAME, VERSION
+from ..index.store import load_index
+from ..io.fastx import FastxReader, Record, read_batch
+from ..io.writers import FastxWriter, format_record, get_writer
+from ..ops import minimizers_np as mnp
+from .backend import LocalBackend
+from .progress import FilterStats, Spinner
+from .summary import build_summary, write_summary
+
+
+def _eprint(*args) -> None:
+    print(*args, file=sys.stderr)
+
+
+def _fmt_duration(seconds: float) -> str:
+    if seconds < 1.0:
+        return f"{seconds * 1000:.2f}ms"
+    if seconds < 60.0:
+        return f"{seconds:.2f}s"
+    m, s = divmod(seconds, 60.0)
+    return f"{int(m)}m {s:.2f}s"
+
+
+def _rust_bool(b: bool) -> str:
+    return "true" if b else "false"
+
+
+class _NumpyExtractor:
+    """Host-side extraction using the NumPy oracle."""
+
+    def __init__(self, k: int, w: int):
+        self.k, self.w = k, w
+
+    def extract_single(self, seqs: list[bytes], prefix_length: int):
+        return [
+            mnp.get_minimizer_hashes_and_positions(s, prefix_length, self.k, self.w)
+            for s in seqs
+        ]
+
+    def extract_paired(self, pairs: list[tuple[bytes, bytes]], prefix_length: int):
+        return [
+            mnp.get_paired_minimizer_hashes_and_positions(
+                s1, s2, prefix_length, self.k, self.w
+            )
+            for s1, s2 in pairs
+        ]
+
+
+def make_extractor(k: int, w: int, device: str):
+    """Pick the extraction implementation. "auto" prefers the JAX device
+    engine when an accelerator is present, falling back to NumPy."""
+    if device in ("numpy",):
+        return _NumpyExtractor(k, w)
+    try:
+        from ..ops.engine import DeviceExtractor
+
+        return DeviceExtractor(k, w, device=device)
+    except Exception:
+        if device in ("tpu", "cpu"):
+            raise
+        return _NumpyExtractor(k, w)
+
+
+def run(config: FilterConfig) -> None:
+    start_time = time.monotonic()
+    tool_version = f"{TOOL_NAME} {VERSION}"
+    quiet = config.quiet or config.debug  # ref: src/local_filter.rs:581
+
+    mode = "deplete" if config.deplete else "search"
+    paired_stdin = config.input_path == "-" and config.input2_path == "-"
+    if paired_stdin:
+        input_type = "interleaved"
+    elif config.input2_path is not None:
+        input_type = "paired"
+    else:
+        input_type = "single"
+
+    options = [f"abs_threshold={config.abs_threshold}, rel_threshold={config.rel_threshold}"]
+    if config.prefix_length > 0:
+        options.append(f"prefix_length={config.prefix_length}")
+    if config.rename:
+        options.append("rename")
+    if config.threads > 0:
+        options.append(f"threads={config.threads}")
+
+    if not quiet:
+        _eprint(
+            f"{TOOL_NAME} v{VERSION}; mode: {mode}; input: {input_type}; "
+            f"options: {', '.join(options)}"
+        )
+
+    # ------------------------------------------------------------------
+    # Index / backend
+    # ------------------------------------------------------------------
+    if config.minimizers_path is not None:
+        index = load_index(config.minimizers_path)
+        header = index.header
+        backend = LocalBackend(index)
+        summary_index = str(config.minimizers_path)
+    elif config.server_address is not None:
+        from ..server.client import RemoteBackend
+
+        backend = RemoteBackend(config.server_address)
+        header = backend.header
+        summary_index = backend.summary_index()
+    else:
+        raise ValueError("No index path or server address provided")
+
+    k, w = header.kmer_length, header.window_size
+    load_time = time.monotonic() - start_time
+    if not quiet:
+        _eprint(f"Loaded index (k={k}, w={w}) in {_fmt_duration(load_time)}")
+
+    extractor = make_extractor(k, w, config.device)
+
+    writer = get_writer(config.output_path, config.compression_level)
+    writer2: FastxWriter | None = None
+    if config.output2_path is not None and config.input2_path is not None:
+        writer2 = get_writer(config.output2_path, config.compression_level)
+
+    stats = FilterStats()
+    spinner = Spinner(not quiet)
+    filtering_start = time.monotonic()
+    buffer = bytearray()
+    buffer2 = bytearray()
+
+    def flush_buffers():
+        if buffer:
+            writer.write(bytes(buffer))
+            buffer.clear()
+        if writer2 is not None and buffer2:
+            writer2.write(bytes(buffer2))
+            buffer2.clear()
+
+    def emit_single(rec: Record):
+        stats.output_seq_counter += 1
+        format_record(
+            rec.id, rec.seq, rec.qual, rec.is_fastq, config.rename,
+            stats.output_seq_counter, buffer,
+        )
+
+    def emit_pair(rec1: Record, rec2: Record):
+        stats.output_seq_counter += 2
+        format_record(
+            rec1.id, rec1.seq, rec1.qual, rec1.is_fastq, config.rename,
+            stats.output_seq_counter - 1, buffer,
+        )
+        format_record(
+            rec2.id, rec2.seq, rec2.qual, rec2.is_fastq, config.rename,
+            stats.output_seq_counter,
+            buffer2 if writer2 is not None else buffer,
+        )
+
+    # ------------------------------------------------------------------
+    # Batch loops
+    # ------------------------------------------------------------------
+    try:
+        if input_type == "single":
+            reader = FastxReader.from_path(config.input_path)
+            while True:
+                records = read_batch(reader, config.batch_size)
+                if not records:
+                    break
+                ext = extractor.extract_single(
+                    [r.seq for r in records], config.prefix_length
+                )
+                decisions = backend.decide_unpaired(
+                    ext, k, config.abs_threshold, config.rel_threshold,
+                    config.deplete, config.debug,
+                )
+                for rec, (keep, hits, total, kmers) in zip(records, decisions):
+                    stats.total_seqs += 1
+                    stats.total_bp += len(rec.seq)
+                    if config.debug:
+                        _eprint(
+                            f"DEBUG: {rec.id.decode('utf-8', 'replace')} "
+                            f"hits={hits}/{total} keep={_rust_bool(keep)} "
+                            f"kmers=[{','.join(kmers)}]"
+                        )
+                    if keep:
+                        stats.output_bp += len(rec.seq)
+                        emit_single(rec)
+                    else:
+                        stats.filtered_seqs += 1
+                        stats.filtered_bp += len(rec.seq)
+                flush_buffers()
+                spinner.update(stats, filtering_start)
+        else:
+            if input_type == "interleaved":
+                reader = FastxReader.from_path("-")
+                pair_iter = _interleaved_pairs(reader)
+            else:
+                r1 = FastxReader.from_path(config.input_path)
+                r2 = FastxReader.from_path(config.input2_path)
+                pair_iter = zip(r1, r2)
+            while True:
+                pairs: list[tuple[Record, Record]] = []
+                for _ in range(config.batch_size):
+                    try:
+                        pairs.append(next(pair_iter))
+                    except StopIteration:
+                        break
+                if not pairs:
+                    break
+                ext = extractor.extract_paired(
+                    [(a.seq, b.seq) for a, b in pairs], config.prefix_length
+                )
+                decisions = backend.decide_paired(
+                    ext, k, config.abs_threshold, config.rel_threshold,
+                    config.deplete, config.debug,
+                )
+                for (rec1, rec2), (keep, hits, total, kmers) in zip(pairs, decisions):
+                    pair_bp = len(rec1.seq) + len(rec2.seq)
+                    stats.total_seqs += 2
+                    stats.total_bp += pair_bp
+                    if config.debug and hits > 0:
+                        _eprint(
+                            f"DEBUG: {rec1.id.decode('utf-8', 'replace')}/"
+                            f"{rec2.id.decode('utf-8', 'replace')} "
+                            f"hits={hits}/{total} keep={_rust_bool(keep)} "
+                            f"kmers=[{','.join(kmers)}]"
+                        )
+                    if keep:
+                        stats.output_bp += pair_bp
+                        emit_pair(rec1, rec2)
+                    else:
+                        stats.filtered_seqs += 2
+                        stats.filtered_bp += pair_bp
+                flush_buffers()
+                spinner.update(stats, filtering_start)
+    finally:
+        spinner.finish()
+
+    writer.finish()
+    if writer2 is not None:
+        writer2.finish()
+
+    total_time = time.monotonic() - start_time
+    output_seqs = stats.total_seqs - stats.filtered_seqs
+    seqs_per_sec = stats.total_seqs / total_time if total_time > 0 else 0.0
+    mbp_per_sec = stats.total_bp / total_time / 1e6 if total_time > 0 else 0.0
+    sp = output_seqs / stats.total_seqs * 100 if stats.total_seqs else 0.0
+    bpp = stats.output_bp / stats.total_bp * 100 if stats.total_bp else 0.0
+
+    if not quiet:
+        _eprint(
+            f"Retained {output_seqs}/{stats.total_seqs} sequences ({sp:.3f}%), "
+            f"{stats.output_bp}/{stats.total_bp} bp ({bpp:.3f}%) in "
+            f"{_fmt_duration(total_time)}. Speed: {seqs_per_sec:.0f} seqs/s "
+            f"({mbp_per_sec:.1f} Mbp/s)"
+        )
+
+    if config.summary_path is not None:
+        summary = build_summary(
+            version=tool_version,
+            index=summary_index,
+            input=config.input_path,
+            input2=config.input2_path,
+            output=config.output_path,
+            output2=config.output2_path,
+            k=k,
+            w=w,
+            abs_threshold=config.abs_threshold,
+            rel_threshold=config.rel_threshold,
+            prefix_length=config.prefix_length,
+            deplete=config.deplete,
+            rename=config.rename,
+            seqs_in=stats.total_seqs,
+            seqs_out=output_seqs,
+            seqs_removed=stats.filtered_seqs,
+            bp_in=stats.total_bp,
+            bp_out=stats.output_bp,
+            bp_removed=stats.filtered_bp,
+            time=total_time,
+        )
+        write_summary(summary, config.summary_path)
+        if not quiet:
+            _eprint(f'Summary saved to "{config.summary_path}"')
+
+
+def _interleaved_pairs(reader: FastxReader):
+    """Yield record pairs from an interleaved stream; odd count is an error
+    (ref: src/remote_filter.rs:1188-1194)."""
+    count = 0
+    while True:
+        try:
+            rec1 = next(reader)
+        except StopIteration:
+            return
+        count += 1
+        try:
+            rec2 = next(reader)
+        except StopIteration:
+            raise ValueError(
+                f"Uneven number of interleaved sequence pairs. Found {count} records."
+            ) from None
+        count += 1
+        yield rec1, rec2

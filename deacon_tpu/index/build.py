@@ -1,0 +1,272 @@
+"""Index operations: build, info, union, diff (ref: src/index.rs:167-664)."""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..constants import DIFF_STREAM_BATCH, INDEX_BUILD_BATCH, TOOL_NAME, VERSION
+from ..io.fastx import FastxReader, read_batch
+from ..ops import minimizers_np as mnp
+from . import store
+
+
+def _eprint(*args) -> None:
+    print(*args, file=sys.stderr)
+
+
+def _extract_batch_hashes(seqs: list[bytes], k: int, w: int, entropy: float):
+    """Index-side extraction for a batch of sequences.
+
+    Uses the device engine when attached; NumPy oracle otherwise
+    (ref parallel batch map: src/index.rs:252-264).
+    """
+    return [mnp.compute_minimizer_hashes(s, k, w, entropy) for s in seqs]
+
+
+def build(config: IndexConfig) -> None:
+    """ref: src/index.rs:167-308."""
+    start = time.monotonic()
+
+    options = [f"capacity={config.capacity_millions}M"]
+    if config.threads > 0:
+        options.append(f"threads={config.threads}")
+    _eprint(
+        f"{TOOL_NAME} v{VERSION}; mode: build; input: single; "
+        f"options: {', '.join(options)}"
+    )
+
+    # l = k + w - 1 must be odd (canonical tie-break; ref: src/index.rs:186-194)
+    l = config.kmer_length + config.window_size - 1
+    if l % 2 == 0:
+        raise ValueError(
+            f"Constraint violated: k + w - 1 must be odd "
+            f"(k={config.kmer_length}, w={config.window_size})"
+        )
+
+    reader = FastxReader.from_path(config.input_path)
+    _eprint(f"Building index (k={config.kmer_length}, w={config.window_size})")
+
+    chunks: list[np.ndarray] = []
+    total_unique = 0
+    seq_count = 0
+    total_bp = 0
+    accumulated: np.ndarray = np.empty(0, dtype=np.uint64)
+    pending: list[np.ndarray] = []
+    pending_size = 0
+
+    def merge_pending():
+        nonlocal accumulated, pending, pending_size
+        if pending:
+            accumulated = np.union1d(
+                accumulated, np.concatenate(pending)
+            )
+            pending = []
+            pending_size = 0
+
+    while True:
+        batch = read_batch(reader, INDEX_BUILD_BATCH)
+        if not batch:
+            break
+        results = _extract_batch_hashes(
+            [r.seq for r in batch],
+            config.kmer_length,
+            config.window_size,
+            config.entropy_threshold,
+        )
+        for rec, hashes in zip(batch, results):
+            seq_count += 1
+            total_bp += len(rec.seq)
+            if hashes.size:
+                pending.append(hashes)
+                pending_size += hashes.size
+            if not config.quiet:
+                # Per-seq running count requires a merge; do it lazily only
+                # when reporting (small inputs) to keep big builds fast.
+                merge_pending()
+                _eprint(
+                    f"  {rec.id.decode('utf-8', 'replace')} ({len(rec.seq)}bp), "
+                    f"total minimizers: {accumulated.size}"
+                )
+        if pending_size > 50_000_000:
+            merge_pending()
+
+    merge_pending()
+    total_unique = int(accumulated.size)
+    _eprint(
+        f"Indexed {total_unique} minimizers from {seq_count} sequence(s) ({total_bp}bp)"
+    )
+
+    header = store.IndexHeader.new(config.kmer_length, config.window_size)
+    store.write_index(accumulated, header, config.output_path)
+    _eprint(f"Completed in {time.monotonic() - start:.2f}s")
+
+
+def info(index_path: str) -> None:
+    """ref: src/index.rs:539-560."""
+    start = time.monotonic()
+    idx = store.load_index(index_path)
+    _eprint("Index information:")
+    _eprint(f"  Format version: {idx.header.format_version}")
+    _eprint(f"  K-mer length (k): {idx.header.kmer_length}")
+    _eprint(f"  Window size (w): {idx.header.window_size}")
+    _eprint(f"  Distinct minimizer count: {len(idx)}")
+    _eprint(f"Retrieved index info in {time.monotonic() - start:.2f}s")
+
+
+def union(inputs: list[str], output: str | None, capacity_millions: int | None) -> None:
+    """ref: src/index.rs:563-664."""
+    start = time.monotonic()
+    if not inputs:
+        raise ValueError("No input files provided for union operation")
+
+    headers_and_counts = [store.load_header_and_count(p) for p in inputs]
+    header = headers_and_counts[0][0]
+    total_capacity = (
+        capacity_millions * 1_000_000
+        if capacity_millions is not None
+        else sum(c for _, c in headers_and_counts)
+    )
+    _eprint(
+        f"Performing union of indexes (k={header.kmer_length}, w={header.window_size})"
+    )
+    if capacity_millions is not None:
+        _eprint(f"Pre-allocating user-specified capacity for {total_capacity} minimizers")
+    else:
+        _eprint(
+            f"No capacity specified, pre-allocating worst-case capacity for "
+            f"{total_capacity} minimizers from {len(inputs)} indexes"
+        )
+
+    for i, (file_header, _) in enumerate(headers_and_counts):
+        if (
+            file_header.kmer_length != header.kmer_length
+            or file_header.window_size != header.window_size
+        ):
+            raise ValueError(
+                f"Incompatible headers: index {i} has k={file_header.kmer_length}, "
+                f"w={file_header.window_size}, but first index has "
+                f"k={header.kmer_length}, w={header.window_size}"
+            )
+
+    merged = np.empty(0, dtype=np.uint64)
+    for i, path in enumerate(inputs):
+        idx = store.load_index(path)
+        before = merged.size
+        merged = np.union1d(merged, idx.hashes)
+        _eprint(
+            f"Index {i + 1}: expected {headers_and_counts[i][1]} minimizers, "
+            f"added {merged.size - before} new, total: {merged.size}"
+        )
+
+    store.write_index(merged, header, output)
+    _eprint(
+        f"United {len(inputs)} indexes with {merged.size} total minimizers "
+        f"in {time.monotonic() - start:.2f}s"
+    )
+
+
+def _stream_diff_fastx(
+    fastx_path: str,
+    k: int,
+    w: int,
+    first_header: store.IndexHeader,
+    first_hashes: np.ndarray,
+) -> np.ndarray:
+    """Streaming subtraction of FASTX minimizers (ref: src/index.rs:311-418)."""
+    if k != first_header.kmer_length or w != first_header.window_size:
+        raise ValueError(
+            f"FASTX parameters (k={k}, w={w}) must match first index "
+            f"(k={first_header.kmer_length}, w={first_header.window_size})"
+        )
+    src = "stdin" if str(fastx_path) == "-" else "file"
+    _eprint(f"Second index: processing FASTX from {src} (k={k}, w={w})…")
+
+    reader = FastxReader.from_path(fastx_path)
+    keep_mask = np.ones(first_hashes.size, dtype=bool)
+    seq_count = 0
+    total_bp = 0
+    last_reported_gb = 0
+    while True:
+        batch = read_batch(reader, DIFF_STREAM_BATCH)
+        if not batch:
+            break
+        results = _extract_batch_hashes([r.seq for r in batch], k, w, 0.0)
+        for rec, hashes in zip(batch, results):
+            seq_count += 1
+            total_bp += len(rec.seq)
+            if hashes.size:
+                pos = np.searchsorted(first_hashes, hashes)
+                pos_c = np.minimum(pos, first_hashes.size - 1)
+                hitmask = first_hashes[pos_c] == hashes
+                keep_mask[pos_c[hitmask]] = False
+            gb = total_bp // 1_000_000_000
+            if gb > last_reported_gb:
+                removed = int((~keep_mask).sum())
+                _eprint(
+                    f"  Processed {seq_count} sequences ({total_bp}bp), "
+                    f"removed {removed} minimizers"
+                )
+                last_reported_gb = gb
+    _eprint(f"Processed {seq_count} sequences ({total_bp}bp) from FASTX file")
+    return first_hashes[keep_mask]
+
+
+def diff(
+    first: str,
+    second: str,
+    kmer_length: int | None,
+    window_size: int | None,
+    output: str | None,
+) -> None:
+    """Set difference A - B; B is an index or a FASTX stream
+    (ref: src/index.rs:421-536)."""
+    start = time.monotonic()
+    first_idx = store.load_index(first)
+    _eprint(f"First index: loaded {len(first_idx)} minimizers")
+    before = len(first_idx)
+
+    def finish(remaining: np.ndarray):
+        _eprint(f"Removed {before - remaining.size} minimizers, {remaining.size} remaining")
+        store.write_index(remaining, first_idx.header, output)
+        _eprint(f"Completed difference operation in {time.monotonic() - start:.2f}s")
+
+    if kmer_length is not None and window_size is not None:
+        remaining = _stream_diff_fastx(
+            second, kmer_length, window_size, first_idx.header, first_idx.hashes
+        )
+        finish(remaining)
+        return
+
+    #
+
+    try:
+        second_idx = store.load_index(second)
+    except Exception:
+        # Not a valid index: treat as FASTX with k/w from the first header
+        remaining = _stream_diff_fastx(
+            second,
+            first_idx.header.kmer_length,
+            first_idx.header.window_size,
+            first_idx.header,
+            first_idx.hashes,
+        )
+        finish(remaining)
+        return
+
+    _eprint(f"Second index: loaded {len(second_idx)} minimizers")
+    if (
+        second_idx.header.kmer_length != first_idx.header.kmer_length
+        or second_idx.header.window_size != first_idx.header.window_size
+    ):
+        raise ValueError(
+            f"Incompatible headers: second index has k={second_idx.header.kmer_length}, "
+            f"w={second_idx.header.window_size}, but first index has "
+            f"k={first_idx.header.kmer_length}, w={first_idx.header.window_size}"
+        )
+    remaining = np.setdiff1d(first_idx.hashes, second_idx.hashes, assume_unique=True)
+    finish(remaining)
