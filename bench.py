@@ -1,0 +1,98 @@
+"""Benchmark: fused filter-engine throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Gbp/s", "vs_baseline": N/2.0}
+
+Baseline: the reference's >2 Gbp/s uncompressed single-host filter throughput
+(BASELINE.md; reference README.md:14). The measured pipeline is the on-device
+fused step (2-bit packing -> selection keys -> window minima -> compaction ->
+canonical values -> XXH3-64 -> sorted-index probe -> distinct-hit counts),
+including host->device transfer of packed rows, on synthetic long reads
+against a panhuman-scale random index.
+
+Env knobs: DEACON_BENCH_INDEX_M (index size in millions, default 100),
+DEACON_BENCH_ROWS / DEACON_BENCH_ROWLEN (tile), DEACON_BENCH_ITERS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from deacon_tpu.ops import engine as eng
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    k, w = 31, 15
+    n_index = int(float(os.environ.get("DEACON_BENCH_INDEX_M", "100")) * 1e6)
+    R = int(os.environ.get("DEACON_BENCH_ROWS", "128"))
+    L = int(os.environ.get("DEACON_BENCH_ROWLEN", "16384"))
+    iters = int(os.environ.get("DEACON_BENCH_ITERS", "10"))
+
+    dev = jax.devices()[0]
+    print(f"bench: device={dev}, index={n_index/1e6:.0f}M, tile=({R},{L})",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(1)
+    # panhuman-scale random index (sorted u64, resident in HBM)
+    idx = np.sort(rng.integers(0, 2**64, size=n_index, dtype=np.uint64))
+    index = jax.device_put(jnp.asarray(idx), dev)
+
+    # synthetic long reads: one read per row (ONT-like long read tile)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    raw = rng.choice(bases, size=(R, L)).astype(np.uint8)
+
+    budget = int(0.35 * R * L) + 64
+    mlen = np.full(R, L - k + 1, dtype=np.int32)
+    allow_short = np.zeros(R, dtype=bool)
+    rid = np.arange(R, dtype=np.int32)
+    mate = np.zeros(R, dtype=np.int32)
+    cstart = np.zeros(R, dtype=np.int32)
+    j_mlen = jnp.asarray(mlen)
+    j_short = jnp.asarray(allow_short)
+    j_rid = jnp.asarray(rid)
+    j_mate = jnp.asarray(mate)
+    j_cstart = jnp.asarray(cstart)
+
+    def step(raw_bytes):
+        # host side: 2-bit pack + validity (the C++ loader's job in prod)
+        codes = mnp.PACK_CODE[raw_bytes]
+        validb = mnp.VALID_BASE[raw_bytes]
+        hits, totals, used = eng._engine_step(
+            jnp.asarray(codes), jnp.asarray(validb), j_mlen, j_short,
+            j_rid, j_mate, j_cstart, index,
+            k=k, w=w, budget=budget, num_segments=R,
+        )
+        return hits.block_until_ready()
+
+    t0 = time.monotonic()
+    step(raw)  # compile
+    compile_s = time.monotonic() - t0
+    print(f"bench: compile {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    for _ in range(iters):
+        step(raw)
+    dt = (time.monotonic() - t0) / iters
+    bases_per_step = R * L
+    gbps = bases_per_step / dt / 1e9
+    print(f"bench: {dt*1e3:.2f} ms/step -> {gbps:.3f} Gbp/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "filter_throughput_per_chip",
+        "value": round(gbps, 4),
+        "unit": "Gbp/s",
+        "vs_baseline": round(gbps / 2.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

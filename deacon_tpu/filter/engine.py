@@ -43,40 +43,90 @@ def _rust_bool(b: bool) -> str:
     return "true" if b else "false"
 
 
-class _NumpyExtractor:
-    """Host-side extraction using the NumPy oracle."""
+class HostDecider:
+    """NumPy-oracle extraction + sorted-array probe; supports debug k-mers."""
 
-    def __init__(self, k: int, w: int):
+    def __init__(self, backend, k: int, w: int):
+        self.backend = backend
         self.k, self.w = k, w
 
-    def extract_single(self, seqs: list[bytes], prefix_length: int):
-        return [
+    def decide_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
+        ext = [
             mnp.get_minimizer_hashes_and_positions(s, prefix_length, self.k, self.w)
             for s in seqs
         ]
+        return self.backend.decide_unpaired(
+            ext, self.k, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete, cfg.debug
+        )
 
-    def extract_paired(self, pairs: list[tuple[bytes, bytes]], prefix_length: int):
-        return [
+    def decide_paired(self, pairs, prefix_length, cfg: FilterConfig):
+        ext = [
             mnp.get_paired_minimizer_hashes_and_positions(
                 s1, s2, prefix_length, self.k, self.w
             )
             for s1, s2 in pairs
         ]
+        return self.backend.decide_paired(
+            ext, self.k, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete, cfg.debug
+        )
 
 
-def make_extractor(k: int, w: int, device: str):
-    """Pick the extraction implementation. "auto" prefers the JAX device
-    engine when an accelerator is present, falling back to NumPy."""
-    if device in ("numpy",):
-        return _NumpyExtractor(k, w)
-    try:
-        from ..ops.engine import DeviceExtractor
+class DeviceDecider:
+    """Fused on-device extract+probe+count (deacon_tpu/ops/engine.py).
 
-        return DeviceExtractor(k, w, device=device)
-    except Exception:
+    Falls back to the host decider per batch on budget overflow (adversarial
+    minimizer density or monster contigs).
+    """
+
+    def __init__(self, index, k: int, w: int, device: str, fallback: HostDecider):
+        import jax
+
+        from ..ops.engine import BudgetOverflow, DevicePipeline
+
+        self._overflow = BudgetOverflow
+        dev = None
         if device in ("tpu", "cpu"):
+            dev = jax.devices(device)[0]
+        self.pipe = DevicePipeline(index.hashes, k, w, device=dev)
+        self.fallback = fallback
+
+    def _decide(self, hits, totals, cfg: FilterConfig):
+        from .thresholds import keep_mask_batch
+
+        keep = keep_mask_batch(
+            hits, totals, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete
+        )
+        return [
+            (bool(kp), int(h), int(t), [])
+            for kp, h, t in zip(keep, hits, totals)
+        ]
+
+    def decide_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
+        try:
+            hits, totals = self.pipe.counts_single(seqs, prefix_length)
+        except self._overflow:
+            return self.fallback.decide_unpaired(seqs, prefix_length, cfg)
+        return self._decide(hits, totals, cfg)
+
+    def decide_paired(self, pairs, prefix_length, cfg: FilterConfig):
+        try:
+            hits, totals = self.pipe.counts_paired(pairs, prefix_length)
+        except self._overflow:
+            return self.fallback.decide_paired(pairs, prefix_length, cfg)
+        return self._decide(hits, totals, cfg)
+
+
+def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
+    """Pick the decision pipeline: device engine unless debug/numpy/remote."""
+    host = HostDecider(backend, k, w)
+    if index is None or cfg.debug or cfg.device == "numpy":
+        return host
+    try:
+        return DeviceDecider(index, k, w, cfg.device, host)
+    except Exception:
+        if cfg.device in ("tpu", "cpu"):
             raise
-        return _NumpyExtractor(k, w)
+        return host
 
 
 def run(config: FilterConfig) -> None:
@@ -118,6 +168,7 @@ def run(config: FilterConfig) -> None:
     elif config.server_address is not None:
         from ..server.client import RemoteBackend
 
+        index = None
         backend = RemoteBackend(config.server_address)
         header = backend.header
         summary_index = backend.summary_index()
@@ -129,7 +180,7 @@ def run(config: FilterConfig) -> None:
     if not quiet:
         _eprint(f"Loaded index (k={k}, w={w}) in {_fmt_duration(load_time)}")
 
-    extractor = make_extractor(k, w, config.device)
+    decider = make_decider(index, backend, k, w, config)
 
     writer = get_writer(config.output_path, config.compression_level)
     writer2: FastxWriter | None = None
@@ -179,12 +230,8 @@ def run(config: FilterConfig) -> None:
                 records = read_batch(reader, config.batch_size)
                 if not records:
                     break
-                ext = extractor.extract_single(
-                    [r.seq for r in records], config.prefix_length
-                )
-                decisions = backend.decide_unpaired(
-                    ext, k, config.abs_threshold, config.rel_threshold,
-                    config.deplete, config.debug,
+                decisions = decider.decide_unpaired(
+                    [r.seq for r in records], config.prefix_length, config
                 )
                 for rec, (keep, hits, total, kmers) in zip(records, decisions):
                     stats.total_seqs += 1
@@ -220,12 +267,8 @@ def run(config: FilterConfig) -> None:
                         break
                 if not pairs:
                     break
-                ext = extractor.extract_paired(
-                    [(a.seq, b.seq) for a, b in pairs], config.prefix_length
-                )
-                decisions = backend.decide_paired(
-                    ext, k, config.abs_threshold, config.rel_threshold,
-                    config.deplete, config.debug,
+                decisions = decider.decide_paired(
+                    [(a.seq, b.seq) for a, b in pairs], config.prefix_length, config
                 )
                 for (rec1, rec2), (keep, hits, total, kmers) in zip(pairs, decisions):
                     pair_bp = len(rec1.seq) + len(rec2.seq)

@@ -101,7 +101,19 @@ class FastxReader:
         self._is_fastq: bool | None = None
 
     @classmethod
-    def from_path(cls, path: str | os.PathLike | None) -> "FastxReader":
+    def from_path(cls, path: str | os.PathLike | None):
+        """Prefer the native C++ parser when available (same Record
+        protocol); fall back to the pure-Python stream parser."""
+        try:
+            from .native_loader import open_native_reader
+
+            native = open_native_reader(None if path is None else str(path))
+            if native is not None:
+                return native
+        except OSError:
+            raise
+        except Exception:
+            pass
         return cls(open_maybe_compressed(path))
 
     def _readline(self) -> bytes:

@@ -1,0 +1,537 @@
+// Native FASTX loader/writer for deacon-tpu.
+//
+// Plays the role of the reference's needletail/paraseq/niffler stack
+// (ref: src/local_filter.rs:41-55, src/index.rs:14) as a C library consumed
+// via ctypes: streaming FASTA/FASTQ parsing with gzip/zstd/xz/bzip2-less
+// auto-detection, batch record extraction into caller-provided arenas, 2-bit
+// packing, and compressed output encoding. Built with `make` (see Makefile);
+// deacon_tpu/io/fastx.py is the pure-Python fallback and correctness oracle.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <lzma.h>
+#include <zlib.h>
+#include <zstd.h>
+
+namespace {
+
+constexpr size_t kBufSize = 1 << 20;
+
+enum class Codec : int { kPlain = 0, kGzip = 1, kZstd = 2, kXz = 3 };
+
+// Streaming decompressing source over a FILE*. All codecs use the same
+// raw-input buffer machinery so sniffed magic bytes can be replayed.
+struct Source {
+  FILE* raw = nullptr;
+  Codec codec = Codec::kPlain;
+  bool raw_eof = false;
+  std::vector<uint8_t> in_buf;
+  size_t in_pos = 0, in_len = 0;
+
+  z_stream zs{};
+  bool zs_init = false;
+  ZSTD_DStream* zds = nullptr;
+  lzma_stream lz = LZMA_STREAM_INIT;
+  bool lz_init = false;
+
+  ~Source() {
+    if (zs_init) inflateEnd(&zs);
+    if (zds) ZSTD_freeDStream(zds);
+    if (lz_init) lzma_end(&lz);
+    if (raw && raw != stdin) fclose(raw);
+  }
+
+  void init(FILE* f, Codec c, const uint8_t* magic, size_t magic_len) {
+    raw = f;
+    codec = c;
+    in_buf.resize(kBufSize);
+    if (magic_len) memcpy(in_buf.data(), magic, magic_len);
+    in_len = magic_len;
+    in_pos = 0;
+    switch (codec) {
+      case Codec::kPlain:
+        break;
+      case Codec::kGzip:
+        inflateInit2(&zs, 16 + MAX_WBITS);
+        zs_init = true;
+        break;
+      case Codec::kZstd:
+        zds = ZSTD_createDStream();
+        ZSTD_initDStream(zds);
+        break;
+      case Codec::kXz:
+        lzma_stream_decoder(&lz, UINT64_MAX, LZMA_CONCATENATED);
+        lz_init = true;
+        break;
+    }
+  }
+
+  bool fill_raw() {
+    if (raw_eof) return false;
+    in_len = fread(in_buf.data(), 1, in_buf.size(), raw);
+    in_pos = 0;
+    if (in_len < in_buf.size() && (feof(raw) || ferror(raw))) raw_eof = true;
+    return in_len > 0;
+  }
+
+  // Returns decompressed bytes read into dst (0 = EOF, -1 = error).
+  int64_t read(uint8_t* dst, size_t n) {
+    switch (codec) {
+      case Codec::kPlain: {
+        size_t out = 0;
+        // replay sniffed magic first
+        if (in_pos < in_len) {
+          size_t take = in_len - in_pos;
+          if (take > n) take = n;
+          memcpy(dst, in_buf.data() + in_pos, take);
+          in_pos += take;
+          out = take;
+        }
+        if (out < n) {
+          size_t got = fread(dst + out, 1, n - out, raw);
+          if (got == 0 && ferror(raw)) return -1;
+          out += got;
+        }
+        return (int64_t)out;
+      }
+      case Codec::kGzip: {
+        zs.next_out = dst;
+        zs.avail_out = (uInt)n;
+        while (zs.avail_out > 0) {
+          if (zs.avail_in == 0) {
+            if (in_pos >= in_len && !fill_raw()) break;
+            zs.next_in = in_buf.data() + in_pos;
+            zs.avail_in = (uInt)(in_len - in_pos);
+            in_pos = in_len;
+          }
+          int r = inflate(&zs, Z_NO_FLUSH);
+          if (r == Z_STREAM_END) {
+            // support concatenated gzip members
+            if (zs.avail_in == 0 && in_pos >= in_len && raw_eof) break;
+            inflateReset(&zs);
+            continue;
+          }
+          if (r != Z_OK && r != Z_BUF_ERROR) return -1;
+          if (r == Z_BUF_ERROR && zs.avail_in == 0 && in_pos >= in_len &&
+              raw_eof)
+            break;
+        }
+        return (int64_t)(n - zs.avail_out);
+      }
+      case Codec::kZstd: {
+        size_t out_total = 0;
+        while (out_total < n) {
+          if (in_pos >= in_len) {
+            if (!fill_raw()) break;
+          }
+          ZSTD_inBuffer ib{in_buf.data(), in_len, in_pos};
+          ZSTD_outBuffer ob{dst, n, out_total};
+          size_t rc = ZSTD_decompressStream(zds, &ob, &ib);
+          if (ZSTD_isError(rc)) return -1;
+          in_pos = ib.pos;
+          size_t produced = ob.pos - out_total;
+          out_total = ob.pos;
+          if (produced == 0 && in_pos >= in_len && raw_eof) break;
+        }
+        return (int64_t)out_total;
+      }
+      case Codec::kXz: {
+        lz.next_out = dst;
+        lz.avail_out = n;
+        while (lz.avail_out > 0) {
+          lzma_action action = LZMA_RUN;
+          if (lz.avail_in == 0) {
+            if (in_pos >= in_len && !fill_raw()) {
+              action = LZMA_FINISH;
+            } else {
+              lz.next_in = in_buf.data() + in_pos;
+              lz.avail_in = in_len - in_pos;
+              in_pos = in_len;
+            }
+          }
+          lzma_ret r = lzma_code(&lz, action);
+          if (r == LZMA_STREAM_END) break;
+          if (r != LZMA_OK) {
+            if (lz.avail_out < n) break;  // return what we have
+            return -1;
+          }
+          if (action == LZMA_FINISH && lz.avail_out > 0) break;
+        }
+        return (int64_t)(n - lz.avail_out);
+      }
+    }
+    return -1;
+  }
+};
+
+struct Record {
+  std::vector<uint8_t> id, seq, qual;
+  bool valid = false;
+};
+
+struct DxReader {
+  Source src;
+  std::vector<uint8_t> buf;
+  size_t pos = 0, len = 0;
+  bool eof = false;
+  int is_fastq = -1;
+  std::string error;
+  std::vector<uint8_t> line;
+  std::vector<uint8_t> pending;  // pushed-back header line
+  bool has_pending = false;
+  Record overflow;  // record parsed but not yet delivered (arena full)
+
+  bool refill() {
+    if (eof) return false;
+    int64_t got = src.read(buf.data(), buf.size());
+    if (got < 0) {
+      error = "decompression/read error";
+      eof = true;
+      return false;
+    }
+    if (got == 0) {
+      eof = true;
+      return false;
+    }
+    pos = 0;
+    len = (size_t)got;
+    return true;
+  }
+
+  bool getline() {
+    line.clear();
+    if (has_pending) {
+      line.swap(pending);
+      has_pending = false;
+      return true;
+    }
+    bool any = false;
+    while (true) {
+      if (pos >= len && !refill()) return any || !line.empty();
+      any = true;
+      uint8_t* start = buf.data() + pos;
+      uint8_t* nl = (uint8_t*)memchr(start, '\n', len - pos);
+      if (nl) {
+        line.insert(line.end(), start, nl);
+        pos = (size_t)(nl - buf.data()) + 1;
+        if (!line.empty() && line.back() == '\r') line.pop_back();
+        return true;
+      }
+      line.insert(line.end(), start, buf.data() + len);
+      pos = len;
+    }
+  }
+
+  // Parse one record into rec; returns 1 ok, 0 eof, -1 error.
+  int parse_record(Record& rec) {
+    rec.id.clear();
+    rec.seq.clear();
+    rec.qual.clear();
+    rec.valid = false;
+    // find non-empty header line
+    while (true) {
+      if (!getline()) return 0;
+      if (!line.empty()) break;
+    }
+    uint8_t marker = line[0];
+    if (is_fastq == -1) {
+      if (marker == '>') is_fastq = 0;
+      else if (marker == '@') is_fastq = 1;
+      else {
+        error = "Unrecognized FASTX record start";
+        return -1;
+      }
+    }
+    if ((is_fastq == 1 && marker != '@') || (is_fastq == 0 && marker != '>')) {
+      error = "Record marker mismatch";
+      return -1;
+    }
+    rec.id.assign(line.begin() + 1, line.end());
+    if (is_fastq == 1) {
+      if (!getline()) {
+        error = "Truncated FASTQ record";
+        return -1;
+      }
+      rec.seq = line;
+      if (!getline() || line.empty() || line[0] != '+') {
+        error = "Expected '+' separator";
+        return -1;
+      }
+      if (!getline()) {
+        error = "Truncated FASTQ record (missing quality)";
+        return -1;
+      }
+      rec.qual = line;
+      if (rec.qual.size() != rec.seq.size()) {
+        error = "Quality length != sequence length";
+        return -1;
+      }
+    } else {
+      while (true) {
+        size_t save_pos = pos;
+        if (!getline()) break;
+        if (!line.empty() && line[0] == '>') {
+          pending = line;
+          has_pending = true;
+          (void)save_pos;
+          break;
+        }
+        rec.seq.insert(rec.seq.end(), line.begin(), line.end());
+      }
+    }
+    rec.valid = true;
+    return 1;
+  }
+};
+
+struct DxWriter {
+  FILE* file = nullptr;
+  Codec codec = Codec::kPlain;
+  z_stream zs{};
+  bool zs_init = false;
+  ZSTD_CStream* zcs = nullptr;
+  lzma_stream lz = LZMA_STREAM_INIT;
+  bool lz_init = false;
+  std::vector<uint8_t> out_buf;
+};
+
+}  // namespace
+
+extern "C" {
+
+DxReader* dx_open(const char* path) {
+  FILE* f = (!path || strcmp(path, "-") == 0) ? stdin : fopen(path, "rb");
+  if (!f) return nullptr;
+  uint8_t magic[6] = {0};
+  size_t got = fread(magic, 1, sizeof(magic), f);
+  Codec codec = Codec::kPlain;
+  if (got >= 2 && magic[0] == 0x1f && magic[1] == 0x8b) codec = Codec::kGzip;
+  else if (got >= 4 && magic[0] == 0x28 && magic[1] == 0xb5 &&
+           magic[2] == 0x2f && magic[3] == 0xfd)
+    codec = Codec::kZstd;
+  else if (got >= 6 && magic[0] == 0xfd && memcmp(magic + 1, "7zXZ", 4) == 0)
+    codec = Codec::kXz;
+
+  auto* r = new DxReader();
+  r->buf.resize(kBufSize);
+  r->src.init(f, codec, magic, got);
+  return r;
+}
+
+void dx_close(DxReader* r) { delete r; }
+int dx_is_fastq(DxReader* r) { return r->is_fastq; }
+const char* dx_error(DxReader* r) { return r->error.c_str(); }
+
+// Parse up to max_rec records into arena + meta (6 int64 per record:
+// id_off,id_len,seq_off,seq_len,qual_off,qual_len; qual_off = -1 for FASTA).
+// Returns #records (0 = EOF), -1 = parse error, -2 = arena too small for
+// even one record (caller must grow and retry; no data lost).
+int64_t dx_next_batch(DxReader* r, int64_t max_rec, uint8_t* arena,
+                      int64_t arena_cap, int64_t* meta) {
+  int64_t n = 0;
+  int64_t used = 0;
+  while (n < max_rec) {
+    Record rec;
+    if (r->overflow.valid) {
+      rec = std::move(r->overflow);
+      r->overflow.valid = false;
+    } else {
+      int rc = r->parse_record(rec);
+      if (rc == 0) break;
+      if (rc < 0) return -1;
+    }
+    int64_t need = (int64_t)(rec.id.size() + rec.seq.size() + rec.qual.size());
+    if (used + need > arena_cap) {
+      r->overflow = std::move(rec);
+      r->overflow.valid = true;
+      return n == 0 ? -2 : n;
+    }
+    int64_t* m = meta + 6 * n;
+    m[0] = used;
+    m[1] = (int64_t)rec.id.size();
+    memcpy(arena + used, rec.id.data(), rec.id.size());
+    used += (int64_t)rec.id.size();
+    m[2] = used;
+    m[3] = (int64_t)rec.seq.size();
+    memcpy(arena + used, rec.seq.data(), rec.seq.size());
+    used += (int64_t)rec.seq.size();
+    if (r->is_fastq == 1) {
+      m[4] = used;
+      m[5] = (int64_t)rec.qual.size();
+      memcpy(arena + used, rec.qual.data(), rec.qual.size());
+      used += (int64_t)rec.qual.size();
+    } else {
+      m[4] = -1;
+      m[5] = 0;
+    }
+    n++;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Writer (codec: 0 plain, 1 gzip, 2 zstd, 3 xz)
+// ---------------------------------------------------------------------------
+
+DxWriter* dx_writer_open(const char* path, int codec, int level) {
+  auto* w = new DxWriter();
+  w->codec = (Codec)codec;
+  w->file = (strcmp(path, "-") == 0) ? stdout : fopen(path, "wb");
+  if (!w->file) {
+    delete w;
+    return nullptr;
+  }
+  switch (w->codec) {
+    case Codec::kPlain:
+      break;
+    case Codec::kGzip:
+      if (deflateInit2(&w->zs, level, Z_DEFLATED, 16 + MAX_WBITS, 8,
+                       Z_DEFAULT_STRATEGY) != Z_OK) {
+        if (w->file != stdout) fclose(w->file);
+        delete w;
+        return nullptr;
+      }
+      w->zs_init = true;
+      w->out_buf.resize(kBufSize);
+      break;
+    case Codec::kZstd:
+      w->zcs = ZSTD_createCStream();
+      ZSTD_initCStream(w->zcs, level);
+      w->out_buf.resize(ZSTD_CStreamOutSize());
+      break;
+    case Codec::kXz:
+      if (lzma_easy_encoder(&w->lz, (uint32_t)level, LZMA_CHECK_CRC64) !=
+          LZMA_OK) {
+        if (w->file != stdout) fclose(w->file);
+        delete w;
+        return nullptr;
+      }
+      w->lz_init = true;
+      w->out_buf.resize(kBufSize);
+      break;
+  }
+  return w;
+}
+
+int dx_writer_write(DxWriter* w, const uint8_t* data, int64_t len) {
+  switch (w->codec) {
+    case Codec::kPlain:
+      return fwrite(data, 1, (size_t)len, w->file) == (size_t)len ? 0 : -1;
+    case Codec::kGzip: {
+      w->zs.next_in = const_cast<uint8_t*>(data);
+      w->zs.avail_in = (uInt)len;
+      while (w->zs.avail_in > 0) {
+        w->zs.next_out = w->out_buf.data();
+        w->zs.avail_out = (uInt)w->out_buf.size();
+        if (deflate(&w->zs, Z_NO_FLUSH) != Z_OK) return -1;
+        size_t got = w->out_buf.size() - w->zs.avail_out;
+        if (got && fwrite(w->out_buf.data(), 1, got, w->file) != got)
+          return -1;
+      }
+      return 0;
+    }
+    case Codec::kZstd: {
+      ZSTD_inBuffer ib{data, (size_t)len, 0};
+      while (ib.pos < ib.size) {
+        ZSTD_outBuffer ob{w->out_buf.data(), w->out_buf.size(), 0};
+        size_t rc = ZSTD_compressStream(w->zcs, &ob, &ib);
+        if (ZSTD_isError(rc)) return -1;
+        if (ob.pos && fwrite(w->out_buf.data(), 1, ob.pos, w->file) != ob.pos)
+          return -1;
+      }
+      return 0;
+    }
+    case Codec::kXz: {
+      w->lz.next_in = data;
+      w->lz.avail_in = (size_t)len;
+      while (w->lz.avail_in > 0) {
+        w->lz.next_out = w->out_buf.data();
+        w->lz.avail_out = w->out_buf.size();
+        if (lzma_code(&w->lz, LZMA_RUN) != LZMA_OK) return -1;
+        size_t got = w->out_buf.size() - w->lz.avail_out;
+        if (got && fwrite(w->out_buf.data(), 1, got, w->file) != got)
+          return -1;
+      }
+      return 0;
+    }
+  }
+  return -1;
+}
+
+int dx_writer_close(DxWriter* w) {
+  int rc = 0;
+  switch (w->codec) {
+    case Codec::kPlain:
+      break;
+    case Codec::kGzip: {
+      int r;
+      do {
+        w->zs.next_out = w->out_buf.data();
+        w->zs.avail_out = (uInt)w->out_buf.size();
+        r = deflate(&w->zs, Z_FINISH);
+        size_t got = w->out_buf.size() - w->zs.avail_out;
+        if (got && fwrite(w->out_buf.data(), 1, got, w->file) != got) rc = -1;
+      } while (r == Z_OK);
+      if (r != Z_STREAM_END) rc = -1;
+      deflateEnd(&w->zs);
+      w->zs_init = false;
+      break;
+    }
+    case Codec::kZstd: {
+      size_t remaining;
+      do {
+        ZSTD_outBuffer ob{w->out_buf.data(), w->out_buf.size(), 0};
+        remaining = ZSTD_endStream(w->zcs, &ob);
+        if (ZSTD_isError(remaining)) {
+          rc = -1;
+          break;
+        }
+        if (ob.pos) fwrite(w->out_buf.data(), 1, ob.pos, w->file);
+      } while (remaining > 0);
+      ZSTD_freeCStream(w->zcs);
+      w->zcs = nullptr;
+      break;
+    }
+    case Codec::kXz: {
+      lzma_ret r;
+      do {
+        w->lz.next_out = w->out_buf.data();
+        w->lz.avail_out = w->out_buf.size();
+        r = lzma_code(&w->lz, LZMA_FINISH);
+        size_t got = w->out_buf.size() - w->lz.avail_out;
+        if (got) fwrite(w->out_buf.data(), 1, got, w->file);
+      } while (r == LZMA_OK);
+      if (r != LZMA_STREAM_END) rc = -1;
+      lzma_end(&w->lz);
+      w->lz_init = false;
+      break;
+    }
+  }
+  if (w->file && w->file != stdout) {
+    if (fclose(w->file)) rc = -1;
+  } else if (w->file) {
+    fflush(w->file);
+  }
+  w->file = nullptr;
+  delete w;
+  return rc;
+}
+
+// 2-bit pack + validity (packed-seq analogue: code = (byte >> 1) & 3;
+// ref: src/filter_common.rs:238).
+void dx_pack_codes(const uint8_t* seq, int64_t n, uint8_t* codes,
+                   uint8_t* valid) {
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b = seq[i];
+    codes[i] = (b >> 1) & 3;
+    uint8_t u = b & 0xDF;
+    valid[i] = (u == 'A' || u == 'C' || u == 'G' || u == 'T') ? 1 : 0;
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,215 @@
+"""ctypes binding for the native FASTX loader/writer (io/native/).
+
+Builds lazily with `make` on first use; falls back to the pure-Python
+implementations (io/fastx.py, io/writers.py) if the toolchain or shared
+libraries are unavailable. Set DEACON_TPU_NO_NATIVE=1 to force the fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from .fastx import FastxParseError, Record
+
+_NATIVE_DIR = Path(__file__).resolve().parent / "native"
+_SO_PATH = _NATIVE_DIR / "libdeacon_io.so"
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    try:
+        src = _NATIVE_DIR / "fastx_native.cpp"
+        if _SO_PATH.exists() and _SO_PATH.stat().st_mtime >= src.stat().st_mtime:
+            return True
+        proc = subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, capture_output=True, timeout=120
+        )
+        return proc.returncode == 0 and _SO_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Returns the loaded native library or None."""
+    global _lib, _lib_failed
+    if _lib is not None:
+        return _lib
+    if _lib_failed or os.environ.get("DEACON_TPU_NO_NATIVE"):
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _build():
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_SO_PATH))
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.dx_open.restype = ctypes.c_void_p
+        lib.dx_open.argtypes = [ctypes.c_char_p]
+        lib.dx_close.argtypes = [ctypes.c_void_p]
+        lib.dx_is_fastq.restype = ctypes.c_int
+        lib.dx_is_fastq.argtypes = [ctypes.c_void_p]
+        lib.dx_error.restype = ctypes.c_char_p
+        lib.dx_error.argtypes = [ctypes.c_void_p]
+        lib.dx_next_batch.restype = ctypes.c_int64
+        lib.dx_next_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.dx_writer_open.restype = ctypes.c_void_p
+        lib.dx_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.dx_writer_write.restype = ctypes.c_int
+        lib.dx_writer_write.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.dx_writer_close.restype = ctypes.c_int
+        lib.dx_writer_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class NativeFastxReader:
+    """Batch-oriented reader over the native parser.
+
+    Exposes both the Record-iterator protocol (drop-in for FastxReader) and
+    a zero-copy-ish batch API used by the device pipeline.
+    """
+
+    def __init__(self, path: str | None, arena_mb: int = 64):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        p = b"-" if path is None or str(path) == "-" else str(path).encode()
+        self._h = lib.dx_open(p)
+        if not self._h:
+            raise OSError(f"Failed to open {path!r}")
+        self._arena = np.empty(arena_mb * 1024 * 1024, dtype=np.uint8)
+        self._meta = np.empty(6 * 100_000, dtype=np.int64)
+        self._queue: list[Record] = []
+        self._qi = 0
+        self._done = False
+
+    def close(self):
+        if self._h:
+            self._lib.dx_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def read_batch_raw(self, max_records: int):
+        """Returns (meta int64[(n,6)], arena view uint8) for up to
+        max_records records; n == 0 at EOF. Raises on parse errors."""
+        if self._done:
+            return (
+                self._meta[:0].reshape(0, 6),
+                self._arena[:0],
+                self._lib.dx_is_fastq(self._h) == 1 if self._h else False,
+            )
+        max_records = min(max_records, self._meta.size // 6)
+        while True:
+            n = self._lib.dx_next_batch(
+                self._h,
+                max_records,
+                self._arena.ctypes.data_as(ctypes.c_void_p),
+                self._arena.size,
+                self._meta.ctypes.data_as(ctypes.c_void_p),
+            )
+            if n == -2:
+                self._arena = np.empty(self._arena.size * 2, dtype=np.uint8)
+                continue
+            break
+        if n < 0:
+            err = self._lib.dx_error(self._h).decode("utf-8", "replace")
+            raise FastxParseError(err or "native parse error")
+        if n == 0:
+            self._done = True
+        is_fastq = self._lib.dx_is_fastq(self._h) == 1
+        return self._meta[: 6 * n].reshape(n, 6), self._arena, is_fastq
+
+    # ------------------------------------------------------------------
+    # Record-iterator protocol
+    # ------------------------------------------------------------------
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Record:
+        if self._qi >= len(self._queue):
+            meta, arena, is_fastq = self.read_batch_raw(8192)
+            if meta.shape[0] == 0:
+                raise StopIteration
+            self._queue = []
+            self._qi = 0
+            ab = arena.tobytes()  # single copy for the whole batch
+            for i in range(meta.shape[0]):
+                io_, il, so_, sl, qo_, ql = (int(x) for x in meta[i])
+                rid = ab[io_ : io_ + il]
+                seq = ab[so_ : so_ + sl]
+                qual = ab[qo_ : qo_ + ql] if qo_ >= 0 else None
+                self._queue.append(Record(rid, seq, qual, qo_ >= 0))
+        rec = self._queue[self._qi]
+        self._qi += 1
+        return rec
+
+
+_CODEC_BY_EXT = {".gz": 1, ".zst": 2, ".xz": 3}
+
+
+class NativeWriter:
+    """Drop-in for io.writers.FastxWriter backed by the native encoder."""
+
+    def __init__(self, path: str, codec: int, level: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        self._h = lib.dx_writer_open(path.encode(), codec, level)
+        if not self._h:
+            raise OSError(f"Failed to create output file: {path}")
+
+    def write(self, data: bytes) -> None:
+        if self._lib.dx_writer_write(self._h, data, len(data)) != 0:
+            raise OSError("native write failed")
+
+    def flush(self) -> None:
+        pass
+
+    def finish(self) -> None:
+        if self._h:
+            rc = self._lib.dx_writer_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise OSError("native writer close failed")
+
+
+def open_native_reader(path: str | None):
+    """Returns NativeFastxReader or None if unavailable."""
+    if get_lib() is None:
+        return None
+    try:
+        return NativeFastxReader(path)
+    except OSError:
+        raise
+    except Exception:
+        return None

@@ -52,10 +52,36 @@ class FastxWriter:
             self._closer()
 
 
-def get_writer(output_path: str, compression_level: int) -> FastxWriter:
-    """stdout for "-"; .gz/.zst/.xz compression by extension otherwise."""
+def get_writer(output_path: str, compression_level: int):
+    """stdout for "-"; .gz/.zst/.xz compression by extension otherwise.
+
+    Prefers the native C++ encoders (io/native) when available."""
     if output_path == "-":
         return FastxWriter(sys.stdout.buffer)
+
+    codec = 0
+    if output_path.endswith(".gz"):
+        _validate_level(compression_level, 1, 9, "gzip")
+        codec = 1
+    elif output_path.endswith(".zst"):
+        _validate_level(compression_level, 1, 22, "zstd")
+        codec = 2
+    elif output_path.endswith(".xz"):
+        _validate_level(compression_level, 0, 9, "xz")
+        codec = 3
+    try:
+        from .native_loader import NativeWriter, get_lib
+
+        if get_lib() is not None:
+            return NativeWriter(output_path, codec, compression_level)
+    except OSError:
+        raise
+    except Exception:
+        pass
+    return _python_writer(output_path, compression_level)
+
+
+def _python_writer(output_path: str, compression_level: int) -> FastxWriter:
 
     if output_path.endswith(".gz"):
         _validate_level(compression_level, 1, 9, "gzip")

@@ -1,0 +1,517 @@
+"""JAX device engine: batched minimizer extraction + membership + counting.
+
+This is the TPU-native heart of the framework: the entire hot path
+(selection-key computation, window minima, compaction, canonical value
+packing, XXH3-64, sorted-index probe, distinct-hit counting) runs as ONE
+jitted XLA program over fixed-shape row batches.
+
+Produces bit-identical results to the NumPy oracle (deacon_tpu/ops/
+minimizers_np.py); tests/test_device_engine.py enforces it.
+
+Design (see SURVEY §5.7, §2.3 for the mapping from the reference):
+
+* Reads are packed host-side into rows of a fixed length L. Long reads are
+  split into chunks with stride L-l+1 (l = k+w-1) so every w-window of the
+  read belongs to exactly one chunk — the TPU analogue of the reference's
+  whole-record heap processing of megabase contigs.
+* Per-row selection keys are computed with prefix-XOR scans (associative
+  scan) instead of a sequential rolling hash — no loop-carried dependency,
+  so XLA vectorizes across the full (R, L) tile on the VPU.
+* Window minima use a doubling sparse table (log2(w) combine steps) with
+  (key, position) lexicographic combines in pure uint32 math.
+* Selected positions are compacted into a fixed minimizer budget, their
+  canonical values packed and hashed (XXH3-64 in 64-bit lanes), probed
+  against the sorted HBM-resident index with a branchless binary search,
+  then one lexicographic sort + segment-sums yield per-read distinct hit
+  counts and totals (pair-union semantics fall out of sharing a read id
+  across mates; ref: src/filter_common.rs:129-198).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils import xxh3 as hxxh3
+from . import minimizers_np as mnp
+
+_SEEDS = jnp.asarray(mnp.SEEDS_U32)
+_SEEDS_RC = jnp.asarray(mnp.SEEDS_RC_U32)
+
+U32 = jnp.uint32
+U64 = jnp.uint64
+_MAXU32 = jnp.uint32(0xFFFFFFFF)
+
+
+def _rotl32(x, n):
+    n = n & U32(31)
+    return (x << n) | (x >> ((U32(32) - n) & U32(31)))
+
+
+def _selection_keys(codes, k: int):
+    """(R, L) codes -> (R, M) uint32 canonical selection keys.
+
+    Mirrors minimizers_np.kmer_selection_keys exactly.
+    """
+    R, L = codes.shape
+    M = L - k + 1
+    idx = jnp.arange(L, dtype=jnp.uint32)
+    s = _SEEDS[codes]
+    sc = _SEEDS_RC[codes]
+    uf = _rotl32(s, (U32(32) - (idx & U32(31))) & U32(31))
+    ur = _rotl32(sc, idx & U32(31))
+    pf = lax.associative_scan(jnp.bitwise_xor, uf, axis=1)
+    pr = lax.associative_scan(jnp.bitwise_xor, ur, axis=1)
+    # inclusive scan: prefix[p] = xor of u[0..p]; window xor over [p, p+k-1]
+    # = scan[p+k-1] ^ scan[p-1] (scan[-1] = 0)
+    zero = jnp.zeros((R, 1), dtype=jnp.uint32)
+    pf_ex = jnp.concatenate([zero, pf], axis=1)  # exclusive prefix
+    pr_ex = jnp.concatenate([zero, pr], axis=1)
+    p = jnp.arange(M, dtype=jnp.uint32)
+    fwd_raw = pf_ex[:, k : k + M] ^ pf_ex[:, :M]
+    rc_raw = pr_ex[:, k : k + M] ^ pr_ex[:, :M]
+    fwd = _rotl32(fwd_raw, (p + U32(k - 1)) & U32(31))
+    rc = _rotl32(rc_raw, (U32(32) - (p & U32(31))) & U32(31))
+    return fwd + rc
+
+
+def _combine_min(ak, ap, bk, bp):
+    """Lexicographic min of (key, pos) pairs; leftmost wins ties."""
+    take_a = (ak < bk) | ((ak == bk) & (ap <= bp))
+    return jnp.where(take_a, ak, bk), jnp.where(take_a, ap, bp)
+
+
+def _window_argmin(keys, w: int):
+    """(R, M) keys -> per-window (min key, argmin pos), windows q=0..M-1.
+
+    Window q covers keys [q, q+w-1]; positions beyond M are treated as +inf.
+    Leftmost tie-break. Doubling sparse-table: O(log w) combines.
+    """
+    R, M = keys.shape
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.uint32), (R, M))
+    tk, tp = keys, pos
+    span = 1
+    while span * 2 <= w:
+        pk = jnp.pad(tk, ((0, 0), (0, span)), constant_values=0xFFFFFFFF)
+        pp = jnp.pad(tp, ((0, 0), (0, span)), constant_values=0xFFFFFFFF)
+        tk, tp = _combine_min(tk, tp, pk[:, span : span + M], pp[:, span : span + M])
+        span *= 2
+    # now tk/tp hold mins over [q, q+span-1], span <= w; combine with the
+    # window's tail block [q+w-span, q+w-1]
+    shift = w - span
+    if shift > 0:
+        pk = jnp.pad(tk, ((0, 0), (0, shift)), constant_values=0xFFFFFFFF)
+        pp = jnp.pad(tp, ((0, 0), (0, shift)), constant_values=0xFFFFFFFF)
+        tk, tp = _combine_min(
+            tk, tp, pk[:, shift : shift + M], pp[:, shift : shift + M]
+        )
+    return tk, tp
+
+
+def _pack_values(window_codes, k: int):
+    """(P, k) codes -> canonical value (lo, hi) u64, min(fwd, rc)."""
+    c = window_codes.astype(jnp.uint64)
+    crc = jnp.flip(c, axis=1) ^ U64(2)
+
+    def pack(mat):
+        lo = jnp.zeros(mat.shape[0], dtype=jnp.uint64)
+        hi = jnp.zeros(mat.shape[0], dtype=jnp.uint64)
+        for j in range(min(k, 32)):
+            lo = lo | (mat[:, j] << U64(2 * j))
+        for j in range(32, k):
+            hi = hi | (mat[:, j] << U64(2 * (j - 32)))
+        return lo, hi
+
+    flo, fhi = pack(c)
+    rlo, rhi = pack(crc)
+    take_f = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    return jnp.where(take_f, flo, rlo), jnp.where(take_f, fhi, rhi)
+
+
+def _xxh3_u64(v):
+    lo32 = v & U64(0xFFFFFFFF)
+    hi32 = v >> U64(32)
+    inp = hi32 | (lo32 << U64(32))
+    h = inp ^ U64(int(hxxh3.BITFLIP_4TO8))
+
+    def rotl64(x, n):
+        return (x << U64(n)) | (x >> U64(64 - n))
+
+    h = h ^ (rotl64(h, 49) ^ rotl64(h, 24))
+    h = h * U64(0x9FB21C651E98DF25)
+    h = h ^ ((h >> U64(35)) + U64(8))
+    h = h * U64(0x9FB21C651E98DF25)
+    return h ^ (h >> U64(28))
+
+
+def _xxh3_u128(lo, hi):
+    il = lo ^ U64(int(hxxh3.BITFLIP_LO_9TO16))
+    ih = hi ^ U64(int(hxxh3.BITFLIP_HI_9TO16))
+    # byteswap64
+    b = il
+    sw = jnp.zeros_like(b)
+    for i in range(8):
+        byte = (b >> U64(8 * i)) & U64(0xFF)
+        sw = sw | (byte << U64(8 * (7 - i)))
+    mask32 = U64(0xFFFFFFFF)
+    a_lo, a_hi = il & mask32, il >> U64(32)
+    b_lo, b_hi = ih & mask32, ih >> U64(32)
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = (ll >> U64(32)) + (lh & mask32) + (hl & mask32)
+    plo = (ll & mask32) | (mid << U64(32))
+    phi = hh + (lh >> U64(32)) + (hl >> U64(32)) + (mid >> U64(32))
+    fold = plo ^ phi
+    acc = U64(16) + sw + ih + fold
+    h = acc ^ (acc >> U64(37))
+    h = h * U64(0x165667919E3779F9)
+    return h ^ (h >> U64(32))
+
+
+def device_hash_values(lo, hi, k: int):
+    return _xxh3_u128(lo, hi) if k > 32 else _xxh3_u64(lo)
+
+
+def _probe_sorted(index_sorted, h):
+    """Branchless membership of h (u64) in sorted u64 array."""
+    n = index_sorted.shape[0]
+    if n == 0:
+        return jnp.zeros(h.shape, dtype=bool)
+    pos = jnp.searchsorted(index_sorted, h)
+    pos = jnp.minimum(pos, n - 1)
+    return index_sorted[pos] == h
+
+
+def engine_core(
+    codes,  # (R, L) uint8 2-bit codes
+    validb,  # (R, L) bool: byte was ACGT/acgt
+    mlen,  # (R,) int32: number of k-mer positions in row (<=0: empty row)
+    allow_short,  # (R,) bool: whole read shorter than l -> single window
+    rid,  # (R,) int32 logical read/pair id, < num_segments
+    mate,  # (R,) int32 mate flag (0/1) for pos-dedup domains
+    chunk_start,  # (R,) int32 global base offset of this chunk in its mate
+    probe_fn,  # uint64[P] -> bool[P] membership
+    *,
+    k: int,
+    w: int,
+    budget: int,
+    num_segments: int,
+):
+    """Shared extraction+count core; probe_fn is pluggable so the sharded
+    multi-chip pipeline can psum per-shard membership (SURVEY §2.3)."""
+    R, L = codes.shape
+    M = L - k + 1
+
+    keys = _selection_keys(codes, k)
+    # invalidate positions beyond the row's k-mer count
+    p_idx = jnp.arange(M, dtype=jnp.int32)
+    in_row = p_idx[None, :] < mlen[:, None]
+    keys = jnp.where(in_row, keys, _MAXU32)
+
+    wk, wp = _window_argmin(keys, w)
+    # window validity: full windows q <= mlen - w, plus q == 0 for whole
+    # short reads (k <= n < l)
+    q = p_idx[None, :]
+    win_valid = (q <= (mlen[:, None] - w)) | (
+        (q == 0) & allow_short[:, None] & (mlen[:, None] >= 1)
+    )
+
+    # k-mer ACGT validity via windowed sum of invalid bases
+    inv = (~validb).astype(jnp.int32)
+    cs = jnp.cumsum(inv, axis=1)
+    zero = jnp.zeros((R, 1), dtype=jnp.int32)
+    cs_ex = jnp.concatenate([zero, cs], axis=1)
+    kmer_valid = (cs_ex[:, k : k + M] - cs_ex[:, :M]) == 0
+
+    # scatter window argmins into a per-position selected mask
+    row_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, M))
+    wp_i = jnp.where(win_valid, wp.astype(jnp.int32), M)  # M = out of bounds
+    selected = (
+        jnp.zeros((R, M), dtype=bool)
+        .at[row_ids.reshape(-1), wp_i.reshape(-1)]
+        .set(True, mode="drop")
+    )
+    sel = selected & kmer_valid & in_row
+
+    # compact to budget
+    flat = sel.reshape(-1)
+    cum = jnp.cumsum(flat.astype(jnp.int32))
+    total = cum[-1]
+    target = jnp.where(flat, cum - 1, budget)
+    target = jnp.where(target >= budget, budget, target)
+
+    def scatter(vals, fill, dtype):
+        out = jnp.full((budget + 1,), fill, dtype=dtype)
+        out = out.at[target].set(vals.reshape(-1).astype(dtype), mode="promise_in_bounds")
+        return out[:budget]
+
+    slot_row = scatter(row_ids, 0, jnp.int32)
+    pos_mat = jnp.broadcast_to(p_idx[None, :], (R, M))
+    slot_pos = scatter(pos_mat, 0, jnp.int32)
+    slot_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(total, budget)
+
+    # gather k-mer windows and pack canonical values
+    gather_idx = slot_pos[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    window_codes = codes[slot_row[:, None], gather_idx]
+    vlo, vhi = _pack_values(window_codes, k)
+    h = device_hash_values(vlo, vhi, k)
+
+    member = probe_fn(h) & slot_valid
+
+    # per-read distinct counting via one lexicographic sort + segment sums
+    srid = jnp.where(slot_valid, rid[slot_row], num_segments)
+    smate = mate[slot_row]
+    sposg = chunk_start[slot_row] + slot_pos
+    hhi = (h >> U64(32)).astype(jnp.uint32)
+    hlo = (h & U64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    srid_s, hhi_s, hlo_s, smate_s, sposg_s, member_s, valid_s = lax.sort(
+        (srid, hhi, hlo, smate, sposg, member.astype(jnp.int32),
+         slot_valid.astype(jnp.int32)),
+        num_keys=5,
+    )
+
+    def neq_prev(x):
+        return jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), x[1:] != x[:-1]]
+        )
+
+    new_hash = neq_prev(srid_s) | neq_prev(hhi_s) | neq_prev(hlo_s)
+    new_pos = new_hash | neq_prev(smate_s) | neq_prev(sposg_s)
+    vs = valid_s.astype(bool)
+
+    hits = jax.ops.segment_sum(
+        (new_hash & vs & member_s.astype(bool)).astype(jnp.int32),
+        srid_s,
+        num_segments=num_segments,
+    )
+    totals = jax.ops.segment_sum(
+        (new_pos & vs).astype(jnp.int32), srid_s, num_segments=num_segments
+    )
+    return hits, totals, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "budget", "num_segments"),
+)
+def _engine_step(
+    codes,
+    validb,
+    mlen,
+    allow_short,
+    rid,
+    mate,
+    chunk_start,
+    index_sorted,
+    *,
+    k: int,
+    w: int,
+    budget: int,
+    num_segments: int,
+):
+    return engine_core(
+        codes,
+        validb,
+        mlen,
+        allow_short,
+        rid,
+        mate,
+        chunk_start,
+        lambda h: _probe_sorted(index_sorted, h),
+        k=k,
+        w=w,
+        budget=budget,
+        num_segments=num_segments,
+    )
+
+
+@dataclass
+class _Row:
+    rid: int
+    mate: int
+    chunk_start: int
+    seq: bytes  # effective chunk bytes
+
+
+class BudgetOverflow(RuntimeError):
+    """Minimizer budget exceeded for a device batch; caller should fall back."""
+
+
+class DevicePipeline:
+    """Fused extract+probe+count pipeline over a device-resident index.
+
+    Reads are bucketed per logical unit (read or pair) into static tile
+    classes (L, R) so short reads don't pay long-read padding; all rows of a
+    unit stay in one device batch so distinct-hit counting is exact. Units
+    whose chunk rows exceed a tile's R (reads beyond ~stride*R bases) raise
+    BudgetOverflow and are handled by the host oracle.
+    """
+
+    #: (row_len, rows_per_batch) tile classes, ascending; last handles chunks
+    DEFAULT_TILES = ((256, 4096), (2048, 1024), (16384, 128))
+
+    def __init__(
+        self,
+        index_hashes: np.ndarray,
+        k: int,
+        w: int,
+        tiles=None,
+        budget_frac: float = 0.35,
+        device=None,
+    ):
+        self.k, self.w = int(k), int(w)
+        self.l = self.k + self.w - 1
+        if tiles is None:
+            import os
+
+            env = os.environ.get("DEACON_TPU_TILES")
+            if env:
+                tiles = [
+                    tuple(int(x) for x in part.split(":"))
+                    for part in env.split(",")
+                ]
+        tiles = tiles or self.DEFAULT_TILES
+        self.tiles = [(int(L), int(R)) for L, R in tiles if L >= self.l]
+        if not self.tiles:
+            self.tiles = [(max(self.l, 64), 4096)]
+        self.budget_frac = budget_frac
+        self.device = device
+        arr = np.asarray(index_hashes, dtype=np.uint64)
+        self.index = jax.device_put(jnp.asarray(arr), device)
+        self.L_max = self.tiles[-1][0]
+        self._stride = self.L_max - self.l + 1
+
+    # ------------------------------------------------------------------
+    # host-side row construction
+    # ------------------------------------------------------------------
+    def _rows_for(self, rid: int, mate: int, seq: bytes, prefix_length: int):
+        if len(seq) < self.k:
+            return []
+        eff = seq
+        if prefix_length > 0 and len(eff) > prefix_length:
+            eff = eff[:prefix_length]
+        if eff.endswith(b"\n"):
+            eff = eff[:-1]
+        n = len(eff)
+        if n < self.k:
+            return []
+        if n <= self.L_max:
+            return [_Row(rid, mate, 0, eff)]
+        rows = []
+        s = 0
+        while s <= n - self.l:
+            rows.append(_Row(rid, mate, s, eff[s : s + self.L_max]))
+            s += self._stride
+        return rows
+
+    def _tile_for(self, max_row_len: int) -> tuple[int, int]:
+        for L, R in self.tiles:
+            if max_row_len <= L:
+                return (L, R)
+        return self.tiles[-1]
+
+    def _counts(self, units, n_logical: int, prefix_length: int):
+        """units: iterable of (gid, [(mate, seq), ...])."""
+        hits = np.zeros(n_logical, dtype=np.int64)
+        totals = np.zeros(n_logical, dtype=np.int64)
+
+        # group rows per unit, assign each unit to one tile class
+        per_tile: dict[tuple[int, int], list[list[_Row]]] = {}
+        for gid, mates in units:
+            rows: list[_Row] = []
+            for mate, seq in mates:
+                rows.extend(self._rows_for(gid, mate, seq, prefix_length))
+            if not rows:
+                continue
+            tile = self._tile_for(max(len(r.seq) for r in rows))
+            if len(rows) > tile[1]:
+                raise BudgetOverflow(
+                    f"unit {gid} needs {len(rows)} rows > tile R={tile[1]}"
+                )
+            per_tile.setdefault(tile, []).append(rows)
+
+        for (L, R), groups in per_tile.items():
+            batch: list[_Row] = []
+            gid_map: list[int] = []
+
+            def flush():
+                nonlocal batch, gid_map
+                if not batch:
+                    return
+                local = {g: i for i, g in enumerate(gid_map)}
+                rows_local = [
+                    _Row(local[r.rid], r.mate, r.chunk_start, r.seq) for r in batch
+                ]
+                h, t = self._run_batch(rows_local, L, R)
+                for g, i in local.items():
+                    hits[g] += h[i]
+                    totals[g] += t[i]
+                batch, gid_map = [], []
+
+            for rows in groups:
+                if len(batch) + len(rows) > R:
+                    flush()
+                batch.extend(rows)
+                gid_map.append(rows[0].rid)
+            flush()
+        return hits, totals
+
+    def _run_batch(self, rows: list[_Row], L: int, R: int):
+        budget = int(self.budget_frac * L * R) + 64
+        codes = np.zeros((R, L), dtype=np.uint8)
+        validb = np.zeros((R, L), dtype=bool)
+        mlen = np.full(R, -1, dtype=np.int32)
+        allow_short = np.zeros(R, dtype=bool)
+        rid = np.zeros(R, dtype=np.int32)
+        mate = np.zeros(R, dtype=np.int32)
+        cstart = np.zeros(R, dtype=np.int32)
+        for i, row in enumerate(rows):
+            b = np.frombuffer(row.seq, dtype=np.uint8)
+            codes[i, : b.size] = mnp.PACK_CODE[b]
+            validb[i, : b.size] = mnp.VALID_BASE[b]
+            mlen[i] = b.size - self.k + 1
+            allow_short[i] = b.size < self.l
+            rid[i] = row.rid
+            mate[i] = row.mate
+            cstart[i] = row.chunk_start
+        hits, totals, used = _engine_step(
+            jnp.asarray(codes),
+            jnp.asarray(validb),
+            jnp.asarray(mlen),
+            jnp.asarray(allow_short),
+            jnp.asarray(rid),
+            jnp.asarray(mate),
+            jnp.asarray(cstart),
+            self.index,
+            k=self.k,
+            w=self.w,
+            budget=budget,
+            num_segments=R,
+        )
+        used = int(used)
+        if used > budget:
+            raise BudgetOverflow(f"minimizer budget exceeded: {used} > {budget}")
+        return np.asarray(hits, dtype=np.int64), np.asarray(totals, dtype=np.int64)
+
+    # ------------------------------------------------------------------
+    # decision API
+    # ------------------------------------------------------------------
+    def counts_single(self, seqs: list[bytes], prefix_length: int):
+        units = ((i, [(0, s)]) for i, s in enumerate(seqs))
+        return self._counts(units, len(seqs), prefix_length)
+
+    def counts_paired(self, pairs: list[tuple[bytes, bytes]], prefix_length: int):
+        units = ((i, [(0, s1), (1, s2)]) for i, (s1, s2) in enumerate(pairs))
+        return self._counts(units, len(pairs), prefix_length)

@@ -1,0 +1,243 @@
+"""Multi-chip sharded filter pipeline: pjit/shard_map over a device mesh.
+
+TPU-native replacement for the reference's replicated-index model (the Rust
+tool holds the whole FxHashSet in every process; ref: src/index.rs:96-107,
+SURVEY §2.3): here the sorted minimizer index lives sharded across the
+``shard`` mesh axis in HBM while read rows are data-parallel across the
+``data`` axis. Each device probes its contiguous index shard and the 0/1
+membership vectors are merged with a single ``psum`` over the ``shard`` axis
+— the only cross-chip traffic, riding ICI.
+
+The index is range-partitioned (it is sorted), so each query hits exactly one
+shard; shard padding duplicates the last real hash, which keeps membership
+semantics exact under psum (a duplicated boundary value can only double-count
+a true member, and membership is evaluated as sum >= 1).
+
+With ``shard=1`` this degrades gracefully to pure data parallelism with a
+replicated index (the right call whenever the index fits one chip's HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import engine as eng
+from ..ops import minimizers_np as mnp
+
+
+def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = n_data * n_shard
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    dev_arr = np.asarray(devices[:need]).reshape(n_data, n_shard)
+    return Mesh(dev_arr, ("data", "shard"))
+
+
+def _sharded_step(
+    codes, validb, mlen, allow_short, rid, mate, chunk_start, index_shard,
+    *, k, w, budget, num_segments,
+):
+    """Runs per-device under shard_map: local rows x local index shard."""
+
+    def probe(h):
+        local = eng._probe_sorted(index_shard, h)
+        hits = jax.lax.psum(local.astype(jnp.int32), "shard")
+        return hits >= 1
+
+    hits, totals, used = eng.engine_core(
+        codes, validb, mlen, allow_short, rid, mate, chunk_start, probe,
+        k=k, w=w, budget=budget, num_segments=num_segments,
+    )
+    return hits, totals, jnp.reshape(used, (1,))
+
+
+class ShardedPipeline:
+    """Device-mesh version of ops.engine.DevicePipeline.
+
+    Row batches are split across the ``data`` axis (each data shard receives
+    whole logical units so distinct-hit counting stays exact); the index is
+    sharded across ``shard``.
+    """
+
+    def __init__(
+        self,
+        index_hashes: np.ndarray,
+        k: int,
+        w: int,
+        mesh: Mesh,
+        row_len: int = 8192,
+        rows_per_shard: int = 128,
+        budget_frac: float = 0.35,
+    ):
+        self.k, self.w = int(k), int(w)
+        self.l = self.k + self.w - 1
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.n_shard = mesh.shape["shard"]
+        self.L = max(int(row_len), self.l)
+        self.Rs = int(rows_per_shard)  # rows per data shard
+        self.R = self.Rs * self.n_data
+        self.budget_per_shard = int(budget_frac * self.L * self.Rs) + 64
+        self._stride = self.L - self.l + 1
+
+        arr = np.asarray(index_hashes, dtype=np.uint64)
+        arr = np.sort(arr)
+        pad = (-arr.size) % self.n_shard
+        if arr.size == 0:
+            arr = np.full(self.n_shard, np.uint64(0xFFFFFFFFFFFFFFFF))
+        elif pad:
+            arr = np.concatenate([arr, np.full(pad, arr[-1], dtype=np.uint64)])
+        self.index = jax.device_put(
+            jnp.asarray(arr), NamedSharding(mesh, P("shard"))
+        )
+
+        row_sharding = NamedSharding(mesh, P("data"))
+        self._in_shardings = (
+            row_sharding,  # codes (R, L)
+            row_sharding,  # validb
+            row_sharding,  # mlen
+            row_sharding,  # allow_short
+            row_sharding,  # rid
+            row_sharding,  # mate
+            row_sharding,  # chunk_start
+            NamedSharding(mesh, P("shard")),  # index
+        )
+
+        fn = functools.partial(
+            _sharded_step,
+            k=self.k,
+            w=self.w,
+            budget=self.budget_per_shard,
+            num_segments=self.Rs,
+        )
+        mapped = shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(
+                P("data"), P("data"), P("data"), P("data"),
+                P("data"), P("data"), P("data"), P("shard"),
+            ),
+            out_specs=(P("data"), P("data"), P(("data",))),
+            check_rep=False,
+        )
+        self._fn = jax.jit(mapped, in_shardings=self._in_shardings)
+
+    # ------------------------------------------------------------------
+    def _rows_for(self, rid, mate, seq: bytes, prefix_length: int):
+        if len(seq) < self.k:
+            return []
+        eff = seq
+        if prefix_length > 0 and len(eff) > prefix_length:
+            eff = eff[:prefix_length]
+        if eff.endswith(b"\n"):
+            eff = eff[:-1]
+        n = len(eff)
+        if n < self.k:
+            return []
+        if n <= self.L:
+            return [eng._Row(rid, mate, 0, eff)]
+        rows = []
+        s = 0
+        while s <= n - self.l:
+            rows.append(eng._Row(rid, mate, s, eff[s : s + self.L]))
+            s += self._stride
+        return rows
+
+    def _counts(self, units, n_logical: int, prefix_length: int):
+        hits = np.zeros(n_logical, dtype=np.int64)
+        totals = np.zeros(n_logical, dtype=np.int64)
+
+        # Assign whole units round-robin to data shards, capacity Rs rows each.
+        # Each data shard keeps its own local rid numbering (< Rs).
+        groups: list[list[eng._Row]] = []
+        for gid, mates in units:
+            rows = []
+            for mate, seq in mates:
+                rows.extend(self._rows_for(gid, mate, seq, prefix_length))
+            if rows:
+                if len(rows) > self.Rs:
+                    raise eng.BudgetOverflow(
+                        f"unit {gid} needs {len(rows)} rows > Rs={self.Rs}"
+                    )
+                groups.append(rows)
+
+        gi = 0
+        while gi < len(groups):
+            # fill one global batch: n_data shards x Rs rows
+            shard_rows: list[list[eng._Row]] = [[] for _ in range(self.n_data)]
+            shard_gids: list[list[int]] = [[] for _ in range(self.n_data)]
+            progressed = True
+            while gi < len(groups) and progressed:
+                progressed = False
+                tgt = min(
+                    range(self.n_data), key=lambda d: len(shard_rows[d])
+                )
+                if len(shard_rows[tgt]) + len(groups[gi]) <= self.Rs:
+                    local_id = len(shard_gids[tgt])
+                    if local_id < self.Rs:
+                        for r in groups[gi]:
+                            shard_rows[tgt].append(
+                                eng._Row(local_id, r.mate, r.chunk_start, r.seq)
+                            )
+                        shard_gids[tgt].append(groups[gi][0].rid)
+                        gi += 1
+                        progressed = True
+            h, t = self._run_global_batch(shard_rows)
+            for d in range(self.n_data):
+                for li, g in enumerate(shard_gids[d]):
+                    hits[g] += h[d * self.Rs + li]
+                    totals[g] += t[d * self.Rs + li]
+        return hits, totals
+
+    def _run_global_batch(self, shard_rows: list[list[eng._Row]]):
+        R, L = self.R, self.L
+        codes = np.zeros((R, L), dtype=np.uint8)
+        validb = np.zeros((R, L), dtype=bool)
+        mlen = np.full(R, -1, dtype=np.int32)
+        allow_short = np.zeros(R, dtype=bool)
+        rid = np.zeros(R, dtype=np.int32)
+        mate = np.zeros(R, dtype=np.int32)
+        cstart = np.zeros(R, dtype=np.int32)
+        for d, rows in enumerate(shard_rows):
+            base = d * self.Rs
+            for i, row in enumerate(rows):
+                b = np.frombuffer(row.seq, dtype=np.uint8)
+                j = base + i
+                codes[j, : b.size] = mnp.PACK_CODE[b]
+                validb[j, : b.size] = mnp.VALID_BASE[b]
+                mlen[j] = b.size - self.k + 1
+                allow_short[j] = b.size < self.l
+                rid[j] = row.rid
+                mate[j] = row.mate
+                cstart[j] = row.chunk_start
+        hits, totals, used = self._fn(
+            jnp.asarray(codes), jnp.asarray(validb), jnp.asarray(mlen),
+            jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
+            jnp.asarray(cstart), self.index,
+        )
+        used = np.asarray(used)
+        if int(used.max()) > self.budget_per_shard:
+            raise eng.BudgetOverflow(
+                f"minimizer budget exceeded: {used.max()} > {self.budget_per_shard}"
+            )
+        return np.asarray(hits, dtype=np.int64), np.asarray(totals, dtype=np.int64)
+
+    # ------------------------------------------------------------------
+    def counts_single(self, seqs, prefix_length: int = 0):
+        units = ((i, [(0, s)]) for i, s in enumerate(seqs))
+        return self._counts(units, len(seqs), prefix_length)
+
+    def counts_paired(self, pairs, prefix_length: int = 0):
+        units = ((i, [(0, s1), (1, s2)]) for i, (s1, s2) in enumerate(pairs))
+        return self._counts(units, len(pairs), prefix_length)
