@@ -223,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
             run_server(args.index, args.port, host=args.host)
     except BrokenPipeError:
         return 0
-    except (ValueError, OSError) as e:
+    except (ValueError, OSError, RuntimeError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
     return 0

@@ -1,0 +1,119 @@
+"""HTTP filter server: holds the index in RAM and answers batched decision
+requests (ref: src/server.rs, C9).
+
+Routes (identical surface to the reference, src/server.rs:48-58):
+  GET  /                        -> human-readable status line
+  GET  /index_header            -> IndexHeader JSON
+  GET  /index_version           -> "path@sha256(bytes)"
+  POST /should_output_unpaired  -> FilterResponse JSON
+  POST /should_output_paired    -> FilterResponse JSON
+
+Implementation: stdlib ThreadingHTTPServer — requests carry pre-hashed
+minimizers, so each request is a vectorized sorted-array probe over the
+resident index (optionally the TPU-resident probe for very large batches).
+Body limit 2 GiB (ref: src/server.rs:58).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..filter.backend import LocalBackend
+from ..index.store import MinimizerIndex, load_index
+from . import protocol
+
+MAX_BODY = 2_147_483_648  # 2 GiB, ref: src/server.rs:58
+
+
+class ServerState:
+    def __init__(self, index_path: str):
+        with open(index_path, "rb") as f:
+            data = f.read()
+        self.version = f"{index_path}@{hashlib.sha256(data).hexdigest()}"
+        print(f"Loading index from: {index_path}", file=sys.stderr)
+        self.index: MinimizerIndex = load_index(index_path)
+        self.backend = LocalBackend(self.index)
+        print("Loaded index!", file=sys.stderr)
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # tracing only via env, keep quiet
+            import os
+
+            if os.environ.get("DEACON_TPU_LOG"):
+                super().log_message(fmt, *args)
+
+        def _send(self, code: int, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/":
+                h = state.index.header
+                msg = (
+                    f"Index loaded with {len(state.index)} minimizers and "
+                    f"header: IndexHeader {{ format_version: {h.format_version}, "
+                    f"kmer_length: {h.kmer_length}, window_size: {h.window_size} }}"
+                )
+                self._send(200, msg.encode(), "text/plain; charset=utf-8")
+            elif self.path == "/index_header":
+                self._send(200, json.dumps(state.index.header.to_dict()).encode())
+            elif self.path == "/index_version":
+                self._send(200, state.version.encode(), "text/plain; charset=utf-8")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path not in ("/should_output_unpaired", "/should_output_paired"):
+                self._send(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            if length > MAX_BODY:
+                self._send(413, b"body too large", "text/plain")
+                return
+            body = self.rfile.read(length)
+            paired = self.path.endswith("_paired")
+            try:
+                batch, abs_t, rel_t, deplete, k, debug = protocol.decode_request(
+                    body, paired
+                )
+                if paired:
+                    decisions = state.backend.decide_paired(
+                        batch, k, abs_t, rel_t, deplete, debug
+                    )
+                else:
+                    decisions = state.backend.decide_unpaired(
+                        batch, k, abs_t, rel_t, deplete, debug
+                    )
+                self._send(200, protocol.encode_response(decisions))
+            except Exception as e:  # noqa: BLE001 - report to client
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+
+    return Handler
+
+
+def make_server(index_path: str, port: int, host: str = "0.0.0.0"):
+    state = ServerState(index_path)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    return httpd
+
+
+def run_server(index_path: str, port: int, host: str = "0.0.0.0") -> None:
+    print("Loading server!", file=sys.stderr)
+    httpd = make_server(index_path, port, host)
+    print(f"Serving on {host}:{port}", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

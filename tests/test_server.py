@@ -1,0 +1,153 @@
+"""Server/client mode tests (mirrors tests/server_tests.rs technique:
+real server in-process on an ephemeral port, real client CLI against it)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from helpers import (
+    FRAGMENT_60,
+    build_index,
+    fastq_ids,
+    load_summary,
+    random_dna,
+    read_output,
+    revcomp,
+    run_cli,
+    write_fasta,
+    write_fastq,
+)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("srv")
+    genome = random_dna(500)
+    ref = tmp / "ref.fa"
+    write_fasta(ref, [("frag", FRAGMENT_60), ("genome", genome)])
+    idx = tmp / "ref.idx"
+    build_index(ref, idx)
+
+    from deacon_tpu.server.app import make_server
+
+    httpd = make_server(str(idx), 0, host="127.0.0.1")
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    addr = f"http://127.0.0.1:{port}"
+    # poll until ready (ref: tests/server_tests.rs:19-62)
+    for _ in range(20):
+        try:
+            urllib.request.urlopen(addr + "/", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield {"addr": addr, "idx": idx, "tmp": tmp, "genome": genome}
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def test_root_and_header_endpoints(server):
+    body = urllib.request.urlopen(server["addr"] + "/").read().decode()
+    assert "Index loaded with" in body and "minimizers" in body
+    header = json.loads(
+        urllib.request.urlopen(server["addr"] + "/index_header").read()
+    )
+    assert header == {"format_version": 2, "kmer_length": 31, "window_size": 15}
+    version = urllib.request.urlopen(server["addr"] + "/index_version").read().decode()
+    assert version.startswith(str(server["idx"]) + "@")
+    assert len(version.split("@")[1]) == 64
+
+
+def test_client_matches_local_filter(server):
+    tmp = server["tmp"]
+    reads = tmp / "reads.fq"
+    write_fastq(
+        reads,
+        [
+            ("m_fwd", FRAGMENT_60),
+            ("m_rev", revcomp(FRAGMENT_60)),
+            ("r1", random_dna(60)),
+            ("r2", random_dna(60)),
+        ],
+    )
+    out_local = tmp / "local.fq"
+    run_cli(["filter", server["idx"], reads, "-o", out_local, "-a", "1", "-q",
+             "--device", "numpy"])
+    out_remote = tmp / "remote.fq"
+    run_cli(["client", server["addr"], reads, "-o", out_remote, "-a", "1", "-q"])
+    assert read_output(out_remote) == read_output(out_local)
+    assert fastq_ids(read_output(out_remote)) == ["m_fwd", "m_rev"]
+
+
+def test_client_deplete_paired(server):
+    tmp = server["tmp"]
+    r1, r2 = tmp / "c_r1.fq", tmp / "c_r2.fq"
+    write_fastq(r1, [("p1/1", FRAGMENT_60), ("p2/1", random_dna(60))])
+    write_fastq(r2, [("p1/2", random_dna(60)), ("p2/2", random_dna(60))])
+    out = tmp / "c_out.fq"
+    run_cli(["client", server["addr"], r1, r2, "-o", out, "-a", "1", "-d", "-q"])
+    assert fastq_ids(read_output(out)) == ["p2/1", "p2/2"]
+
+
+def test_client_summary_has_versioned_index(server):
+    tmp = server["tmp"]
+    reads = tmp / "s_reads.fq"
+    write_fastq(reads, [("m", FRAGMENT_60)])
+    summ = tmp / "s.json"
+    run_cli(["client", server["addr"], reads, "-o", tmp / "s_out.fq", "-s", summ,
+             "-q"])
+    s = load_summary(summ)
+    assert s["index"].startswith(server["addr"] + ":")
+    assert "@" in s["index"]
+    assert s["k"] == 31 and s["w"] == 15
+    assert s["seqs_in"] == 1 and s["seqs_out"] == 1
+
+
+def test_client_debug_kmers(server):
+    tmp = server["tmp"]
+    reads = tmp / "d_reads.fq"
+    write_fastq(reads, [("m", FRAGMENT_60)])
+    proc = run_cli(["client", server["addr"], reads, "-o", tmp / "d_out.fq",
+                    "-a", "1", "--debug"])
+    err = proc.stderr.decode()
+    assert "DEBUG: m hits=" in err and "keep=true" in err
+    # debug k-mers are real 31-mers of the read
+    kmers = err.split("kmers=[")[1].split("]")[0].split(",")
+    assert all(len(k) == 31 and set(k) <= set("ACGT") for k in kmers if k)
+
+
+def test_client_interleaved_stdin(server):
+    data = (
+        f"@p1/1\n{FRAGMENT_60}\n+\n{'I'*60}\n"
+        f"@p1/2\n{random_dna(60)}\n+\n{'I'*60}\n"
+    ).encode()
+    proc = run_cli(["client", server["addr"], "-", "-", "-a", "1", "-q"],
+                   stdin_data=data)
+    assert fastq_ids(proc.stdout.decode()) == ["p1/1", "p1/2"]
+
+
+def test_client_server_down():
+    proc = run_cli(
+        ["client", "http://127.0.0.1:1", "whatever.fq", "-q"], expect_ok=False
+    )
+    assert proc.returncode != 0
+    assert b"Failed to contact server" in proc.stderr
+
+
+def test_bad_request_rejected(server):
+    req = urllib.request.Request(
+        server["addr"] + "/should_output_unpaired",
+        data=b"{broken json",
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=5)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
