@@ -109,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
                          help="suppress sequence header output")
     p_build.add_argument("-e", "--entropy-threshold", type=float, default=0.0,
                          help="minimum scaled entropy threshold (0.0-1.0)")
+    p_build.add_argument("--device", default="auto",
+                         choices=["auto", "tpu", "cpu", "numpy"],
+                         help="compute backend (TPU-native extension flag)")
 
     p_info = isub.add_parser("info", help="show index information")
     p_info.add_argument("index", help="path to index file")
@@ -170,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
                     threads=args.threads,
                     quiet=args.quiet,
                     entropy_threshold=args.entropy_threshold,
+                    device=args.device,
                 ).execute()
             elif args.index_command == "info":
                 index_ops.info(args.index)

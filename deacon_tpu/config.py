@@ -59,6 +59,8 @@ class IndexConfig:
     threads: int = DEFAULT_INDEX_THREADS
     quiet: bool = False
     entropy_threshold: float = 0.0
+    # TPU-native extra (not in the reference surface):
+    device: str = "auto"  # "auto" | "tpu" | "cpu" | "numpy"
 
     def execute(self) -> None:
         from .index.build import build

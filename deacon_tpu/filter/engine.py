@@ -70,6 +70,15 @@ class HostDecider:
             ext, self.k, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete, cfg.debug
         )
 
+    # synchronous backends: launch == compute now
+    def launch_unpaired(self, seqs, prefix_length, cfg):
+        result = self.decide_unpaired(seqs, prefix_length, cfg)
+        return lambda: result
+
+    def launch_paired(self, pairs, prefix_length, cfg):
+        result = self.decide_paired(pairs, prefix_length, cfg)
+        return lambda: result
+
 
 class DeviceDecider:
     """Fused on-device extract+probe+count (deacon_tpu/ops/engine.py).
@@ -102,18 +111,42 @@ class DeviceDecider:
         ]
 
     def decide_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
-        try:
-            hits, totals = self.pipe.counts_single(seqs, prefix_length)
-        except self._overflow:
-            return self.fallback.decide_unpaired(seqs, prefix_length, cfg)
-        return self._decide(hits, totals, cfg)
+        return self.launch_unpaired(seqs, prefix_length, cfg)()
 
     def decide_paired(self, pairs, prefix_length, cfg: FilterConfig):
+        return self.launch_paired(pairs, prefix_length, cfg)()
+
+    # async launch: device work stays in flight until the closure is called,
+    # so the engine overlaps parse/format/write with device compute
+    def launch_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
         try:
-            hits, totals = self.pipe.counts_paired(pairs, prefix_length)
+            resolve = self.pipe.launch_single(seqs, prefix_length)
         except self._overflow:
-            return self.fallback.decide_paired(pairs, prefix_length, cfg)
-        return self._decide(hits, totals, cfg)
+            return self.fallback.launch_unpaired(seqs, prefix_length, cfg)
+
+        def done():
+            try:
+                hits, totals = resolve()
+            except self._overflow:
+                return self.fallback.decide_unpaired(seqs, prefix_length, cfg)
+            return self._decide(hits, totals, cfg)
+
+        return done
+
+    def launch_paired(self, pairs, prefix_length, cfg: FilterConfig):
+        try:
+            resolve = self.pipe.launch_paired(pairs, prefix_length)
+        except self._overflow:
+            return self.fallback.launch_paired(pairs, prefix_length, cfg)
+
+        def done():
+            try:
+                hits, totals = resolve()
+            except self._overflow:
+                return self.fallback.decide_paired(pairs, prefix_length, cfg)
+            return self._decide(hits, totals, cfg)
+
+        return done
 
 
 def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
@@ -223,33 +256,67 @@ def run(config: FilterConfig) -> None:
     # ------------------------------------------------------------------
     # Batch loops
     # ------------------------------------------------------------------
+    def process_single(records, decisions):
+        for rec, (keep, hits, total, kmers) in zip(records, decisions):
+            stats.total_seqs += 1
+            stats.total_bp += len(rec.seq)
+            if config.debug:
+                _eprint(
+                    f"DEBUG: {rec.id.decode('utf-8', 'replace')} "
+                    f"hits={hits}/{total} keep={_rust_bool(keep)} "
+                    f"kmers=[{','.join(kmers)}]"
+                )
+            if keep:
+                stats.output_bp += len(rec.seq)
+                emit_single(rec)
+            else:
+                stats.filtered_seqs += 1
+                stats.filtered_bp += len(rec.seq)
+        flush_buffers()
+        spinner.update(stats, filtering_start)
+
+    def process_pairs(pairs, decisions):
+        for (rec1, rec2), (keep, hits, total, kmers) in zip(pairs, decisions):
+            pair_bp = len(rec1.seq) + len(rec2.seq)
+            stats.total_seqs += 2
+            stats.total_bp += pair_bp
+            if config.debug and hits > 0:
+                _eprint(
+                    f"DEBUG: {rec1.id.decode('utf-8', 'replace')}/"
+                    f"{rec2.id.decode('utf-8', 'replace')} "
+                    f"hits={hits}/{total} keep={_rust_bool(keep)} "
+                    f"kmers=[{','.join(kmers)}]"
+                )
+            if keep:
+                stats.output_bp += pair_bp
+                emit_pair(rec1, rec2)
+            else:
+                stats.filtered_seqs += 2
+                stats.filtered_bp += pair_bp
+        flush_buffers()
+        spinner.update(stats, filtering_start)
+
+    # Two-deep software pipeline: device batch N stays in flight while the
+    # host reads batch N+1 and writes batch N-1 (the TPU analogue of the
+    # reference's reader/worker/writer thread pipeline, SURVEY §2.3).
     try:
+        pending = None
         if input_type == "single":
             reader = FastxReader.from_path(config.input_path)
             while True:
                 records = read_batch(reader, config.batch_size)
+                fut = (
+                    decider.launch_unpaired(
+                        [r.seq for r in records], config.prefix_length, config
+                    )
+                    if records
+                    else None
+                )
+                if pending is not None:
+                    process_single(pending[0], pending[1]())
                 if not records:
                     break
-                decisions = decider.decide_unpaired(
-                    [r.seq for r in records], config.prefix_length, config
-                )
-                for rec, (keep, hits, total, kmers) in zip(records, decisions):
-                    stats.total_seqs += 1
-                    stats.total_bp += len(rec.seq)
-                    if config.debug:
-                        _eprint(
-                            f"DEBUG: {rec.id.decode('utf-8', 'replace')} "
-                            f"hits={hits}/{total} keep={_rust_bool(keep)} "
-                            f"kmers=[{','.join(kmers)}]"
-                        )
-                    if keep:
-                        stats.output_bp += len(rec.seq)
-                        emit_single(rec)
-                    else:
-                        stats.filtered_seqs += 1
-                        stats.filtered_bp += len(rec.seq)
-                flush_buffers()
-                spinner.update(stats, filtering_start)
+                pending = (records, fut)
         else:
             if input_type == "interleaved":
                 reader = FastxReader.from_path("-")
@@ -265,30 +332,20 @@ def run(config: FilterConfig) -> None:
                         pairs.append(next(pair_iter))
                     except StopIteration:
                         break
+                fut = (
+                    decider.launch_paired(
+                        [(a.seq, b.seq) for a, b in pairs],
+                        config.prefix_length,
+                        config,
+                    )
+                    if pairs
+                    else None
+                )
+                if pending is not None:
+                    process_pairs(pending[0], pending[1]())
                 if not pairs:
                     break
-                decisions = decider.decide_paired(
-                    [(a.seq, b.seq) for a, b in pairs], config.prefix_length, config
-                )
-                for (rec1, rec2), (keep, hits, total, kmers) in zip(pairs, decisions):
-                    pair_bp = len(rec1.seq) + len(rec2.seq)
-                    stats.total_seqs += 2
-                    stats.total_bp += pair_bp
-                    if config.debug and hits > 0:
-                        _eprint(
-                            f"DEBUG: {rec1.id.decode('utf-8', 'replace')}/"
-                            f"{rec2.id.decode('utf-8', 'replace')} "
-                            f"hits={hits}/{total} keep={_rust_bool(keep)} "
-                            f"kmers=[{','.join(kmers)}]"
-                        )
-                    if keep:
-                        stats.output_bp += pair_bp
-                        emit_pair(rec1, rec2)
-                    else:
-                        stats.filtered_seqs += 2
-                        stats.filtered_bp += pair_bp
-                flush_buffers()
-                spinner.update(stats, filtering_start)
+                pending = (pairs, fut)
     finally:
         spinner.finish()
 

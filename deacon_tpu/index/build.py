@@ -19,12 +19,46 @@ def _eprint(*args) -> None:
     print(*args, file=sys.stderr)
 
 
-def _extract_batch_hashes(seqs: list[bytes], k: int, w: int, entropy: float):
-    """Index-side extraction for a batch of sequences.
+class _Extractor:
+    """Index-side extraction: device engine with NumPy-oracle fallback
+    (ref parallel batch map: src/index.rs:252-264)."""
 
-    Uses the device engine when attached; NumPy oracle otherwise
-    (ref parallel batch map: src/index.rs:252-264).
-    """
+    def __init__(self, k: int, w: int, entropy: float, device: str = "auto"):
+        self.k, self.w, self.entropy = k, w, entropy
+        self._pipe = None
+        self._overflow = Exception
+        if device != "numpy":
+            try:
+                import jax
+
+                from ..ops.engine import BudgetOverflow, IndexBuildPipeline
+
+                dev = None
+                if device in ("tpu", "cpu"):
+                    dev = jax.devices(device)[0]
+                self._pipe = IndexBuildPipeline(
+                    k, w, entropy_threshold=entropy, device=dev
+                )
+                self._overflow = BudgetOverflow
+            except Exception:
+                if device in ("tpu", "cpu"):
+                    raise
+                self._pipe = None
+
+    def __call__(self, seqs: list[bytes]) -> list:
+        if self._pipe is not None:
+            try:
+                return self._pipe.extract_batch(seqs)
+            except self._overflow:
+                pass
+        return [
+            mnp.compute_minimizer_hashes(s, self.k, self.w, self.entropy)
+            for s in seqs
+        ]
+
+
+def _extract_batch_hashes(seqs: list[bytes], k: int, w: int, entropy: float):
+    """One-shot oracle extraction (used by diff streaming)."""
     return [mnp.compute_minimizer_hashes(s, k, w, entropy) for s in seqs]
 
 
@@ -51,33 +85,37 @@ def build(config: IndexConfig) -> None:
     reader = FastxReader.from_path(config.input_path)
     _eprint(f"Building index (k={config.kmer_length}, w={config.window_size})")
 
-    chunks: list[np.ndarray] = []
     total_unique = 0
     seq_count = 0
     total_bp = 0
     accumulated: np.ndarray = np.empty(0, dtype=np.uint64)
     pending: list[np.ndarray] = []
     pending_size = 0
+    # merge when raw (duplicate-bearing) hashes exceed this many entries
+    merge_watermark = 500_000_000
 
     def merge_pending():
         nonlocal accumulated, pending, pending_size
         if pending:
-            accumulated = np.union1d(
-                accumulated, np.concatenate(pending)
-            )
+            merged = np.unique(np.concatenate(pending))
+            if accumulated.size:
+                accumulated = np.union1d(accumulated, merged)
+            else:
+                accumulated = merged
             pending = []
             pending_size = 0
 
+    extractor = _Extractor(
+        config.kmer_length,
+        config.window_size,
+        config.entropy_threshold,
+        getattr(config, "device", "auto"),
+    )
     while True:
         batch = read_batch(reader, INDEX_BUILD_BATCH)
         if not batch:
             break
-        results = _extract_batch_hashes(
-            [r.seq for r in batch],
-            config.kmer_length,
-            config.window_size,
-            config.entropy_threshold,
-        )
+        results = extractor([r.seq for r in batch])
         for rec, hashes in zip(batch, results):
             seq_count += 1
             total_bp += len(rec.seq)
@@ -92,7 +130,7 @@ def build(config: IndexConfig) -> None:
                     f"  {rec.id.decode('utf-8', 'replace')} ({len(rec.seq)}bp), "
                     f"total minimizers: {accumulated.size}"
                 )
-        if pending_size > 50_000_000:
+        if pending_size > merge_watermark:
             merge_pending()
 
     merge_pending()
@@ -191,11 +229,12 @@ def _stream_diff_fastx(
     seq_count = 0
     total_bp = 0
     last_reported_gb = 0
+    extractor = _Extractor(k, w, 0.0)
     while True:
         batch = read_batch(reader, DIFF_STREAM_BATCH)
         if not batch:
             break
-        results = _extract_batch_hashes([r.seq for r in batch], k, w, 0.0)
+        results = extractor([r.seq for r in batch])
         for rec, hashes in zip(batch, results):
             seq_count += 1
             total_bp += len(rec.seq)

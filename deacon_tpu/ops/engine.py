@@ -184,7 +184,12 @@ def device_hash_values(lo, hi, k: int):
 
 
 def _probe_sorted(index_sorted, h):
-    """Branchless membership of h (u64) in sorted u64 array."""
+    """Branchless membership of h (u64) in sorted u64 array.
+
+    NOTE: u64 comparisons inside XLA's searchsorted loop are emulated and
+    catastrophically slow on TPU (~2M probes/s measured); production paths use
+    the split-u32 probe below. Kept for small CPU-side uses and as a spec.
+    """
     n = index_sorted.shape[0]
     if n == 0:
         return jnp.zeros(h.shape, dtype=bool)
@@ -193,23 +198,57 @@ def _probe_sorted(index_sorted, h):
     return index_sorted[pos] == h
 
 
-def engine_core(
-    codes,  # (R, L) uint8 2-bit codes
-    validb,  # (R, L) bool: byte was ACGT/acgt
-    mlen,  # (R,) int32: number of k-mer positions in row (<=0: empty row)
-    allow_short,  # (R,) bool: whole read shorter than l -> single window
-    rid,  # (R,) int32 logical read/pair id, < num_segments
-    mate,  # (R,) int32 mate flag (0/1) for pos-dedup domains
-    chunk_start,  # (R,) int32 global base offset of this chunk in its mate
-    probe_fn,  # uint64[P] -> bool[P] membership
-    *,
-    k: int,
-    w: int,
-    budget: int,
-    num_segments: int,
-):
-    """Shared extraction+count core; probe_fn is pluggable so the sharded
-    multi-chip pipeline can psum per-shard membership (SURVEY §2.3)."""
+def build_probe_planes(index_hashes: np.ndarray):
+    """Split a sorted u64 index into (hi, lo) u32 planes + the max run length
+    of equal hi words (static unroll bound for the probe).
+
+    TPU rationale: u32 searchsorted + u32 gathers run at full gather
+    throughput (~0.07 ms per 1M queries vs 100M keys measured on v5e),
+    while u64 key comparisons are emulated and ~6000x slower. A query's
+    candidate run starts at searchsorted(hi) and has at most max_run slots.
+    """
+    arr = np.asarray(index_hashes, dtype=np.uint64)
+    hi = (arr >> np.uint64(32)).astype(np.uint32)
+    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    if arr.size == 0:
+        return hi, lo, 1
+    # max run of equal hi words
+    change = np.nonzero(np.diff(hi))[0]
+    if change.size == 0:
+        max_run = arr.size
+    else:
+        run_bounds = np.concatenate([[-1], change, [hi.size - 1]])
+        max_run = int(np.max(np.diff(run_bounds)))
+    return hi, lo, max(1, max_run)
+
+
+def probe_split_u32(index_hi, index_lo, h, *, max_run: int):
+    """Membership of u64 hashes h against (hi, lo) u32 index planes."""
+    n = index_hi.shape[0]
+    if n == 0:
+        return jnp.zeros(h.shape, dtype=bool)
+    qhi = (h >> U64(32)).astype(jnp.uint32)
+    qlo = (h & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    left = jnp.searchsorted(index_hi, qhi)
+    member = jnp.zeros(h.shape, dtype=bool)
+    for j in range(max_run):
+        p = jnp.minimum(left + j, n - 1)
+        member = member | ((index_hi[p] == qhi) & (index_lo[p] == qlo))
+    return member
+
+
+def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
+    """Selection + window argmin + compaction shared by the filter and
+    index-build paths. Returns (slot_row, slot_pos, slot_valid, total, h)
+    with h the XXH3-64 membership hash per compacted slot.
+
+    Deliberately SCATTER-FREE: XLA scatters serialize on TPU (measured
+    ~190 ms/step for a 512K-element tile vs <1 ms for equivalent sorts and
+    gathers). Window-argmin dedup uses the monotonicity of the leftmost
+    argmin (a window's pick differs from its left neighbour's exactly when
+    a new minimizer appears), and compaction is a stable sort on the
+    selected flag.
+    """
     R, L = codes.shape
     M = L - k + 1
 
@@ -234,31 +273,26 @@ def engine_core(
     cs_ex = jnp.concatenate([zero, cs], axis=1)
     kmer_valid = (cs_ex[:, k : k + M] - cs_ex[:, :M]) == 0
 
-    # scatter window argmins into a per-position selected mask
-    row_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, M))
-    wp_i = jnp.where(win_valid, wp.astype(jnp.int32), M)  # M = out of bounds
-    selected = (
-        jnp.zeros((R, M), dtype=bool)
-        .at[row_ids.reshape(-1), wp_i.reshape(-1)]
-        .set(True, mode="drop")
+    # a window introduces a new minimizer exactly when its (monotone)
+    # leftmost argmin differs from the previous valid window's argmin
+    wp_i = jnp.minimum(wp.astype(jnp.int32), M - 1)
+    prev_wp = jnp.concatenate(
+        [jnp.full((R, 1), -1, dtype=jnp.int32), wp_i[:, :-1]], axis=1
     )
-    sel = selected & kmer_valid & in_row
+    new_min = win_valid & ((q == 0) | (wp_i != prev_wp))
+    row_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, M))
+    pos_ok = kmer_valid[row_ids, wp_i]  # gather, not scatter
+    flag = new_min & pos_ok
 
-    # compact to budget
-    flat = sel.reshape(-1)
-    cum = jnp.cumsum(flat.astype(jnp.int32))
-    total = cum[-1]
-    target = jnp.where(flat, cum - 1, budget)
-    target = jnp.where(target >= budget, budget, target)
-
-    def scatter(vals, fill, dtype):
-        out = jnp.full((budget + 1,), fill, dtype=dtype)
-        out = out.at[target].set(vals.reshape(-1).astype(dtype), mode="promise_in_bounds")
-        return out[:budget]
-
-    slot_row = scatter(row_ids, 0, jnp.int32)
-    pos_mat = jnp.broadcast_to(p_idx[None, :], (R, M))
-    slot_pos = scatter(pos_mat, 0, jnp.int32)
+    # compact via stable sort on the flag (selected windows keep order)
+    flat_flag = flag.reshape(-1)
+    sort_key = (~flat_flag).astype(jnp.int32)
+    _, slot_row, slot_pos = lax.sort(
+        (sort_key, row_ids.reshape(-1), wp_i.reshape(-1)), num_keys=1
+    )
+    slot_row = slot_row[:budget]
+    slot_pos = slot_pos[:budget]
+    total = flat_flag.sum().astype(jnp.int32)
     slot_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(total, budget)
 
     # gather k-mer windows and pack canonical values
@@ -266,6 +300,29 @@ def engine_core(
     window_codes = codes[slot_row[:, None], gather_idx]
     vlo, vhi = _pack_values(window_codes, k)
     h = device_hash_values(vlo, vhi, k)
+    return slot_row, slot_pos, slot_valid, total, h
+
+
+def engine_core(
+    codes,  # (R, L) uint8 2-bit codes
+    validb,  # (R, L) bool: byte was ACGT/acgt
+    mlen,  # (R,) int32: number of k-mer positions in row (<=0: empty row)
+    allow_short,  # (R,) bool: whole read shorter than l -> single window
+    rid,  # (R,) int32 logical read/pair id, < num_segments
+    mate,  # (R,) int32 mate flag (0/1) for pos-dedup domains
+    chunk_start,  # (R,) int32 global base offset of this chunk in its mate
+    probe_fn,  # uint64[P] -> bool[P] membership
+    *,
+    k: int,
+    w: int,
+    budget: int,
+    num_segments: int,
+):
+    """Shared extraction+count core; probe_fn is pluggable so the sharded
+    multi-chip pipeline can psum per-shard membership (SURVEY §2.3)."""
+    slot_row, slot_pos, slot_valid, total, h = _select_compact(
+        codes, validb, mlen, allow_short, k=k, w=w, budget=budget
+    )
 
     member = probe_fn(h) & slot_valid
 
@@ -291,20 +348,24 @@ def engine_core(
     new_pos = new_hash | neq_prev(smate_s) | neq_prev(sposg_s)
     vs = valid_s.astype(bool)
 
-    hits = jax.ops.segment_sum(
-        (new_hash & vs & member_s.astype(bool)).astype(jnp.int32),
-        srid_s,
-        num_segments=num_segments,
-    )
-    totals = jax.ops.segment_sum(
-        (new_pos & vs).astype(jnp.int32), srid_s, num_segments=num_segments
-    )
+    # scatter-free segment sums: cumulative sums sliced at per-rid
+    # boundaries (srid_s is the primary sort key, so it is sorted)
+    def seg_sum(flags):
+        c = jnp.cumsum(flags.astype(jnp.int32))
+        c_ex = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
+        seg_ids = jnp.arange(num_segments, dtype=srid_s.dtype)
+        starts = jnp.searchsorted(srid_s, seg_ids, side="left")
+        ends = jnp.searchsorted(srid_s, seg_ids, side="right")
+        return c_ex[ends] - c_ex[starts]
+
+    hits = seg_sum(new_hash & vs & member_s.astype(bool))
+    totals = seg_sum(new_pos & vs)
     return hits, totals, total
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "budget", "num_segments"),
+    static_argnames=("k", "w", "budget", "num_segments", "max_run"),
 )
 def _engine_step(
     codes,
@@ -314,12 +375,14 @@ def _engine_step(
     rid,
     mate,
     chunk_start,
-    index_sorted,
+    index_hi,
+    index_lo,
     *,
     k: int,
     w: int,
     budget: int,
     num_segments: int,
+    max_run: int,
 ):
     return engine_core(
         codes,
@@ -329,12 +392,61 @@ def _engine_step(
         rid,
         mate,
         chunk_start,
-        lambda h: _probe_sorted(index_sorted, h),
+        lambda h: probe_split_u32(index_hi, index_lo, h, max_run=max_run),
         k=k,
         w=w,
         budget=budget,
         num_segments=num_segments,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "budget", "use_entropy"),
+)
+def _extract_step(
+    codes,  # (R, L) uint8 IUPAC-canonicalised 2-bit codes
+    orig_codes,  # (R, L) uint8 codes of the ORIGINAL bytes (for entropy)
+    validb,  # (R, L) bool: original byte was ACGT/acgt
+    mlen,
+    allow_short,
+    rid,  # (R,) int32 record id per row
+    entropy_threshold,  # f32 scalar
+    *,
+    k: int,
+    w: int,
+    budget: int,
+    use_entropy: bool,
+):
+    """Index-build extraction (ref: src/minimizers.rs:125-191): returns the
+    compacted (hashes, rids, valid, total) for host-side set accumulation."""
+    slot_row, slot_pos, slot_valid, total, h = _select_compact(
+        codes, validb, mlen, allow_short, k=k, w=w, budget=budget
+    )
+
+    if use_entropy and k >= 10:
+        # scaled Shannon entropy of the ORIGINAL k-mer's ACGT composition
+        # (ref: src/minimizers.rs:73-121); counts via per-base cumsums
+        R, L = codes.shape
+        zero = jnp.zeros((R, 1), dtype=jnp.int32)
+        counts = []
+        for c in range(4):
+            onec = ((orig_codes == c) & validb).astype(jnp.int32)
+            cs = jnp.concatenate([zero, jnp.cumsum(onec, axis=1)], axis=1)
+            end = slot_pos + k
+            counts.append(
+                (cs[slot_row, end] - cs[slot_row, slot_pos]).astype(jnp.float32)
+            )
+        cmat = jnp.stack(counts, axis=1)  # (budget, 4)
+        tot = cmat.sum(axis=1)
+        p = cmat / jnp.maximum(tot, 1.0)[:, None]
+        terms = jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0)
+        ent = -terms.sum(axis=1) / jnp.float32(2.0)
+        ent = jnp.where(tot > 0, ent, jnp.float32(1.0))
+        slot_valid = slot_valid & (ent >= entropy_threshold)
+
+    srid = jnp.where(slot_valid, rid[slot_row], jnp.int32(2**31 - 1))
+    return h, srid, slot_valid, total
 
 
 @dataclass
@@ -388,8 +500,10 @@ class DevicePipeline:
             self.tiles = [(max(self.l, 64), 4096)]
         self.budget_frac = budget_frac
         self.device = device
-        arr = np.asarray(index_hashes, dtype=np.uint64)
-        self.index = jax.device_put(jnp.asarray(arr), device)
+        arr = np.sort(np.asarray(index_hashes, dtype=np.uint64))
+        hi, lo, self.max_run = build_probe_planes(arr)
+        self.index_hi = jax.device_put(jnp.asarray(hi), device)
+        self.index_lo = jax.device_put(jnp.asarray(lo), device)
         self.L_max = self.tiles[-1][0]
         self._stride = self.L_max - self.l + 1
 
@@ -422,11 +536,14 @@ class DevicePipeline:
                 return (L, R)
         return self.tiles[-1]
 
-    def _counts(self, units, n_logical: int, prefix_length: int):
-        """units: iterable of (gid, [(mate, seq), ...])."""
-        hits = np.zeros(n_logical, dtype=np.int64)
-        totals = np.zeros(n_logical, dtype=np.int64)
+    def launch_counts(self, units, n_logical: int, prefix_length: int):
+        """Asynchronously launch device batches for all units.
 
+        Returns a resolve() -> (hits, totals) closure; device work stays in
+        flight until resolve, so callers can overlap host I/O (read/parse/
+        write) with device compute — the TPU analogue of the reference's
+        reader/worker/writer pipeline (SURVEY §2.3 task parallelism).
+        """
         # group rows per unit, assign each unit to one tile class
         per_tile: dict[tuple[int, int], list[list[_Row]]] = {}
         for gid, mates in units:
@@ -442,6 +559,8 @@ class DevicePipeline:
                 )
             per_tile.setdefault(tile, []).append(rows)
 
+        in_flight: list[tuple[dict, object, object, object, int]] = []
+
         for (L, R), groups in per_tile.items():
             batch: list[_Row] = []
             gid_map: list[int] = []
@@ -454,10 +573,8 @@ class DevicePipeline:
                 rows_local = [
                     _Row(local[r.rid], r.mate, r.chunk_start, r.seq) for r in batch
                 ]
-                h, t = self._run_batch(rows_local, L, R)
-                for g, i in local.items():
-                    hits[g] += h[i]
-                    totals[g] += t[i]
+                h, t, used, budget = self._launch_batch(rows_local, L, R)
+                in_flight.append((local, h, t, used, budget))
                 batch, gid_map = [], []
 
             for rows in groups:
@@ -466,9 +583,30 @@ class DevicePipeline:
                 batch.extend(rows)
                 gid_map.append(rows[0].rid)
             flush()
-        return hits, totals
 
-    def _run_batch(self, rows: list[_Row], L: int, R: int):
+        def resolve():
+            hits = np.zeros(n_logical, dtype=np.int64)
+            totals = np.zeros(n_logical, dtype=np.int64)
+            for local, h, t, used, budget in in_flight:
+                if int(used) > budget:
+                    raise BudgetOverflow(
+                        f"minimizer budget exceeded: {int(used)} > {budget}"
+                    )
+                hn = np.asarray(h, dtype=np.int64)
+                tn = np.asarray(t, dtype=np.int64)
+                for g, i in local.items():
+                    hits[g] += hn[i]
+                    totals[g] += tn[i]
+            return hits, totals
+
+        return resolve
+
+    def _counts(self, units, n_logical: int, prefix_length: int):
+        """units: iterable of (gid, [(mate, seq), ...])."""
+        return self.launch_counts(units, n_logical, prefix_length)()
+
+    def _launch_batch(self, rows: list[_Row], L: int, R: int):
+        """Launch one device batch asynchronously; returns device arrays."""
         budget = int(self.budget_frac * L * R) + 64
         codes = np.zeros((R, L), dtype=np.uint8)
         validb = np.zeros((R, L), dtype=bool)
@@ -494,16 +632,15 @@ class DevicePipeline:
             jnp.asarray(rid),
             jnp.asarray(mate),
             jnp.asarray(cstart),
-            self.index,
+            self.index_hi,
+            self.index_lo,
             k=self.k,
             w=self.w,
             budget=budget,
             num_segments=R,
+            max_run=self.max_run,
         )
-        used = int(used)
-        if used > budget:
-            raise BudgetOverflow(f"minimizer budget exceeded: {used} > {budget}")
-        return np.asarray(hits, dtype=np.int64), np.asarray(totals, dtype=np.int64)
+        return hits, totals, used, budget
 
     # ------------------------------------------------------------------
     # decision API
@@ -515,3 +652,100 @@ class DevicePipeline:
     def counts_paired(self, pairs: list[tuple[bytes, bytes]], prefix_length: int):
         units = ((i, [(0, s1), (1, s2)]) for i, (s1, s2) in enumerate(pairs))
         return self._counts(units, len(pairs), prefix_length)
+
+    def launch_single(self, seqs: list[bytes], prefix_length: int):
+        units = ((i, [(0, s)]) for i, s in enumerate(seqs))
+        return self.launch_counts(units, len(seqs), prefix_length)
+
+    def launch_paired(self, pairs: list[tuple[bytes, bytes]], prefix_length: int):
+        units = ((i, [(0, s1), (1, s2)]) for i, (s1, s2) in enumerate(pairs))
+        return self.launch_counts(units, len(pairs), prefix_length)
+
+
+class IndexBuildPipeline:
+    """Device-side index-build extraction (ref: src/minimizers.rs:125-191).
+
+    Sequences are IUPAC-canonicalised before selection; validity and the
+    optional entropy filter are evaluated on the original bytes. Returns
+    per-record hash arrays (duplicates possible — consumers apply set
+    semantics, matching the reference's FxHashSet accumulation).
+    """
+
+    def __init__(
+        self,
+        k: int,
+        w: int,
+        entropy_threshold: float = 0.0,
+        row_len: int = 16384,
+        rows_per_batch: int = 128,
+        budget_frac: float = 0.35,
+        device=None,
+    ):
+        self.k, self.w = int(k), int(w)
+        self.l = self.k + self.w - 1
+        self.L = max(int(row_len), self.l)
+        self.R = int(rows_per_batch)
+        self.budget = int(budget_frac * self.L * self.R) + 64
+        self.entropy = float(entropy_threshold)
+        self.device = device
+        self._stride = self.L - self.l + 1
+
+    def _rows_for(self, rid: int, seq_arr: np.ndarray):
+        n = seq_arr.size
+        if n < self.k:
+            return []
+        if n <= self.L:
+            return [(rid, 0, seq_arr)]
+        rows = []
+        s = 0
+        while s <= n - self.l:
+            rows.append((rid, s, seq_arr[s : s + self.L]))
+            s += self._stride
+        return rows
+
+    def extract_batch(self, seqs: list[bytes]) -> list[np.ndarray]:
+        rows = []
+        for i, s in enumerate(seqs):
+            rows.extend(self._rows_for(i, np.frombuffer(s, dtype=np.uint8)))
+        per_seq: list[list[np.ndarray]] = [[] for _ in seqs]
+        for start in range(0, len(rows), self.R):
+            chunk = rows[start : start + self.R]
+            R, L = self.R, self.L
+            codes = np.zeros((R, L), dtype=np.uint8)
+            orig = np.zeros((R, L), dtype=np.uint8)
+            validb = np.zeros((R, L), dtype=bool)
+            mlen = np.full(R, -1, dtype=np.int32)
+            allow_short = np.zeros(R, dtype=bool)
+            rid = np.zeros(R, dtype=np.int32)
+            for i, (g, _cs, b) in enumerate(chunk):
+                codes[i, : b.size] = mnp.PACK_CODE[mnp.IUPAC_CANON[b]]
+                orig[i, : b.size] = mnp.PACK_CODE[b]
+                validb[i, : b.size] = mnp.VALID_BASE[b]
+                mlen[i] = b.size - self.k + 1
+                allow_short[i] = b.size < self.l
+                rid[i] = g
+            h, srid, valid, total = _extract_step(
+                jnp.asarray(codes), jnp.asarray(orig), jnp.asarray(validb),
+                jnp.asarray(mlen), jnp.asarray(allow_short), jnp.asarray(rid),
+                jnp.float32(self.entropy),
+                k=self.k, w=self.w, budget=self.budget,
+                use_entropy=self.entropy != 0.0 and self.k >= 10,
+            )
+            if int(total) > self.budget:
+                raise BudgetOverflow(
+                    f"minimizer budget exceeded: {int(total)} > {self.budget}"
+                )
+            hv = np.asarray(h)
+            rv = np.asarray(srid)
+            vm = np.asarray(valid)
+            hv, rv = hv[vm], rv[vm]
+            order = np.argsort(rv, kind="stable")
+            hv, rv = hv[order], rv[order]
+            bounds = np.searchsorted(rv, np.arange(len(seqs) + 1))
+            for g in range(len(seqs)):
+                if bounds[g + 1] > bounds[g]:
+                    per_seq[g].append(hv[bounds[g] : bounds[g + 1]])
+        return [
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+            for parts in per_seq
+        ]

@@ -45,13 +45,19 @@ def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
 
 
 def _sharded_step(
-    codes, validb, mlen, allow_short, rid, mate, chunk_start, index_shard,
-    *, k, w, budget, num_segments,
+    codes, validb, mlen, allow_short, rid, mate, chunk_start,
+    index_hi, index_lo,
+    *, k, w, budget, num_segments, max_run,
 ):
-    """Runs per-device under shard_map: local rows x local index shard."""
+    """Runs per-device under shard_map: local rows x local index shard.
+
+    An equal-hi run split across two shards is still covered exactly: the
+    query's local searchsorted lands at the run's continuation (position 0)
+    on the next shard, and membership ORs across shards via the psum.
+    """
 
     def probe(h):
-        local = eng._probe_sorted(index_shard, h)
+        local = eng.probe_split_u32(index_hi, index_lo, h, max_run=max_run)
         hits = jax.lax.psum(local.astype(jnp.int32), "shard")
         return hits >= 1
 
@@ -91,16 +97,22 @@ class ShardedPipeline:
         self.budget_per_shard = int(budget_frac * self.L * self.Rs) + 64
         self._stride = self.L - self.l + 1
 
-        arr = np.asarray(index_hashes, dtype=np.uint64)
-        arr = np.sort(arr)
+        arr = np.sort(np.asarray(index_hashes, dtype=np.uint64))
         pad = (-arr.size) % self.n_shard
         if arr.size == 0:
-            arr = np.full(self.n_shard, np.uint64(0xFFFFFFFFFFFFFFFF))
-        elif pad:
-            arr = np.concatenate([arr, np.full(pad, arr[-1], dtype=np.uint64)])
-        self.index = jax.device_put(
-            jnp.asarray(arr), NamedSharding(mesh, P("shard"))
-        )
+            self._empty_index = True
+            arr = np.zeros(self.n_shard, dtype=np.uint64)
+        else:
+            self._empty_index = False
+            if pad:
+                # pad by duplicating the last real member (membership-safe)
+                arr = np.concatenate(
+                    [arr, np.full(pad, arr[-1], dtype=np.uint64)]
+                )
+        hi, lo, max_run = eng.build_probe_planes(arr)
+        idx_sharding = NamedSharding(mesh, P("shard"))
+        self.index_hi = jax.device_put(jnp.asarray(hi), idx_sharding)
+        self.index_lo = jax.device_put(jnp.asarray(lo), idx_sharding)
 
         row_sharding = NamedSharding(mesh, P("data"))
         self._in_shardings = (
@@ -111,7 +123,8 @@ class ShardedPipeline:
             row_sharding,  # rid
             row_sharding,  # mate
             row_sharding,  # chunk_start
-            NamedSharding(mesh, P("shard")),  # index
+            idx_sharding,  # index hi plane
+            idx_sharding,  # index lo plane
         )
 
         fn = functools.partial(
@@ -120,13 +133,14 @@ class ShardedPipeline:
             w=self.w,
             budget=self.budget_per_shard,
             num_segments=self.Rs,
+            max_run=max_run,
         )
         mapped = shard_map(
             fn,
             mesh=mesh,
             in_specs=(
                 P("data"), P("data"), P("data"), P("data"),
-                P("data"), P("data"), P("data"), P("shard"),
+                P("data"), P("data"), P("data"), P("shard"), P("shard"),
             ),
             out_specs=(P("data"), P("data"), P(("data",))),
             check_rep=False,
@@ -224,14 +238,17 @@ class ShardedPipeline:
         hits, totals, used = self._fn(
             jnp.asarray(codes), jnp.asarray(validb), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
-            jnp.asarray(cstart), self.index,
+            jnp.asarray(cstart), self.index_hi, self.index_lo,
         )
         used = np.asarray(used)
         if int(used.max()) > self.budget_per_shard:
             raise eng.BudgetOverflow(
                 f"minimizer budget exceeded: {used.max()} > {self.budget_per_shard}"
             )
-        return np.asarray(hits, dtype=np.int64), np.asarray(totals, dtype=np.int64)
+        hits = np.asarray(hits, dtype=np.int64)
+        if self._empty_index:
+            hits = np.zeros_like(hits)
+        return hits, np.asarray(totals, dtype=np.int64)
 
     # ------------------------------------------------------------------
     def counts_single(self, seqs, prefix_length: int = 0):
