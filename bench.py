@@ -73,6 +73,7 @@ def main() -> None:
             jnp.asarray(codes), jnp.asarray(validb), j_mlen, j_short,
             j_rid, j_mate, j_cstart, index_hi, index_lo,
             k=k, w=w, budget=budget, num_segments=R, max_run=max_run,
+            dedup_positions=True,
         )
         return hits
 

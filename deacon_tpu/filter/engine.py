@@ -150,10 +150,27 @@ class DeviceDecider:
 
 
 def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
-    """Pick the decision pipeline: device engine unless debug/numpy/remote."""
+    """Pick the decision pipeline: device engine unless debug/numpy/remote.
+
+    With device="auto", small jobs (small index AND small input file) stay on
+    the NumPy host path — JAX import + first-compile overhead would dominate.
+    """
     host = HostDecider(backend, k, w)
     if index is None or cfg.debug or cfg.device == "numpy":
         return host
+    if cfg.device == "auto":
+        import os
+
+        try:
+            input_size = os.path.getsize(cfg.input_path)
+        except (OSError, ValueError, TypeError):
+            input_size = None
+        if (
+            len(index) < 1_000_000
+            and input_size is not None
+            and input_size < 16_000_000
+        ):
+            return host
     try:
         return DeviceDecider(index, k, w, cfg.device, host)
     except Exception:

@@ -105,11 +105,21 @@ def build(config: IndexConfig) -> None:
             pending = []
             pending_size = 0
 
+    device = getattr(config, "device", "auto")
+    if device == "auto":
+        # small inputs: JAX startup would dominate; stay on the host oracle
+        import os
+
+        try:
+            if os.path.getsize(config.input_path) < 16_000_000:
+                device = "numpy"
+        except OSError:
+            pass
     extractor = _Extractor(
         config.kmer_length,
         config.window_size,
         config.entropy_threshold,
-        getattr(config, "device", "auto"),
+        device,
     )
     while True:
         batch = read_batch(reader, INDEX_BUILD_BATCH)

@@ -208,6 +208,11 @@ def build_probe_planes(index_hashes: np.ndarray):
     candidate run starts at searchsorted(hi) and has at most max_run slots.
     """
     arr = np.asarray(index_hashes, dtype=np.uint64)
+    if arr.size >= (1 << 30):
+        # index positions double as distinct-count keys packed below 2^30
+        raise ValueError(
+            f"index too large for the position-keyed probe: {arr.size} >= 2^30"
+        )
     hi = (arr >> np.uint64(32)).astype(np.uint32)
     lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     if arr.size == 0:
@@ -224,17 +229,34 @@ def build_probe_planes(index_hashes: np.ndarray):
 
 def probe_split_u32(index_hi, index_lo, h, *, max_run: int):
     """Membership of u64 hashes h against (hi, lo) u32 index planes."""
+    member, _ = probe_split_u32_pos(index_hi, index_lo, h, max_run=max_run)
+    return member
+
+
+def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int):
+    """Membership + first matching index position (-1 for non-members).
+
+    The position doubles as a compact per-hash unique id for distinct-hit
+    counting (two equal hashes share a position; distinct member hashes
+    never do).
+    """
     n = index_hi.shape[0]
     if n == 0:
-        return jnp.zeros(h.shape, dtype=bool)
+        return (
+            jnp.zeros(h.shape, dtype=bool),
+            jnp.full(h.shape, -1, dtype=jnp.int32),
+        )
     qhi = (h >> U64(32)).astype(jnp.uint32)
     qlo = (h & U64(0xFFFFFFFF)).astype(jnp.uint32)
     left = jnp.searchsorted(index_hi, qhi)
     member = jnp.zeros(h.shape, dtype=bool)
+    pos = jnp.full(h.shape, -1, dtype=jnp.int32)
     for j in range(max_run):
         p = jnp.minimum(left + j, n - 1)
-        member = member | ((index_hi[p] == qhi) & (index_lo[p] == qlo))
-    return member
+        m = (index_hi[p] == qhi) & (index_lo[p] == qlo)
+        pos = jnp.where(m & ~member, p.astype(jnp.int32), pos)
+        member = member | m
+    return member, pos
 
 
 def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
@@ -284,15 +306,20 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     pos_ok = kmer_valid[row_ids, wp_i]  # gather, not scatter
     flag = new_min & pos_ok
 
-    # compact via stable sort on the flag (selected windows keep order)
+    # sort-free compaction: the i-th selected window's flat id is the first
+    # position where the inclusive flag-cumsum reaches i+1 (cumsum is
+    # monotone, so this is one vectorized binary search — XLA sorts and
+    # scatters are both far slower on TPU than scan+searchsorted)
     flat_flag = flag.reshape(-1)
-    sort_key = (~flat_flag).astype(jnp.int32)
-    _, slot_row, slot_pos = lax.sort(
-        (sort_key, row_ids.reshape(-1), wp_i.reshape(-1)), num_keys=1
+    csel = jnp.cumsum(flat_flag.astype(jnp.int32))
+    total = csel[-1]
+    slot_id = jnp.searchsorted(
+        csel, jnp.arange(1, budget + 1, dtype=jnp.int32), side="left"
     )
-    slot_row = slot_row[:budget]
-    slot_pos = slot_pos[:budget]
-    total = flat_flag.sum().astype(jnp.int32)
+    slot_id = jnp.minimum(slot_id, R * M - 1)
+    wp_flat = wp_i.reshape(-1)
+    slot_row = (slot_id // M).astype(jnp.int32)
+    slot_pos = wp_flat[slot_id]
     slot_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(total, budget)
 
     # gather k-mer windows and pack canonical values
@@ -308,64 +335,80 @@ def engine_core(
     validb,  # (R, L) bool: byte was ACGT/acgt
     mlen,  # (R,) int32: number of k-mer positions in row (<=0: empty row)
     allow_short,  # (R,) bool: whole read shorter than l -> single window
-    rid,  # (R,) int32 logical read/pair id, < num_segments
+    rid,  # (R,) int32 logical read/pair id, < num_segments, non-decreasing
     mate,  # (R,) int32 mate flag (0/1) for pos-dedup domains
     chunk_start,  # (R,) int32 global base offset of this chunk in its mate
-    probe_fn,  # uint64[P] -> bool[P] membership
+    probe_fn,  # uint64[P] -> (bool[P] member, int32[P] index position)
     *,
     k: int,
     w: int,
     budget: int,
     num_segments: int,
+    dedup_positions: bool = True,
 ):
     """Shared extraction+count core; probe_fn is pluggable so the sharded
-    multi-chip pipeline can psum per-shard membership (SURVEY §2.3)."""
+    multi-chip pipeline can psum per-shard membership (SURVEY §2.3).
+
+    Distinct-hit counting: each member hash is identified by its unique
+    position in the sorted index, so dedup within a read reduces to one
+    2-operand (rid, poskey) sort over the compacted slots — far cheaper on
+    TPU than a full (rid, hash_hi, hash_lo, ...) multi-operand sort.
+    ``dedup_positions`` (static) enables the extra (rid, matepos) sort that
+    deduplicates chunk-overlap positions in the minimizer totals; tile
+    classes that never chunk reads skip it (totals are then plain per-rid
+    slot counts).
+    """
     slot_row, slot_pos, slot_valid, total, h = _select_compact(
         codes, validb, mlen, allow_short, k=k, w=w, budget=budget
     )
 
-    member = probe_fn(h) & slot_valid
+    member, idxpos = probe_fn(h)
+    member = member & slot_valid
 
-    # per-read distinct counting via one lexicographic sort + segment sums
+    # slots are in (row, pos) order and rid is non-decreasing over rows, so
+    # srid is already sorted; invalid slots park at num_segments (the end)
     srid = jnp.where(slot_valid, rid[slot_row], num_segments)
-    smate = mate[slot_row]
-    sposg = chunk_start[slot_row] + slot_pos
-    hhi = (h >> U64(32)).astype(jnp.uint32)
-    hlo = (h & U64(0xFFFFFFFF)).astype(jnp.uint32)
+    seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
+    starts = jnp.searchsorted(srid, seg_ids, side="left")
+    ends = jnp.searchsorted(srid, seg_ids, side="right")
 
-    srid_s, hhi_s, hlo_s, smate_s, sposg_s, member_s, valid_s = lax.sort(
-        (srid, hhi, hlo, smate, sposg, member.astype(jnp.int32),
-         slot_valid.astype(jnp.int32)),
-        num_keys=5,
-    )
+    def boundary_sum(flags_sorted_by_rid, s_rid):
+        c = jnp.cumsum(flags_sorted_by_rid.astype(jnp.int32))
+        c_ex = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
+        st = jnp.searchsorted(s_rid, seg_ids, side="left")
+        en = jnp.searchsorted(s_rid, seg_ids, side="right")
+        return c_ex[en] - c_ex[st]
 
     def neq_prev(x):
-        return jnp.concatenate(
-            [jnp.ones((1,), dtype=bool), x[1:] != x[:-1]]
-        )
+        return jnp.concatenate([jnp.ones((1,), dtype=bool), x[1:] != x[:-1]])
 
-    new_hash = neq_prev(srid_s) | neq_prev(hhi_s) | neq_prev(hlo_s)
-    new_pos = new_hash | neq_prev(smate_s) | neq_prev(sposg_s)
-    vs = valid_s.astype(bool)
+    # distinct member hashes per read: dedup on (rid, index position)
+    filler = jnp.int32(1 << 30) + jnp.arange(budget, dtype=jnp.int32)
+    poskey = jnp.where(member, idxpos, filler)
+    srid_h, poskey_h = lax.sort((srid, poskey), num_keys=2)
+    hit_flag = (neq_prev(srid_h) | neq_prev(poskey_h)) & (
+        poskey_h < jnp.int32(1 << 30)
+    )
+    hits = boundary_sum(hit_flag, srid_h)
 
-    # scatter-free segment sums: cumulative sums sliced at per-rid
-    # boundaries (srid_s is the primary sort key, so it is sorted)
-    def seg_sum(flags):
-        c = jnp.cumsum(flags.astype(jnp.int32))
-        c_ex = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
-        seg_ids = jnp.arange(num_segments, dtype=srid_s.dtype)
-        starts = jnp.searchsorted(srid_s, seg_ids, side="left")
-        ends = jnp.searchsorted(srid_s, seg_ids, side="right")
-        return c_ex[ends] - c_ex[starts]
-
-    hits = seg_sum(new_hash & vs & member_s.astype(bool))
-    totals = seg_sum(new_pos & vs)
+    if dedup_positions:
+        # chunk rows can re-select a boundary position: dedup totals on
+        # (rid, mate<<30 | global position)
+        matepos = (mate[slot_row] << 30) | (chunk_start[slot_row] + slot_pos)
+        srid_p, matepos_p = lax.sort((srid, matepos), num_keys=2)
+        tot_flag = neq_prev(srid_p) | neq_prev(matepos_p)
+        totals = boundary_sum(tot_flag, srid_p)
+    else:
+        # unchunked tiles: every valid slot is a distinct position
+        totals = ends - starts
     return hits, totals, total
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "budget", "num_segments", "max_run"),
+    static_argnames=(
+        "k", "w", "budget", "num_segments", "max_run", "dedup_positions"
+    ),
 )
 def _engine_step(
     codes,
@@ -383,6 +426,7 @@ def _engine_step(
     budget: int,
     num_segments: int,
     max_run: int,
+    dedup_positions: bool,
 ):
     return engine_core(
         codes,
@@ -392,11 +436,12 @@ def _engine_step(
         rid,
         mate,
         chunk_start,
-        lambda h: probe_split_u32(index_hi, index_lo, h, max_run=max_run),
+        lambda h: probe_split_u32_pos(index_hi, index_lo, h, max_run=max_run),
         k=k,
         w=w,
         budget=budget,
         num_segments=num_segments,
+        dedup_positions=dedup_positions,
     )
 
 
@@ -639,6 +684,8 @@ class DevicePipeline:
             budget=budget,
             num_segments=R,
             max_run=self.max_run,
+            # only the largest tile class ever holds chunked long reads
+            dedup_positions=(L >= self.L_max),
         )
         return hits, totals, used, budget
 

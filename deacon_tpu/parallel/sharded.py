@@ -57,13 +57,20 @@ def _sharded_step(
     """
 
     def probe(h):
-        local = eng.probe_split_u32(index_hi, index_lo, h, max_run=max_run)
-        hits = jax.lax.psum(local.astype(jnp.int32), "shard")
-        return hits >= 1
+        member_l, pos_l = eng.probe_split_u32_pos(
+            index_hi, index_lo, h, max_run=max_run
+        )
+        shard_size = index_hi.shape[0]
+        offset = jax.lax.axis_index("shard").astype(jnp.int32) * shard_size
+        gpos = jnp.where(member_l, pos_l + offset, jnp.int32(2**31 - 1))
+        member = jax.lax.psum(member_l.astype(jnp.int32), "shard") >= 1
+        gpos = jax.lax.pmin(gpos, "shard")
+        return member, jnp.where(member, gpos, jnp.int32(-1))
 
     hits, totals, used = eng.engine_core(
         codes, validb, mlen, allow_short, rid, mate, chunk_start, probe,
         k=k, w=w, budget=budget, num_segments=num_segments,
+        dedup_positions=True,
     )
     return hits, totals, jnp.reshape(used, (1,))
 
