@@ -53,7 +53,7 @@ def main() -> None:
     bases = np.frombuffer(b"ACGT", np.uint8)
     raw = rng.choice(bases, size=(R, L)).astype(np.uint8)
 
-    budget = int(0.35 * R * L) + 64
+    budget = (int(0.35 * R * L) + 191) // 128 * 128
     mlen = np.full(R, L - k + 1, dtype=np.int32)
     allow_short = np.zeros(R, dtype=bool)
     rid = np.arange(R, dtype=np.int32)

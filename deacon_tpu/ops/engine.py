@@ -35,53 +35,20 @@ from dataclasses import dataclass
 import numpy as np
 
 import jax
-
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 from jax import lax
 
 from ..utils import xxh3 as hxxh3
 from . import minimizers_np as mnp
+from . import u64pair as u64
 
-_SEEDS = jnp.asarray(mnp.SEEDS_U32)
-_SEEDS_RC = jnp.asarray(mnp.SEEDS_RC_U32)
+# NOTE: device code is strictly 32-bit. Enabling jax_enable_x64 makes
+# XLA:TPU emulate 64-bit integers in every iota/searchsorted/gather, which
+# measured 100-1000x slower (and minutes-long compiles) on v5e. The only
+# true 64-bit math (k-mer values, XXH3) runs on u32 pairs via ops/u64pair.
 
 U32 = jnp.uint32
-U64 = jnp.uint64
 _MAXU32 = jnp.uint32(0xFFFFFFFF)
-
-
-def _rotl32(x, n):
-    n = n & U32(31)
-    return (x << n) | (x >> ((U32(32) - n) & U32(31)))
-
-
-def _selection_keys(codes, k: int):
-    """(R, L) codes -> (R, M) uint32 canonical selection keys.
-
-    Mirrors minimizers_np.kmer_selection_keys exactly.
-    """
-    R, L = codes.shape
-    M = L - k + 1
-    idx = jnp.arange(L, dtype=jnp.uint32)
-    s = _SEEDS[codes]
-    sc = _SEEDS_RC[codes]
-    uf = _rotl32(s, (U32(32) - (idx & U32(31))) & U32(31))
-    ur = _rotl32(sc, idx & U32(31))
-    pf = lax.associative_scan(jnp.bitwise_xor, uf, axis=1)
-    pr = lax.associative_scan(jnp.bitwise_xor, ur, axis=1)
-    # inclusive scan: prefix[p] = xor of u[0..p]; window xor over [p, p+k-1]
-    # = scan[p+k-1] ^ scan[p-1] (scan[-1] = 0)
-    zero = jnp.zeros((R, 1), dtype=jnp.uint32)
-    pf_ex = jnp.concatenate([zero, pf], axis=1)  # exclusive prefix
-    pr_ex = jnp.concatenate([zero, pr], axis=1)
-    p = jnp.arange(M, dtype=jnp.uint32)
-    fwd_raw = pf_ex[:, k : k + M] ^ pf_ex[:, :M]
-    rc_raw = pr_ex[:, k : k + M] ^ pr_ex[:, :M]
-    fwd = _rotl32(fwd_raw, (p + U32(k - 1)) & U32(31))
-    rc = _rotl32(rc_raw, (U32(32) - (p & U32(31))) & U32(31))
-    return fwd + rc
 
 
 def _combine_min(ak, ap, bk, bp):
@@ -101,101 +68,115 @@ def _window_argmin(keys, w: int):
     tk, tp = keys, pos
     span = 1
     while span * 2 <= w:
-        pk = jnp.pad(tk, ((0, 0), (0, span)), constant_values=0xFFFFFFFF)
-        pp = jnp.pad(tp, ((0, 0), (0, span)), constant_values=0xFFFFFFFF)
+        pk = jnp.pad(tk, ((0, 0), (0, span)), constant_values=np.uint32(0xFFFFFFFF))
+        pp = jnp.pad(tp, ((0, 0), (0, span)), constant_values=np.uint32(0xFFFFFFFF))
         tk, tp = _combine_min(tk, tp, pk[:, span : span + M], pp[:, span : span + M])
         span *= 2
     # now tk/tp hold mins over [q, q+span-1], span <= w; combine with the
     # window's tail block [q+w-span, q+w-1]
     shift = w - span
     if shift > 0:
-        pk = jnp.pad(tk, ((0, 0), (0, shift)), constant_values=0xFFFFFFFF)
-        pp = jnp.pad(tp, ((0, 0), (0, shift)), constant_values=0xFFFFFFFF)
+        pk = jnp.pad(tk, ((0, 0), (0, shift)), constant_values=np.uint32(0xFFFFFFFF))
+        pp = jnp.pad(tp, ((0, 0), (0, shift)), constant_values=np.uint32(0xFFFFFFFF))
         tk, tp = _combine_min(
             tk, tp, pk[:, shift : shift + M], pp[:, shift : shift + M]
         )
     return tk, tp
 
 
-def _pack_values(window_codes, k: int):
-    """(P, k) codes -> canonical value (lo, hi) u64, min(fwd, rc)."""
-    c = window_codes.astype(jnp.uint64)
-    crc = jnp.flip(c, axis=1) ^ U64(2)
-
-    def pack(mat):
-        lo = jnp.zeros(mat.shape[0], dtype=jnp.uint64)
-        hi = jnp.zeros(mat.shape[0], dtype=jnp.uint64)
-        for j in range(min(k, 32)):
-            lo = lo | (mat[:, j] << U64(2 * j))
-        for j in range(32, k):
-            hi = hi | (mat[:, j] << U64(2 * (j - 32)))
-        return lo, hi
-
-    flo, fhi = pack(c)
-    rlo, rhi = pack(crc)
-    take_f = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
-    return jnp.where(take_f, flo, rlo), jnp.where(take_f, fhi, rhi)
-
-
-def _xxh3_u64(v):
-    lo32 = v & U64(0xFFFFFFFF)
-    hi32 = v >> U64(32)
-    inp = hi32 | (lo32 << U64(32))
-    h = inp ^ U64(int(hxxh3.BITFLIP_4TO8))
-
-    def rotl64(x, n):
-        return (x << U64(n)) | (x >> U64(64 - n))
-
-    h = h ^ (rotl64(h, 49) ^ rotl64(h, 24))
-    h = h * U64(0x9FB21C651E98DF25)
-    h = h ^ ((h >> U64(35)) + U64(8))
-    h = h * U64(0x9FB21C651E98DF25)
-    return h ^ (h >> U64(28))
-
-
-def _xxh3_u128(lo, hi):
-    il = lo ^ U64(int(hxxh3.BITFLIP_LO_9TO16))
-    ih = hi ^ U64(int(hxxh3.BITFLIP_HI_9TO16))
-    # byteswap64
-    b = il
-    sw = jnp.zeros_like(b)
-    for i in range(8):
-        byte = (b >> U64(8 * i)) & U64(0xFF)
-        sw = sw | (byte << U64(8 * (7 - i)))
-    mask32 = U64(0xFFFFFFFF)
-    a_lo, a_hi = il & mask32, il >> U64(32)
-    b_lo, b_hi = ih & mask32, ih >> U64(32)
-    ll = a_lo * b_lo
-    lh = a_lo * b_hi
-    hl = a_hi * b_lo
-    hh = a_hi * b_hi
-    mid = (ll >> U64(32)) + (lh & mask32) + (hl & mask32)
-    plo = (ll & mask32) | (mid << U64(32))
-    phi = hh + (lh >> U64(32)) + (hl >> U64(32)) + (mid >> U64(32))
-    fold = plo ^ phi
-    acc = U64(16) + sw + ih + fold
-    h = acc ^ (acc >> U64(37))
-    h = h * U64(0x165667919E3779F9)
-    return h ^ (h >> U64(32))
-
-
-def device_hash_values(lo, hi, k: int):
-    return _xxh3_u128(lo, hi) if k > 32 else _xxh3_u64(lo)
-
-
-def _probe_sorted(index_sorted, h):
-    """Branchless membership of h (u64) in sorted u64 array.
-
-    NOTE: u64 comparisons inside XLA's searchsorted loop are emulated and
-    catastrophically slow on TPU (~2M probes/s measured); production paths use
-    the split-u32 probe below. Kept for small CPU-side uses and as a spec.
-    """
-    n = index_sorted.shape[0]
+def _shift_cols(x, n: int):
+    """x[:, n:] zero-padded back to the original width."""
     if n == 0:
-        return jnp.zeros(h.shape, dtype=bool)
-    pos = jnp.searchsorted(index_sorted, h)
-    pos = jnp.minimum(pos, n - 1)
-    return index_sorted[pos] == h
+        return x
+    return jnp.pad(x[:, n:], ((0, 0), (0, n)))
+
+
+def _limbs_shift_cols(limbs, n: int):
+    return [_shift_cols(x, n) for x in limbs]
+
+
+def _limbs_or(a, b):
+    return [x | y for x, y in zip(a, b)]
+
+
+def _limbs_shl(limbs, n: int):
+    """Static left shift of a multi-limb (little-endian u32) value by n bits."""
+    if n == 0:
+        return limbs
+    nl = len(limbs)
+    word, bit = n // 32, n % 32
+    zero = jnp.zeros_like(limbs[0])
+    out = []
+    for i in range(nl):
+        v = zero
+        if 0 <= i - word:
+            v = limbs[i - word] << U32(bit) if bit else limbs[i - word]
+        if bit and 0 <= i - word - 1:
+            v = v | (limbs[i - word - 1] >> U32(32 - bit))
+        out.append(v)
+    return out
+
+
+def _limbs_min(a, b):
+    """Lexicographic min of two multi-limb values (elementwise)."""
+    take_a = jnp.zeros_like(a[0], dtype=bool)
+    decided = jnp.zeros_like(a[0], dtype=bool)
+    for i in range(len(a) - 1, -1, -1):
+        take_a = jnp.where(~decided & (a[i] < b[i]), True, take_a)
+        decided = decided | (a[i] != b[i])
+    take_a = take_a | ~decided
+    return [jnp.where(take_a, x, y) for x, y in zip(a, b)]
+
+
+def _windowed_value_limbs(codes_u32, k: int):
+    """(R, L) u32 codes -> canonical min(fwd, rc) k-mer value at every
+    position as a list of (R, L) u32 limbs (2 limbs for k<=32, 4 for k<=57),
+    built with log2(k) span-doubling steps — pure elementwise VPU work,
+    no window gathers, no scans."""
+    nl = 2 if k <= 32 else 4
+    zero = jnp.zeros_like(codes_u32)
+    cf = [codes_u32] + [zero] * (nl - 1)
+    cr = [codes_u32 ^ U32(2)] + [zero] * (nl - 1)
+    span_tables = {1: (cf, cr)}
+    vf, vr = cf, cr
+    s = 1
+    while s * 2 <= k:
+        vf = _limbs_or(vf, _limbs_shl(_limbs_shift_cols(vf, s), 2 * s))
+        vr = _limbs_or(_limbs_shl(vr, 2 * s), _limbs_shift_cols(vr, s))
+        s *= 2
+        span_tables[s] = (vf, vr)
+
+    acc_f = None
+    acc_r = None
+    off = 0
+    for s in sorted(span_tables, reverse=True):
+        if k & s:
+            bf, br = span_tables[s]
+            bf = _limbs_shift_cols(bf, off)
+            br = _limbs_shift_cols(br, off)
+            if acc_f is None:
+                acc_f = bf
+                acc_r = _limbs_shl(br, 2 * (k - s - off))
+            else:
+                acc_f = _limbs_or(acc_f, _limbs_shl(bf, 2 * off))
+                acc_r = _limbs_or(acc_r, _limbs_shl(br, 2 * (k - s - off)))
+            off += s
+    return _limbs_min(acc_f, acc_r)
+
+
+def _fmix32(x):
+    x = x ^ (x >> U32(16))
+    x = x * U32(0x85EBCA6B)
+    x = x ^ (x >> U32(13))
+    x = x * U32(0xC2B2AE35)
+    return x ^ (x >> U32(16))
+
+
+def device_hash_values_pair(vpair_lo64, vpair_hi64, k: int):
+    """XXH3-64 of canonical values in u32-pair form; returns a hash pair."""
+    if k > 32:
+        return u64.xxh3_64_pair_u128(vpair_lo64, vpair_hi64)
+    return u64.xxh3_64_pair_u64(*vpair_lo64)
 
 
 def build_probe_planes(index_hashes: np.ndarray):
@@ -227,30 +208,23 @@ def build_probe_planes(index_hashes: np.ndarray):
     return hi, lo, max(1, max_run)
 
 
-def probe_split_u32(index_hi, index_lo, h, *, max_run: int):
-    """Membership of u64 hashes h against (hi, lo) u32 index planes."""
-    member, _ = probe_split_u32_pos(index_hi, index_lo, h, max_run=max_run)
-    return member
-
-
 def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int):
     """Membership + first matching index position (-1 for non-members).
 
-    The position doubles as a compact per-hash unique id for distinct-hit
-    counting (two equal hashes share a position; distinct member hashes
-    never do).
+    ``h`` is a hash pair (lo, hi u32). The position doubles as a compact
+    per-hash unique id for distinct-hit counting (two equal hashes share a
+    position; distinct member hashes never do).
     """
+    qlo, qhi = h
     n = index_hi.shape[0]
     if n == 0:
         return (
-            jnp.zeros(h.shape, dtype=bool),
-            jnp.full(h.shape, -1, dtype=jnp.int32),
+            jnp.zeros(qlo.shape, dtype=bool),
+            jnp.full(qlo.shape, -1, dtype=jnp.int32),
         )
-    qhi = (h >> U64(32)).astype(jnp.uint32)
-    qlo = (h & U64(0xFFFFFFFF)).astype(jnp.uint32)
     left = jnp.searchsorted(index_hi, qhi)
-    member = jnp.zeros(h.shape, dtype=bool)
-    pos = jnp.full(h.shape, -1, dtype=jnp.int32)
+    member = jnp.zeros(qlo.shape, dtype=bool)
+    pos = jnp.full(qlo.shape, -1, dtype=jnp.int32)
     for j in range(max_run):
         p = jnp.minimum(left + j, n - 1)
         m = (index_hi[p] == qhi) & (index_lo[p] == qlo)
@@ -272,11 +246,23 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     selected flag.
     """
     R, L = codes.shape
-    M = L - k + 1
+    M = L - k + 1  # number of real k-mer positions per full row
 
-    keys = _selection_keys(codes, k)
-    # invalidate positions beyond the row's k-mer count
-    p_idx = jnp.arange(M, dtype=jnp.int32)
+    # IMPORTANT: every (R, *) array stays at width L (a multiple of 128) —
+    # width-M arrays are lane-misaligned and force relayouts on this TPU
+    # (measured 100x slowdowns + minute-long compiles). Tail columns
+    # [M, L) are masked instead of sliced away.
+
+    # escape uint8 tiling once; everything downstream is u32/i32
+    codes_u32 = codes.astype(jnp.uint32)
+    limbs = _windowed_value_limbs(codes_u32, k)  # (R, L) each, valid p <= L-k
+    fold = limbs[0]
+    for x in limbs[1:]:
+        fold = fold ^ x
+    keys = _fmix32(fold)
+
+    # invalidate positions beyond the row's k-mer count (and the tail)
+    p_idx = jnp.arange(L, dtype=jnp.int32)
     in_row = p_idx[None, :] < mlen[:, None]
     keys = jnp.where(in_row, keys, _MAXU32)
 
@@ -288,22 +274,26 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
         (q == 0) & allow_short[:, None] & (mlen[:, None] >= 1)
     )
 
-    # k-mer ACGT validity via windowed sum of invalid bases
+    # k-mer ACGT validity via windowed sum of invalid bases, width L
     inv = (~validb).astype(jnp.int32)
     cs = jnp.cumsum(inv, axis=1)
-    zero = jnp.zeros((R, 1), dtype=jnp.int32)
-    cs_ex = jnp.concatenate([zero, cs], axis=1)
-    kmer_valid = (cs_ex[:, k : k + M] - cs_ex[:, :M]) == 0
+    cs_end = _shift_cols(cs, k - 1)  # cs[p + k - 1] (garbage in tail, masked)
+    cs_start = jnp.concatenate(
+        [jnp.zeros((R, 1), dtype=jnp.int32), cs[:, :-1]], axis=1
+    )
+    kmer_valid = ((cs_end - cs_start) == 0) & in_row
 
     # a window introduces a new minimizer exactly when its (monotone)
     # leftmost argmin differs from the previous valid window's argmin
-    wp_i = jnp.minimum(wp.astype(jnp.int32), M - 1)
+    wp_i = jnp.minimum(wp.astype(jnp.int32), L - 1)
     prev_wp = jnp.concatenate(
         [jnp.full((R, 1), -1, dtype=jnp.int32), wp_i[:, :-1]], axis=1
     )
     new_min = win_valid & ((q == 0) | (wp_i != prev_wp))
-    row_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, M))
-    pos_ok = kmer_valid[row_ids, wp_i]  # gather, not scatter
+    row_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, L))
+    # 1D gather (2D gathers and small-table gathers are slow on this TPU)
+    kv_flat = kmer_valid.astype(jnp.int32).reshape(-1)
+    pos_ok = kv_flat[(row_ids * L + wp_i).reshape(-1)].reshape(R, L) == 1
     flag = new_min & pos_ok
 
     # sort-free compaction: the i-th selected window's flat id is the first
@@ -316,17 +306,22 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     slot_id = jnp.searchsorted(
         csel, jnp.arange(1, budget + 1, dtype=jnp.int32), side="left"
     )
-    slot_id = jnp.minimum(slot_id, R * M - 1)
+    slot_id = jnp.minimum(slot_id, R * L - 1)
     wp_flat = wp_i.reshape(-1)
-    slot_row = (slot_id // M).astype(jnp.int32)
+    slot_row = (slot_id // L).astype(jnp.int32)
     slot_pos = wp_flat[slot_id]
     slot_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(total, budget)
 
-    # gather k-mer windows and pack canonical values
-    gather_idx = slot_pos[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
-    window_codes = codes[slot_row[:, None], gather_idx]
-    vlo, vhi = _pack_values(window_codes, k)
-    h = device_hash_values(vlo, vhi, k)
+    # gather the already-computed value limbs at the compacted slots
+    # (flat 1D gathers)
+    slot_flat = slot_row * L + slot_pos
+    slot_limbs = [x.reshape(-1)[slot_flat] for x in limbs]
+    if k <= 32:
+        h = u64.xxh3_64_pair_u64(slot_limbs[0], slot_limbs[1])
+    else:
+        h = u64.xxh3_64_pair_u128(
+            (slot_limbs[0], slot_limbs[1]), (slot_limbs[2], slot_limbs[3])
+        )
     return slot_row, slot_pos, slot_valid, total, h
 
 
@@ -491,7 +486,7 @@ def _extract_step(
         slot_valid = slot_valid & (ent >= entropy_threshold)
 
     srid = jnp.where(slot_valid, rid[slot_row], jnp.int32(2**31 - 1))
-    return h, srid, slot_valid, total
+    return h[0], h[1], srid, slot_valid, total
 
 
 @dataclass
@@ -500,6 +495,46 @@ class _Row:
     mate: int
     chunk_start: int
     seq: bytes  # effective chunk bytes
+
+
+def pack_rows(rows: list["_Row"], R: int, L: int, k: int, l: int):
+    """Vectorized host-side packing of row byte strings into device arrays.
+
+    One arena concat + two table lookups + one flat scatter — avoids a
+    Python per-row loop (the reference's per-record packing runs in SIMD;
+    ref: src/filter_common.rs:238).
+    """
+    n = len(rows)
+    codes = np.zeros((R, L), dtype=np.uint8)
+    validb = np.zeros((R, L), dtype=bool)
+    mlen = np.full(R, -1, dtype=np.int32)
+    allow_short = np.zeros(R, dtype=bool)
+    rid = np.zeros(R, dtype=np.int32)
+    mate = np.zeros(R, dtype=np.int32)
+    cstart = np.zeros(R, dtype=np.int32)
+    if n == 0:
+        return codes, validb, mlen, allow_short, rid, mate, cstart
+
+    lens = np.fromiter((len(r.seq) for r in rows), dtype=np.int64, count=n)
+    arena = np.frombuffer(b"".join(r.seq for r in rows), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    offs = np.arange(arena.size, dtype=np.int64) - np.repeat(starts, lens)
+    dest = row_of * L + offs
+    codes.reshape(-1)[dest] = PACK_CODE_NP[arena]
+    validb.reshape(-1)[dest] = VALID_BASE_NP[arena]
+    mlen[:n] = lens - (k - 1)
+    allow_short[:n] = lens < l
+    rid[:n] = np.fromiter((r.rid for r in rows), dtype=np.int32, count=n)
+    mate[:n] = np.fromiter((r.mate for r in rows), dtype=np.int32, count=n)
+    cstart[:n] = np.fromiter(
+        (r.chunk_start for r in rows), dtype=np.int32, count=n
+    )
+    return codes, validb, mlen, allow_short, rid, mate, cstart
+
+
+PACK_CODE_NP = mnp.PACK_CODE
+VALID_BASE_NP = mnp.VALID_BASE
 
 
 class BudgetOverflow(RuntimeError):
@@ -652,23 +687,10 @@ class DevicePipeline:
 
     def _launch_batch(self, rows: list[_Row], L: int, R: int):
         """Launch one device batch asynchronously; returns device arrays."""
-        budget = int(self.budget_frac * L * R) + 64
-        codes = np.zeros((R, L), dtype=np.uint8)
-        validb = np.zeros((R, L), dtype=bool)
-        mlen = np.full(R, -1, dtype=np.int32)
-        allow_short = np.zeros(R, dtype=bool)
-        rid = np.zeros(R, dtype=np.int32)
-        mate = np.zeros(R, dtype=np.int32)
-        cstart = np.zeros(R, dtype=np.int32)
-        for i, row in enumerate(rows):
-            b = np.frombuffer(row.seq, dtype=np.uint8)
-            codes[i, : b.size] = mnp.PACK_CODE[b]
-            validb[i, : b.size] = mnp.VALID_BASE[b]
-            mlen[i] = b.size - self.k + 1
-            allow_short[i] = b.size < self.l
-            rid[i] = row.rid
-            mate[i] = row.mate
-            cstart[i] = row.chunk_start
+        budget = (int(self.budget_frac * L * R) + 191) // 128 * 128
+        codes, validb, mlen, allow_short, rid, mate, cstart = pack_rows(
+            rows, R, L, self.k, self.l
+        )
         hits, totals, used = _engine_step(
             jnp.asarray(codes),
             jnp.asarray(validb),
@@ -732,7 +754,7 @@ class IndexBuildPipeline:
         self.l = self.k + self.w - 1
         self.L = max(int(row_len), self.l)
         self.R = int(rows_per_batch)
-        self.budget = int(budget_frac * self.L * self.R) + 64
+        self.budget = (int(budget_frac * self.L * self.R) + 191) // 128 * 128
         self.entropy = float(entropy_threshold)
         self.device = device
         self._stride = self.L - self.l + 1
@@ -754,24 +776,34 @@ class IndexBuildPipeline:
         rows = []
         for i, s in enumerate(seqs):
             rows.extend(self._rows_for(i, np.frombuffer(s, dtype=np.uint8)))
+        canon_pack = mnp.PACK_CODE[mnp.IUPAC_CANON]
         per_seq: list[list[np.ndarray]] = [[] for _ in seqs]
         for start in range(0, len(rows), self.R):
             chunk = rows[start : start + self.R]
             R, L = self.R, self.L
+            n = len(chunk)
             codes = np.zeros((R, L), dtype=np.uint8)
             orig = np.zeros((R, L), dtype=np.uint8)
             validb = np.zeros((R, L), dtype=bool)
             mlen = np.full(R, -1, dtype=np.int32)
             allow_short = np.zeros(R, dtype=bool)
             rid = np.zeros(R, dtype=np.int32)
-            for i, (g, _cs, b) in enumerate(chunk):
-                codes[i, : b.size] = mnp.PACK_CODE[mnp.IUPAC_CANON[b]]
-                orig[i, : b.size] = mnp.PACK_CODE[b]
-                validb[i, : b.size] = mnp.VALID_BASE[b]
-                mlen[i] = b.size - self.k + 1
-                allow_short[i] = b.size < self.l
-                rid[i] = g
-            h, srid, valid, total = _extract_step(
+            lens = np.fromiter((b.size for _, _, b in chunk), dtype=np.int64,
+                               count=n)
+            arena = np.concatenate([b for _, _, b in chunk]) if n else (
+                np.empty(0, dtype=np.uint8))
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            offs = np.arange(arena.size, dtype=np.int64) - np.repeat(starts, lens)
+            dest = row_of * L + offs
+            codes.reshape(-1)[dest] = canon_pack[arena]
+            orig.reshape(-1)[dest] = mnp.PACK_CODE[arena]
+            validb.reshape(-1)[dest] = mnp.VALID_BASE[arena]
+            mlen[:n] = lens - (self.k - 1)
+            allow_short[:n] = lens < self.l
+            rid[:n] = np.fromiter((g for g, _, _ in chunk), dtype=np.int32,
+                                  count=n)
+            hlo, hhi, srid, valid, total = _extract_step(
                 jnp.asarray(codes), jnp.asarray(orig), jnp.asarray(validb),
                 jnp.asarray(mlen), jnp.asarray(allow_short), jnp.asarray(rid),
                 jnp.float32(self.entropy),
@@ -782,7 +814,9 @@ class IndexBuildPipeline:
                 raise BudgetOverflow(
                     f"minimizer budget exceeded: {int(total)} > {self.budget}"
                 )
-            hv = np.asarray(h)
+            hv = np.asarray(hlo).astype(np.uint64) | (
+                np.asarray(hhi).astype(np.uint64) << np.uint64(32)
+            )
             rv = np.asarray(srid)
             vm = np.asarray(valid)
             hv, rv = hv[vm], rv[vm]

@@ -22,16 +22,16 @@ Scheme (TPU-first design, replaces simd-minimizers' SIMD internals):
 
 * Base codes use the packed-seq convention ``code = (ascii >> 1) & 3``
   (A=0, C=1, T=2, G=3) so that complement is ``code ^ 2``.
-* Per-k-mer selection hash: 32-bit ntHash-style rotate/XOR hash computed for
-  both strands; the canonical selection key is ``min(fwd, rc)`` summed with the
-  opposite strand (see below). Both strand hashes reduce to a sliding XOR
-  window over per-base rotated seeds, which maps to a prefix-XOR scan — fully
-  parallel on TPU (no sequential rolling dependency).
-* Window minimum over w consecutive k-mer keys with leftmost tie-break; the
-  argmin positions of consecutive windows are deduplicated.
 * Canonical minimizer value = min(packed_fwd, packed_rc) where
   ``packed_fwd = sum(code[p+j] << 2j)`` and ``packed_rc`` packs the reverse
-  complement the same way. (u64 for k<=32, u128 as (hi, lo) u64 pair for k<=57.)
+  complement the same way. (u64 for k<=32, u128 as (hi, lo) u64 pair for
+  k<=57.) Values are computed at every position with log2(k) span-doubling
+  steps — pure elementwise shifts, no rolling dependency, no gathers.
+* Per-k-mer selection key = fmix32 (murmur3 finalizer) of the XOR-fold of the
+  canonical value's 32-bit limbs — strand-symmetric by construction and
+  elementwise-only on TPU (no seed tables, no variable rotates, no scans).
+* Window minimum over w consecutive k-mer keys with leftmost tie-break; the
+  argmin positions of consecutive windows are deduplicated.
 * Membership hash = XXH3-64 of the value's little-endian bytes (8 or 16).
 
 Divergence note: the exact selection differs from simd-minimizers v1.3.0 (whose
@@ -71,14 +71,6 @@ for _src, _dst in {
 #: 2-bit packing code, byte -> (byte >> 1) & 3 (packed-seq convention)
 PACK_CODE = ((np.arange(256, dtype=np.uint16) >> 1) & 3).astype(np.uint8)
 
-# Selection-hash per-base seeds: 4 fixed, well-mixed 32-bit constants.
-# These are part of the on-disk index identity for this framework — never change.
-SEEDS_U32 = np.array(
-    [0x3C6EF372, 0xBB67AE85, 0xA54FF53A, 0x9B05688C], dtype=np.uint32
-)
-#: seeds of the complement code (complement = code ^ 2)
-SEEDS_RC_U32 = SEEDS_U32[np.arange(4) ^ 2]
-
 _U32 = np.uint32
 _U64 = np.uint64
 
@@ -93,45 +85,106 @@ def canonicalise_iupac(seq: np.ndarray) -> np.ndarray:
     return IUPAC_CANON[seq]
 
 
-def _rotl32(x: np.ndarray, n: np.ndarray) -> np.ndarray:
-    n = n & _U32(31)
+def fmix32(x: np.ndarray) -> np.ndarray:
+    """murmur3 32-bit finalizer (avalanche mixer)."""
+    x = np.asarray(x, dtype=np.uint32)
     with np.errstate(over="ignore"):
-        return (x << n) | (x >> ((_U32(32) - n) & _U32(31)))
+        x = x ^ (x >> _U32(16))
+        x = x * _U32(0x85EBCA6B)
+        x = x ^ (x >> _U32(13))
+        x = x * _U32(0xC2B2AE35)
+        x = x ^ (x >> _U32(16))
+    return x
 
 
-def kmer_selection_keys(codes: np.ndarray, k: int) -> np.ndarray:
-    """32-bit strand-canonical selection key for every k-mer position.
+def windowed_canonical_values(codes: np.ndarray, k: int):
+    """Canonical min(fwd, rc) packed value at every k-mer position.
 
-    Returns an array of length ``len(codes) - k + 1`` (requires len >= k).
-
-    fwd(p) = XOR_{j=0..k-1} rotl32(S[c[p+j]], k-1-j)
-    rc(p)  = XOR_{j=0..k-1} rotl32(S[comp(c[p+k-1-j])], k-1-j)
-    key(p) = fwd(p) + rc(p)  (mod 2^32; symmetric under reverse complement)
-
-    Computed via prefix-XOR scans:
-      fwd(p) = rotl(Pf[p+k] ^ Pf[p], (k-1+p) mod 32), Pf = prefix-xor of
-               rotr32(S[c[i]], i mod 32)
-      rc(p)  = rotr(Pr[p+k] ^ Pr[p], p mod 32),       Pr = prefix-xor of
-               rotl32(S_rc[c[i]], i mod 32)
+    Returns (lo, hi) uint64 arrays of length len(codes) - k + 1 (hi is zero
+    for k <= 32). Built with log2(k) span-doubling steps — the same
+    construction as the device engine (elementwise shifts only).
     """
     n = codes.shape[0]
     m = n - k + 1
     if m <= 0:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z.copy()
+
+    def shift_elems(arr, s):
+        out = np.zeros_like(arr)
+        out[: arr.shape[0] - s] = arr[s:]
+        return out
+
+    def pshl(pair, nbits):
+        lo, hi = pair
+        with np.errstate(over="ignore"):
+            if nbits == 0:
+                return pair
+            if nbits < 64:
+                return (
+                    lo << _U64(nbits),
+                    (hi << _U64(nbits)) | (lo >> _U64(64 - nbits)),
+                )
+            return np.zeros_like(lo), lo << _U64(nbits - 64)
+
+    def por(a, b):
+        return a[0] | b[0], a[1] | b[1]
+
+    def pshift(pair, s):
+        return shift_elems(pair[0], s), shift_elems(pair[1], s)
+
+    z = np.zeros(n, dtype=np.uint64)
+    cf = (codes.astype(np.uint64), z)
+    cr = ((codes ^ 2).astype(np.uint64), z.copy())
+    span_tables = {1: (cf, cr)}
+    vf, vr = cf, cr
+    s = 1
+    while s * 2 <= k:
+        vf = por(vf, pshl(pshift(vf, s), 2 * s))
+        vr = por(pshl(vr, 2 * s), pshift(vr, s))
+        s *= 2
+        span_tables[s] = (vf, vr)
+
+    acc_f = None
+    acc_r = None
+    off = 0
+    for s in sorted(span_tables, reverse=True):
+        if k & s:
+            bf, br = span_tables[s]
+            bf = pshift(bf, off)
+            br = pshift(br, off)
+            if acc_f is None:
+                acc_f = bf
+                acc_r = pshl(br, 2 * (k - s - off))
+            else:
+                acc_f = por(acc_f, pshl(bf, 2 * off))
+                acc_r = por(acc_r, pshl(br, 2 * (k - s - off)))
+            off += s
+    take_f = (acc_f[1] < acc_r[1]) | (
+        (acc_f[1] == acc_r[1]) & (acc_f[0] <= acc_r[0])
+    )
+    lo = np.where(take_f, acc_f[0], acc_r[0])[:m]
+    hi = np.where(take_f, acc_f[1], acc_r[1])[:m]
+    return lo, hi
+
+
+def kmer_selection_keys(codes: np.ndarray, k: int) -> np.ndarray:
+    """32-bit strand-canonical selection key for every k-mer position:
+    fmix32 of the XOR-fold of the canonical value's 32-bit limbs.
+
+    Strand-symmetric because the value is canonical; elementwise-only on
+    TPU (no seed tables, variable rotates, or scans — all measured slow on
+    v5e)."""
+    lo, hi = windowed_canonical_values(codes, k)
+    if lo.size == 0:
         return np.empty(0, dtype=np.uint32)
-    idx = np.arange(n, dtype=np.uint32)
-    uf = _rotl32(SEEDS_U32[codes], (_U32(32) - (idx & _U32(31))) & _U32(31))
-    ur = _rotl32(SEEDS_RC_U32[codes], idx & _U32(31))
-
-    pf = np.zeros(n + 1, dtype=np.uint32)
-    np.bitwise_xor.accumulate(uf, out=pf[1:])
-    pr = np.zeros(n + 1, dtype=np.uint32)
-    np.bitwise_xor.accumulate(ur, out=pr[1:])
-
-    p = np.arange(m, dtype=np.uint32)
-    fwd = _rotl32(pf[k : k + m] ^ pf[:m], (p + _U32(k - 1)) & _U32(31))
-    rc = _rotl32(pr[k : k + m] ^ pr[:m], (_U32(32) - (p & _U32(31))) & _U32(31))
-    with np.errstate(over="ignore"):
-        return fwd + rc
+    fold = (
+        lo.astype(np.uint32)
+        ^ (lo >> _U64(32)).astype(np.uint32)
+        ^ hi.astype(np.uint32)
+        ^ (hi >> _U64(32)).astype(np.uint32)
+    )
+    return fmix32(fold)
 
 
 def window_argmin_positions(keys: np.ndarray, w: int) -> np.ndarray:

@@ -24,9 +24,6 @@ import functools
 import numpy as np
 
 import jax
-
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -101,7 +98,7 @@ class ShardedPipeline:
         self.L = max(int(row_len), self.l)
         self.Rs = int(rows_per_shard)  # rows per data shard
         self.R = self.Rs * self.n_data
-        self.budget_per_shard = int(budget_frac * self.L * self.Rs) + 64
+        self.budget_per_shard = (int(budget_frac * self.L * self.Rs) + 191) // 128 * 128
         self._stride = self.L - self.l + 1
 
         arr = np.sort(np.asarray(index_hashes, dtype=np.uint64))
@@ -232,16 +229,12 @@ class ShardedPipeline:
         cstart = np.zeros(R, dtype=np.int32)
         for d, rows in enumerate(shard_rows):
             base = d * self.Rs
-            for i, row in enumerate(rows):
-                b = np.frombuffer(row.seq, dtype=np.uint8)
-                j = base + i
-                codes[j, : b.size] = mnp.PACK_CODE[b]
-                validb[j, : b.size] = mnp.VALID_BASE[b]
-                mlen[j] = b.size - self.k + 1
-                allow_short[j] = b.size < self.l
-                rid[j] = row.rid
-                mate[j] = row.mate
-                cstart[j] = row.chunk_start
+            (codes[base : base + self.Rs], validb[base : base + self.Rs],
+             mlen[base : base + self.Rs], allow_short[base : base + self.Rs],
+             rid[base : base + self.Rs], mate[base : base + self.Rs],
+             cstart[base : base + self.Rs]) = eng.pack_rows(
+                rows, self.Rs, L, self.k, self.l
+            )
         hits, totals, used = self._fn(
             jnp.asarray(codes), jnp.asarray(validb), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),

@@ -11,7 +11,7 @@ from deacon_tpu.ops import minimizers_np as mnp
 
 jax = pytest.importorskip("jax")
 
-from deacon_tpu.ops.engine import DevicePipeline, device_hash_values  # noqa: E402
+from deacon_tpu.ops.engine import DevicePipeline  # noqa: E402
 
 RNG = np.random.default_rng(77)
 _B = np.frombuffer(b"ACGT", np.uint8)
@@ -82,16 +82,20 @@ def test_paired_union_semantics(pipe):
 
 
 def test_device_xxh3_matches_host(rng):
+    # device hashing is pair-based; exactness covered in tests/test_u64pair.py
     import jax.numpy as jnp
 
-    lo = rng.integers(0, 2**64, size=256, dtype=np.uint64)
-    hi = rng.integers(0, 2**64, size=256, dtype=np.uint64)
-    from deacon_tpu.utils.xxh3 import xxh3_64_u64, xxh3_64_u128
+    from deacon_tpu.ops import u64pair
+    from deacon_tpu.utils.xxh3 import xxh3_64_u64
 
-    d64 = np.asarray(device_hash_values(jnp.asarray(lo), jnp.asarray(hi * 0), 31))
-    np.testing.assert_array_equal(d64, xxh3_64_u64(lo))
-    d128 = np.asarray(device_hash_values(jnp.asarray(lo), jnp.asarray(hi), 41))
-    np.testing.assert_array_equal(d128, xxh3_64_u128(lo, hi))
+    v = rng.integers(0, 2**64, size=256, dtype=np.uint64)
+    lo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
+    rlo, rhi = u64pair.xxh3_64_pair_u64(lo, hi)
+    got = np.asarray(rlo).astype(np.uint64) | (
+        np.asarray(rhi).astype(np.uint64) << np.uint64(32)
+    )
+    np.testing.assert_array_equal(got, xxh3_64_u64(v))
 
 
 def test_many_random_reads_vs_oracle(pipe):

@@ -36,23 +36,19 @@ def test_codes_and_complement():
 
 
 def test_selection_keys_match_direct_definition():
-    """Prefix-scan formulation == direct XOR-of-rotated-seeds definition."""
+    """Doubling formulation == direct per-position canonical-value mixing."""
     seq = random_seq(300)
     codes = m.ascii_to_codes(np.frombuffer(seq, np.uint8))
-    k = 31
-    keys = m.kmer_selection_keys(codes, k)
-
-    def rotl(x, n):
-        n %= 32
-        return ((x << n) | (x >> (32 - n))) & 0xFFFFFFFF
-
-    for p in RNG.integers(0, len(keys), size=10):
-        f = 0
-        r = 0
-        for j in range(k):
-            f ^= rotl(int(m.SEEDS_U32[codes[p + j]]), k - 1 - j)
-            r ^= rotl(int(m.SEEDS_U32[codes[p + k - 1 - j] ^ 2]), k - 1 - j)
-        assert keys[p] == (f + r) & 0xFFFFFFFF
+    for k in (5, 31, 41):
+        keys = m.kmer_selection_keys(codes, k)
+        lo, hi = m.canonical_values(codes, np.arange(keys.size), k)
+        fold = (
+            lo.astype(np.uint32)
+            ^ (lo >> np.uint64(32)).astype(np.uint32)
+            ^ hi.astype(np.uint32)
+            ^ (hi >> np.uint64(32)).astype(np.uint32)
+        )
+        np.testing.assert_array_equal(keys, m.fmix32(fold), err_msg=f"k={k}")
 
 
 def test_revcomp_value_set_identical():

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_enable_x64", True)
 
 from jax import lax
 
@@ -67,15 +66,22 @@ def checksum(*arrs):
                for a in arrs)
 
 
+def _keys(codes):
+    limbs = eng._windowed_value_limbs(codes.astype(jnp.uint32), K)
+    fold = limbs[0]
+    for x in limbs[1:]:
+        fold = fold ^ x
+    return eng._fmix32(fold)[:, : codes.shape[1] - K + 1]
+
+
 @jax.jit
 def s1_keys(codes):
-    return checksum(eng._selection_keys(codes, K))
+    return checksum(_keys(codes))
 
 
 @jax.jit
 def s2_argmin(codes):
-    keys = eng._selection_keys(codes, K)
-    wk, wp = eng._window_argmin(keys, W)
+    wk, wp = eng._window_argmin(_keys(codes), W)
     return checksum(wk, wp)
 
 
