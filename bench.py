@@ -25,6 +25,30 @@ import numpy as np
 
 
 def main() -> None:
+    # Two-phase protocol: a warm-up subprocess compiles everything into the
+    # persistent cache, then a FRESH subprocess measures. On the axon
+    # backend, any multi-minute compile degrades that process's runtime
+    # dispatch for the rest of its life (see PERFNOTES.md), so the
+    # measurement process must execute only cache-hit compiles.
+    import subprocess
+
+    if os.environ.get("DEACON_BENCH_PHASE") is None:
+        env = dict(os.environ)
+        env["DEACON_BENCH_PHASE"] = "warm"
+        env["DEACON_BENCH_ITERS"] = "1"
+        print("bench: warm-up phase (compiling into cache)...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, __file__], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
+        )
+        env = dict(os.environ)
+        env["DEACON_BENCH_PHASE"] = "measure"
+        print("bench: measurement phase (fresh process, cached programs)",
+              file=sys.stderr)
+        raise SystemExit(
+            subprocess.run([sys.executable, __file__], env=env).returncode
+        )
+
     import jax
     import jax.numpy as jnp
 

@@ -2,8 +2,10 @@
 
 This is the TPU-native heart of the framework: the entire hot path
 (selection-key computation, window minima, compaction, canonical value
-packing, XXH3-64, sorted-index probe, distinct-hit counting) runs as ONE
-jitted XLA program over fixed-shape row batches.
+packing, XXH3-64, sorted-index probe, distinct-hit counting) runs as a
+chain of six small jitted XLA programs over fixed-shape row batches
+(separate dispatches keep the axon compiler's fusion regions small — see
+PERFNOTES.md; intermediates never leave the device).
 
 Produces bit-identical results to the NumPy oracle (deacon_tpu/ops/
 minimizers_np.py); tests/test_device_engine.py enforces it.
@@ -38,7 +40,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..utils import xxh3 as hxxh3
 from . import minimizers_np as mnp
 from . import u64pair as u64
 
@@ -172,13 +173,6 @@ def _fmix32(x):
     return x ^ (x >> U32(16))
 
 
-def device_hash_values_pair(vpair_lo64, vpair_hi64, k: int):
-    """XXH3-64 of canonical values in u32-pair form; returns a hash pair."""
-    if k > 32:
-        return u64.xxh3_64_pair_u128(vpair_lo64, vpair_hi64)
-    return u64.xxh3_64_pair_u64(*vpair_lo64)
-
-
 def build_probe_planes(index_hashes: np.ndarray):
     """Split a sorted u64 index into (hi, lo) u32 planes + the max run length
     of equal hi words (static unroll bound for the probe).
@@ -266,7 +260,15 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     in_row = p_idx[None, :] < mlen[:, None]
     keys = jnp.where(in_row, keys, _MAXU32)
 
+    # optimization_barrier: letting the mask fuse into the window-argmin
+    # explodes the axon compiler (206 s -> 1 s compile, measured); barriers
+    # at stage boundaries keep every fusion region small. A long compile
+    # also degrades the whole process session afterward, so this is
+    # load-bearing for runtime too.
+    keys = lax.optimization_barrier(keys)
+
     wk, wp = _window_argmin(keys, w)
+    wp = lax.optimization_barrier(wp)
     # window validity: full windows q <= mlen - w, plus q == 0 for whole
     # short reads (k <= n < l)
     q = p_idx[None, :]
@@ -281,7 +283,7 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     cs_start = jnp.concatenate(
         [jnp.zeros((R, 1), dtype=jnp.int32), cs[:, :-1]], axis=1
     )
-    kmer_valid = ((cs_end - cs_start) == 0) & in_row
+    kmer_valid = lax.optimization_barrier(((cs_end - cs_start) == 0) & in_row)
 
     # a window introduces a new minimizer exactly when its (monotone)
     # leftmost argmin differs from the previous valid window's argmin
@@ -294,19 +296,19 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     # 1D gather (2D gathers and small-table gathers are slow on this TPU)
     kv_flat = kmer_valid.astype(jnp.int32).reshape(-1)
     pos_ok = kv_flat[(row_ids * L + wp_i).reshape(-1)].reshape(R, L) == 1
-    flag = new_min & pos_ok
+    flag = lax.optimization_barrier(new_min & pos_ok)
 
     # sort-free compaction: the i-th selected window's flat id is the first
     # position where the inclusive flag-cumsum reaches i+1 (cumsum is
     # monotone, so this is one vectorized binary search — XLA sorts and
     # scatters are both far slower on TPU than scan+searchsorted)
     flat_flag = flag.reshape(-1)
-    csel = jnp.cumsum(flat_flag.astype(jnp.int32))
+    csel = lax.optimization_barrier(jnp.cumsum(flat_flag.astype(jnp.int32)))
     total = csel[-1]
     slot_id = jnp.searchsorted(
         csel, jnp.arange(1, budget + 1, dtype=jnp.int32), side="left"
     )
-    slot_id = jnp.minimum(slot_id, R * L - 1)
+    slot_id = lax.optimization_barrier(jnp.minimum(slot_id, R * L - 1))
     wp_flat = wp_i.reshape(-1)
     slot_row = (slot_id // L).astype(jnp.int32)
     slot_pos = wp_flat[slot_id]
@@ -322,6 +324,7 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
         h = u64.xxh3_64_pair_u128(
             (slot_limbs[0], slot_limbs[1]), (slot_limbs[2], slot_limbs[3])
         )
+    h = lax.optimization_barrier(h)
     return slot_row, slot_pos, slot_valid, total, h
 
 
@@ -358,7 +361,8 @@ def engine_core(
     )
 
     member, idxpos = probe_fn(h)
-    member = member & slot_valid
+    member, idxpos = lax.optimization_barrier((member & slot_valid, idxpos))
+    member = member
 
     # slots are in (row, pos) order and rid is non-decreasing over rows, so
     # srid is already sorted; invalid slots park at num_segments (the end)
@@ -399,51 +403,208 @@ def engine_core(
     return hits, totals, total
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "w", "budget", "num_segments", "max_run", "dedup_positions"
-    ),
-)
-def _engine_step(
-    codes,
-    validb,
-    mlen,
-    allow_short,
-    rid,
-    mate,
-    chunk_start,
-    index_hi,
-    index_lo,
-    *,
-    k: int,
-    w: int,
-    budget: int,
-    num_segments: int,
-    max_run: int,
-    dedup_positions: bool,
-):
-    return engine_core(
-        codes,
-        validb,
-        mlen,
-        allow_short,
-        rid,
-        mate,
-        chunk_start,
-        lambda h: probe_split_u32_pos(index_hi, index_lo, h, max_run=max_run),
-        k=k,
-        w=w,
-        budget=budget,
-        num_segments=num_segments,
-        dedup_positions=dedup_positions,
+# ---------------------------------------------------------------------------
+# Staged pipeline: six small jitted dispatches instead of one mega-program.
+#
+# The axon/XLA:TPU compiler explodes on large fused programs (observed
+# 200-700 s compiles from specific fusion interactions), and any compile
+# that long degrades the process session's runtime afterwards. Splitting at
+# the natural stage boundaries keeps every compile in seconds and every
+# stage at its measured-fast speed; intermediates stay on device, so the
+# only extra cost is ~0.1 ms dispatch per stage.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _stage_values(codes, *, k: int):
+    """codes (R, L) u8 -> (limbs..., keys): canonical value limbs at every
+    position + fmix32 selection keys."""
+    codes_u32 = codes.astype(jnp.uint32)
+    limbs = _windowed_value_limbs(codes_u32, k)
+    fold = limbs[0]
+    for x in limbs[1:]:
+        fold = fold ^ x
+    return (*limbs, _fmix32(fold))
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _stage_argmin(keys, mlen, *, w: int):
+    """keys -> wp_i: leftmost window-argmin position per window."""
+    R, L = keys.shape
+    p_idx = jnp.arange(L, dtype=jnp.int32)
+    in_row = p_idx[None, :] < mlen[:, None]
+    keys = lax.optimization_barrier(jnp.where(in_row, keys, _MAXU32))
+    wk, wp = _window_argmin(keys, w)
+    return jnp.minimum(wp.astype(jnp.int32), L - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _stage_flag_mask(wp_i, validb, mlen, allow_short, *, k: int, w: int):
+    """wp_i -> flag: new-minimizer windows whose k-mer is ACGT-valid."""
+    R, L = wp_i.shape
+    p_idx = jnp.arange(L, dtype=jnp.int32)
+    in_row = p_idx[None, :] < mlen[:, None]
+    q = p_idx[None, :]
+    win_valid = (q <= (mlen[:, None] - w)) | (
+        (q == 0) & allow_short[:, None] & (mlen[:, None] >= 1)
+    )
+    inv = (~validb).astype(jnp.int32)
+    cs = jnp.cumsum(inv, axis=1)
+    cs_end = _shift_cols(cs, k - 1)
+    cs_start = jnp.concatenate(
+        [jnp.zeros((R, 1), dtype=jnp.int32), cs[:, :-1]], axis=1
+    )
+    kmer_valid = lax.optimization_barrier(((cs_end - cs_start) == 0) & in_row)
+    prev_wp = jnp.concatenate(
+        [jnp.full((R, 1), -1, dtype=jnp.int32), wp_i[:, :-1]], axis=1
+    )
+    new_min = win_valid & ((q == 0) | (wp_i != prev_wp))
+    row_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, L))
+    kv_flat = kmer_valid.astype(jnp.int32).reshape(-1)
+    pos_ok = kv_flat[(row_ids * L + wp_i).reshape(-1)].reshape(R, L) == 1
+    return new_min & pos_ok
+
+
+def _stage_flags(keys, validb, mlen, allow_short, *, k: int, w: int):
+    wp_i = _stage_argmin(keys, mlen, w=w)
+    return wp_i, _stage_flag_mask(wp_i, validb, mlen, allow_short, k=k, w=w)
+
+
+@functools.partial(jax.jit, static_argnames=("budget",))
+def _stage_compact(flag, wp_i, *, budget: int):
+    """flags -> compacted slot ids via flag-cumsum + binary search."""
+    R, L = flag.shape
+    flat_flag = flag.reshape(-1)
+    csel = jnp.cumsum(flat_flag.astype(jnp.int32))
+    total = csel[-1]
+    slot_id = jnp.searchsorted(
+        csel, jnp.arange(1, budget + 1, dtype=jnp.int32), side="left"
+    )
+    slot_id = jnp.minimum(slot_id, R * L - 1)
+    slot_row = (slot_id // L).astype(jnp.int32)
+    slot_pos = wp_i.reshape(-1)[slot_id]
+    slot_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(total, budget)
+    return slot_row, slot_pos, slot_valid, total
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _stage_hash(limbs, slot_row, slot_pos, *, k: int):
+    """gather value limbs at slots, XXH3-64 -> hash pair (lo, hi)."""
+    L = limbs[0].shape[1]
+    slot_flat = slot_row * L + slot_pos
+    slot_limbs = [x.reshape(-1)[slot_flat] for x in limbs]
+    if k <= 32:
+        return u64.xxh3_64_pair_u64(slot_limbs[0], slot_limbs[1])
+    return u64.xxh3_64_pair_u128(
+        (slot_limbs[0], slot_limbs[1]), (slot_limbs[2], slot_limbs[3])
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_run",))
+def _stage_probe(index_hi, index_lo, hlo, hhi, slot_valid, *, max_run: int):
+    member, pos = probe_split_u32_pos(
+        index_hi, index_lo, (hlo, hhi), max_run=max_run
+    )
+    return member & slot_valid, pos
+
+
 @functools.partial(
-    jax.jit,
-    static_argnames=("k", "w", "budget", "use_entropy"),
+    jax.jit, static_argnames=("num_segments", "dedup_positions")
 )
+def _stage_count(
+    member, pos, slot_row, slot_pos, slot_valid, rid, mate, chunk_start,
+    *, num_segments: int, dedup_positions: bool,
+):
+    budget = member.shape[0]
+    srid = jnp.where(slot_valid, rid[slot_row], num_segments)
+    seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
+
+    def neq_prev(x):
+        return jnp.concatenate([jnp.ones((1,), dtype=bool), x[1:] != x[:-1]])
+
+    def boundary_sum(flags_sorted, s_rid):
+        c = jnp.cumsum(flags_sorted.astype(jnp.int32))
+        c_ex = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
+        st = jnp.searchsorted(s_rid, seg_ids, side="left")
+        en = jnp.searchsorted(s_rid, seg_ids, side="right")
+        return c_ex[en] - c_ex[st]
+
+    filler = jnp.int32(1 << 30) + jnp.arange(budget, dtype=jnp.int32)
+    poskey = jnp.where(member, pos, filler)
+    srid_h, poskey_h = lax.sort((srid, poskey), num_keys=2)
+    hit_flag = (neq_prev(srid_h) | neq_prev(poskey_h)) & (
+        poskey_h < jnp.int32(1 << 30)
+    )
+    hits = boundary_sum(hit_flag, srid_h)
+
+    if dedup_positions:
+        matepos = (mate[slot_row] << 30) | (chunk_start[slot_row] + slot_pos)
+        srid_p, matepos_p = lax.sort((srid, matepos), num_keys=2)
+        tot_flag = neq_prev(srid_p) | neq_prev(matepos_p)
+        totals = boundary_sum(tot_flag, srid_p)
+    else:
+        starts = jnp.searchsorted(srid, seg_ids, side="left")
+        ends = jnp.searchsorted(srid, seg_ids, side="right")
+        totals = ends - starts
+    return hits, totals
+
+
+def _engine_step(
+    codes, validb, mlen, allow_short, rid, mate, chunk_start,
+    index_hi, index_lo,
+    *, k: int, w: int, budget: int, num_segments: int, max_run: int,
+    dedup_positions: bool,
+):
+    """Chained staged pipeline (all dispatches async; arrays stay on device)."""
+    out = _stage_values(codes, k=k)
+    limbs, keys = out[:-1], out[-1]
+    wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)
+    slot_row, slot_pos, slot_valid, total = _stage_compact(
+        flag, wp_i, budget=budget
+    )
+    hlo, hhi = _stage_hash(limbs, slot_row, slot_pos, k=k)
+    member, pos = _stage_probe(
+        index_hi, index_lo, hlo, hhi, slot_valid, max_run=max_run
+    )
+    hits, totals = _stage_count(
+        member, pos, slot_row, slot_pos, slot_valid, rid, mate, chunk_start,
+        num_segments=num_segments, dedup_positions=dedup_positions,
+    )
+    return hits, totals, total
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _stage_entropy(
+    orig_codes, validb, slot_row, slot_pos, slot_valid, entropy_threshold,
+    *, k: int,
+):
+    """Scaled Shannon entropy filter of the ORIGINAL k-mer's ACGT
+    composition at the compacted slots (ref: src/minimizers.rs:73-121)."""
+    R, L = orig_codes.shape
+    zero = jnp.zeros((R, 1), dtype=jnp.int32)
+    oc = orig_codes.astype(jnp.int32)
+    slot_flat_end = slot_row * (L + 1) + slot_pos + k
+    slot_flat_start = slot_row * (L + 1) + slot_pos
+    counts = []
+    for c in range(4):
+        onec = ((oc == c) & validb).astype(jnp.int32)
+        cs = jnp.concatenate([zero, jnp.cumsum(onec, axis=1)], axis=1)
+        cs = lax.optimization_barrier(cs).reshape(-1)
+        counts.append((cs[slot_flat_end] - cs[slot_flat_start]).astype(jnp.float32))
+    cmat = jnp.stack(counts, axis=1)  # (budget, 4)
+    tot = cmat.sum(axis=1)
+    p = cmat / jnp.maximum(tot, 1.0)[:, None]
+    terms = jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0)
+    ent = -terms.sum(axis=1) / jnp.float32(2.0)
+    ent = jnp.where(tot > 0, ent, jnp.float32(1.0))
+    return slot_valid & (ent >= entropy_threshold)
+
+
+@jax.jit
+def _stage_srid(slot_row, slot_valid, rid):
+    return jnp.where(slot_valid, rid[slot_row], jnp.int32(2**31 - 1))
+
+
 def _extract_step(
     codes,  # (R, L) uint8 IUPAC-canonicalised 2-bit codes
     orig_codes,  # (R, L) uint8 codes of the ORIGINAL bytes (for entropy)
@@ -459,34 +620,22 @@ def _extract_step(
     use_entropy: bool,
 ):
     """Index-build extraction (ref: src/minimizers.rs:125-191): returns the
-    compacted (hashes, rids, valid, total) for host-side set accumulation."""
-    slot_row, slot_pos, slot_valid, total, h = _select_compact(
-        codes, validb, mlen, allow_short, k=k, w=w, budget=budget
+    compacted (hashes, rids, valid, total) for host-side set accumulation.
+    Staged dispatches (see the staged-pipeline note above)."""
+    out = _stage_values(codes, k=k)
+    limbs, keys = out[:-1], out[-1]
+    wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)
+    slot_row, slot_pos, slot_valid, total = _stage_compact(
+        flag, wp_i, budget=budget
     )
-
+    hlo, hhi = _stage_hash(limbs, slot_row, slot_pos, k=k)
     if use_entropy and k >= 10:
-        # scaled Shannon entropy of the ORIGINAL k-mer's ACGT composition
-        # (ref: src/minimizers.rs:73-121); counts via per-base cumsums
-        R, L = codes.shape
-        zero = jnp.zeros((R, 1), dtype=jnp.int32)
-        counts = []
-        for c in range(4):
-            onec = ((orig_codes == c) & validb).astype(jnp.int32)
-            cs = jnp.concatenate([zero, jnp.cumsum(onec, axis=1)], axis=1)
-            end = slot_pos + k
-            counts.append(
-                (cs[slot_row, end] - cs[slot_row, slot_pos]).astype(jnp.float32)
-            )
-        cmat = jnp.stack(counts, axis=1)  # (budget, 4)
-        tot = cmat.sum(axis=1)
-        p = cmat / jnp.maximum(tot, 1.0)[:, None]
-        terms = jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0)
-        ent = -terms.sum(axis=1) / jnp.float32(2.0)
-        ent = jnp.where(tot > 0, ent, jnp.float32(1.0))
-        slot_valid = slot_valid & (ent >= entropy_threshold)
-
-    srid = jnp.where(slot_valid, rid[slot_row], jnp.int32(2**31 - 1))
-    return h[0], h[1], srid, slot_valid, total
+        slot_valid = _stage_entropy(
+            orig_codes, validb, slot_row, slot_pos, slot_valid,
+            entropy_threshold, k=k,
+        )
+    srid = _stage_srid(slot_row, slot_valid, rid)
+    return hlo, hhi, srid, slot_valid, total
 
 
 @dataclass
