@@ -52,37 +52,33 @@ U32 = jnp.uint32
 _MAXU32 = jnp.uint32(0xFFFFFFFF)
 
 
-def _combine_min(ak, ap, bk, bp):
-    """Lexicographic min of (key, pos) pairs; leftmost wins ties."""
-    take_a = (ak < bk) | ((ak == bk) & (ap <= bp))
-    return jnp.where(take_a, ak, bk), jnp.where(take_a, ap, bp)
+def _window_argmin(keys_masked, w: int):
+    """(R, L) masked selection keys (top-16-bit priorities, low 16 bits
+    zero, invalid positions pre-masked to 0xFFFF0000) -> (R, L) i32
+    leftmost argmin position of each w-window.
 
-
-def _window_argmin(keys, w: int):
-    """(R, M) keys -> per-window (min key, argmin pos), windows q=0..M-1.
-
-    Window q covers keys [q, q+w-1]; positions beyond M are treated as +inf.
-    Leftmost tie-break. Doubling sparse-table: O(log w) combines.
+    The window-local position is packed into the key's low 16 bits so the
+    sliding minimum is a plain doubling MIN over ONE u32 array — the
+    (key, pos) tuple-combine formulation is an axon compile bomb (~300 s),
+    this compiles in ~1 s. Masked positions carry the maximum priority, so
+    any real k-mer (even one whose own priority is 0xFFFF0000) beats them
+    on the position tie-break. Requires L <= 65536.
     """
-    R, M = keys.shape
-    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.uint32), (R, M))
-    tk, tp = keys, pos
+    R, L = keys_masked.shape
+    pos = jnp.arange(L, dtype=jnp.uint32)[None, :]
+    t = keys_masked | pos
+
+    def shift_min(t, s):
+        pk = jnp.pad(t, ((0, 0), (0, s)), constant_values=np.uint32(0xFFFFFFFF))
+        return jnp.minimum(t, pk[:, s : s + L])
+
     span = 1
     while span * 2 <= w:
-        pk = jnp.pad(tk, ((0, 0), (0, span)), constant_values=np.uint32(0xFFFFFFFF))
-        pp = jnp.pad(tp, ((0, 0), (0, span)), constant_values=np.uint32(0xFFFFFFFF))
-        tk, tp = _combine_min(tk, tp, pk[:, span : span + M], pp[:, span : span + M])
+        t = shift_min(t, span)
         span *= 2
-    # now tk/tp hold mins over [q, q+span-1], span <= w; combine with the
-    # window's tail block [q+w-span, q+w-1]
-    shift = w - span
-    if shift > 0:
-        pk = jnp.pad(tk, ((0, 0), (0, shift)), constant_values=np.uint32(0xFFFFFFFF))
-        pp = jnp.pad(tp, ((0, 0), (0, shift)), constant_values=np.uint32(0xFFFFFFFF))
-        tk, tp = _combine_min(
-            tk, tp, pk[:, shift : shift + M], pp[:, shift : shift + M]
-        )
-    return tk, tp
+    if w - span > 0:
+        t = shift_min(t, w - span)
+    return jnp.minimum((t & U32(0xFFFF)).astype(jnp.int32), L - 1)
 
 
 def _shift_cols(x, n: int):
@@ -253,22 +249,17 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     fold = limbs[0]
     for x in limbs[1:]:
         fold = fold ^ x
-    keys = _fmix32(fold)
+    keys = _fmix32(fold) & U32(0xFFFF0000)
 
-    # invalidate positions beyond the row's k-mer count (and the tail)
+    # invalidate positions beyond the row's k-mer count (and the tail) by
+    # giving them the maximum priority (leftmost-pos tie-break keeps real
+    # k-mers ahead); the barrier keeps the mask out of the argmin fusion
+    # (an axon compile bomb: 206 s -> 1 s, measured)
     p_idx = jnp.arange(L, dtype=jnp.int32)
     in_row = p_idx[None, :] < mlen[:, None]
-    keys = jnp.where(in_row, keys, _MAXU32)
+    keys = lax.optimization_barrier(jnp.where(in_row, keys, U32(0xFFFF0000)))
 
-    # optimization_barrier: letting the mask fuse into the window-argmin
-    # explodes the axon compiler (206 s -> 1 s compile, measured); barriers
-    # at stage boundaries keep every fusion region small. A long compile
-    # also degrades the whole process session afterward, so this is
-    # load-bearing for runtime too.
-    keys = lax.optimization_barrier(keys)
-
-    wk, wp = _window_argmin(keys, w)
-    wp = lax.optimization_barrier(wp)
+    wp_i = lax.optimization_barrier(_window_argmin(keys, w))
     # window validity: full windows q <= mlen - w, plus q == 0 for whole
     # short reads (k <= n < l)
     q = p_idx[None, :]
@@ -287,7 +278,6 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
 
     # a window introduces a new minimizer exactly when its (monotone)
     # leftmost argmin differs from the previous valid window's argmin
-    wp_i = jnp.minimum(wp.astype(jnp.int32), L - 1)
     prev_wp = jnp.concatenate(
         [jnp.full((R, 1), -1, dtype=jnp.int32), wp_i[:, :-1]], axis=1
     )
@@ -415,27 +405,56 @@ def engine_core(
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _stage_unpack(packed_codes, packed_valid):
+    """(R, L/4) u8 2-bit-packed codes + (R, L/8) u8 validity bitmask ->
+    (codes u32 (R, L), validb bool (R, L)). Minimizes host->device transfer
+    (5x fewer bytes — significant over the tunneled PCIe path)."""
+    R = packed_codes.shape[0]
+    pc = packed_codes.astype(jnp.uint32)
+    codes = jnp.stack(
+        [(pc >> U32(2 * j)) & U32(3) for j in range(4)], axis=2
+    ).reshape(R, -1)
+    pv = packed_valid.astype(jnp.uint32)
+    validb = (
+        jnp.stack([(pv >> U32(j)) & U32(1) for j in range(8)], axis=2)
+        .reshape(R, -1)
+        == 1
+    )
+    return codes, validb
+
+
+def host_pack_bits(codes: np.ndarray, validb: np.ndarray):
+    """Host-side inverse of _stage_unpack (vectorized NumPy)."""
+    R, L = codes.shape
+    c = codes.reshape(R, L // 4, 4).astype(np.uint8)
+    packed_codes = c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (
+        c[:, :, 3] << 6
+    )
+    packed_valid = np.packbits(validb, axis=1, bitorder="little")
+    return packed_codes, packed_valid
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
-def _stage_values(codes, *, k: int):
+def _stage_values(codes, mlen, *, k: int):
     """codes (R, L) u8 -> (limbs..., keys): canonical value limbs at every
-    position + fmix32 selection keys."""
+    position + masked top-16-bit fmix32 selection keys (invalid/tail
+    positions pre-masked to the maximum priority 0xFFFF0000)."""
     codes_u32 = codes.astype(jnp.uint32)
     limbs = _windowed_value_limbs(codes_u32, k)
     fold = limbs[0]
     for x in limbs[1:]:
         fold = fold ^ x
-    return (*limbs, _fmix32(fold))
+    keys = _fmix32(fold) & U32(0xFFFF0000)
+    L = codes.shape[1]
+    in_row = jnp.arange(L, dtype=jnp.int32)[None, :] < mlen[:, None]
+    return (*limbs, jnp.where(in_row, keys, U32(0xFFFF0000)))
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
-def _stage_argmin(keys, mlen, *, w: int):
-    """keys -> wp_i: leftmost window-argmin position per window."""
-    R, L = keys.shape
-    p_idx = jnp.arange(L, dtype=jnp.int32)
-    in_row = p_idx[None, :] < mlen[:, None]
-    keys = lax.optimization_barrier(jnp.where(in_row, keys, _MAXU32))
-    wk, wp = _window_argmin(keys, w)
-    return jnp.minimum(wp.astype(jnp.int32), L - 1)
+def _stage_argmin(keys, *, w: int):
+    """pre-masked keys -> wp_i: leftmost window-argmin position per window."""
+    return _window_argmin(keys, w)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w"))
@@ -466,7 +485,7 @@ def _stage_flag_mask(wp_i, validb, mlen, allow_short, *, k: int, w: int):
 
 
 def _stage_flags(keys, validb, mlen, allow_short, *, k: int, w: int):
-    wp_i = _stage_argmin(keys, mlen, w=w)
+    wp_i = _stage_argmin(keys, w=w)
     return wp_i, _stage_flag_mask(wp_i, validb, mlen, allow_short, k=k, w=w)
 
 
@@ -553,10 +572,16 @@ def _engine_step(
     codes, validb, mlen, allow_short, rid, mate, chunk_start,
     index_hi, index_lo,
     *, k: int, w: int, budget: int, num_segments: int, max_run: int,
-    dedup_positions: bool,
+    dedup_positions: bool, packed: bool = False,
 ):
-    """Chained staged pipeline (all dispatches async; arrays stay on device)."""
-    out = _stage_values(codes, k=k)
+    """Chained staged pipeline (all dispatches async; arrays stay on device).
+
+    With packed=True, ``codes``/``validb`` are the bit-packed forms from
+    host_pack_bits and are unpacked on device.
+    """
+    if packed:
+        codes, validb = _stage_unpack(codes, validb)
+    out = _stage_values(codes, mlen, k=k)
     limbs, keys = out[:-1], out[-1]
     wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)
     slot_row, slot_pos, slot_valid, total = _stage_compact(
@@ -622,7 +647,7 @@ def _extract_step(
     """Index-build extraction (ref: src/minimizers.rs:125-191): returns the
     compacted (hashes, rids, valid, total) for host-side set accumulation.
     Staged dispatches (see the staged-pipeline note above)."""
-    out = _stage_values(codes, k=k)
+    out = _stage_values(codes, mlen, k=k)
     limbs, keys = out[:-1], out[-1]
     wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)
     slot_row, slot_pos, slot_valid, total = _stage_compact(
@@ -701,7 +726,7 @@ class DevicePipeline:
     """
 
     #: (row_len, rows_per_batch) tile classes, ascending; last handles chunks
-    DEFAULT_TILES = ((256, 4096), (2048, 1024), (16384, 128))
+    DEFAULT_TILES = ((256, 8192), (2048, 2048), (16384, 512))
 
     def __init__(
         self,
@@ -840,9 +865,10 @@ class DevicePipeline:
         codes, validb, mlen, allow_short, rid, mate, cstart = pack_rows(
             rows, R, L, self.k, self.l
         )
+        pc, pv = host_pack_bits(codes, validb)
         hits, totals, used = _engine_step(
-            jnp.asarray(codes),
-            jnp.asarray(validb),
+            jnp.asarray(pc),
+            jnp.asarray(pv),
             jnp.asarray(mlen),
             jnp.asarray(allow_short),
             jnp.asarray(rid),
@@ -857,6 +883,7 @@ class DevicePipeline:
             max_run=self.max_run,
             # only the largest tile class ever holds chunked long reads
             dedup_positions=(L >= self.L_max),
+            packed=True,
         )
         return hits, totals, used, budget
 

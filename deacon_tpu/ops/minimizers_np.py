@@ -169,12 +169,17 @@ def windowed_canonical_values(codes: np.ndarray, k: int):
 
 
 def kmer_selection_keys(codes: np.ndarray, k: int) -> np.ndarray:
-    """32-bit strand-canonical selection key for every k-mer position:
-    fmix32 of the XOR-fold of the canonical value's 32-bit limbs.
+    """Strand-canonical selection key for every k-mer position: the top 16
+    bits of fmix32 of the XOR-fold of the canonical value's 32-bit limbs
+    (returned as ``key & 0xFFFF0000``).
 
     Strand-symmetric because the value is canonical; elementwise-only on
     TPU (no seed tables, variable rotates, or scans — all measured slow on
-    v5e)."""
+    v5e). The low 16 bits are zero so the device engine can pack the
+    window-local position there and run the window argmin as a plain
+    doubling MIN over one u32 array (the (key, pos) tuple-combine form is
+    an axon compile bomb); ties in the 16-bit priority resolve to the
+    leftmost position in both implementations."""
     lo, hi = windowed_canonical_values(codes, k)
     if lo.size == 0:
         return np.empty(0, dtype=np.uint32)
@@ -184,7 +189,7 @@ def kmer_selection_keys(codes: np.ndarray, k: int) -> np.ndarray:
         ^ hi.astype(np.uint32)
         ^ (hi >> _U64(32)).astype(np.uint32)
     )
-    return fmix32(fold)
+    return fmix32(fold) & _U32(0xFFFF0000)
 
 
 def window_argmin_positions(keys: np.ndarray, w: int) -> np.ndarray:
