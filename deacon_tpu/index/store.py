@@ -99,8 +99,32 @@ def load_index(path: str | Path, sort: bool = True) -> MinimizerIndex:
     count, pos = bincode.decode_uint(memoryview(data), pos)
     hashes, _ = bincode.decode_u64_array(buf, pos, count)
     if sort:
-        hashes = np.unique(hashes)  # sorted + dedup (set semantics)
+        hashes = _sorted_unique(hashes)  # set semantics
     return MinimizerIndex(header, hashes)
+
+
+def _sorted_unique(hashes: np.ndarray) -> np.ndarray:
+    """np.unique, skipped when the array is already strictly increasing
+    (files this framework writes are; np.unique on 4e8 u64 costs ~minutes
+    of sort on a small host)."""
+    if hashes.size < 2:
+        return hashes
+    is_sorted = None
+    try:
+        from ..io.native_loader import native_u64_sorted_unique
+
+        is_sorted = native_u64_sorted_unique(hashes)
+    except Exception:
+        pass
+    if is_sorted is None:
+        is_sorted = bool(np.all(hashes[1:] > hashes[:-1]))
+    if is_sorted:
+        return hashes
+    hashes = np.sort(hashes)
+    keep = np.empty(hashes.size, dtype=bool)
+    keep[0] = True
+    np.not_equal(hashes[1:], hashes[:-1], out=keep[1:])
+    return hashes[keep]
 
 
 def write_index(
@@ -112,7 +136,7 @@ def write_index(
 
     ``output_path`` of None or "-" writes to stdout.
     """
-    uniq = np.unique(np.asarray(hashes, dtype=np.uint64))
+    uniq = _sorted_unique(np.asarray(hashes, dtype=np.uint64))
     payload = io.BytesIO()
     payload.write(
         bytes([header.format_version, header.kmer_length, header.window_size])

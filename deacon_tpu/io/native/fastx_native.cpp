@@ -534,4 +534,143 @@ void dx_pack_codes(const uint8_t* seq, int64_t n, uint8_t* codes,
   }
 }
 
+// Pack row byte-slices of an arena straight into the device tile layout:
+// codes4 (R x L/4): base j of a row at bits 2*(j%4) of byte j/4;
+// valid8 (R x L/8): validity bit of base j at bit j%8 of byte j/8.
+// Bit order matches the engine's on-device unpack (little-bit-order), i.e.
+// the native equivalent of engine.pack_rows + engine.host_pack_bits.
+// L must be a multiple of 8; rows beyond n_rows stay zero.
+void dx_pack_tile(const uint8_t* arena, const int64_t* starts,
+                  const int64_t* lens, int64_t n_rows, int64_t R, int64_t L,
+                  uint8_t* codes4, uint8_t* valid8) {
+  const int64_t cw = L / 4, vw = L / 8;
+  memset(codes4, 0, (size_t)(R * cw));
+  memset(valid8, 0, (size_t)(R * vw));
+  // validity lookup: A/C/G/T upper or lower case
+  static uint8_t vtab[256];
+  static bool vinit = false;
+  if (!vinit) {
+    memset(vtab, 0, sizeof(vtab));
+    vtab[(int)'A'] = vtab[(int)'C'] = vtab[(int)'G'] = vtab[(int)'T'] = 1;
+    vtab[(int)'a'] = vtab[(int)'c'] = vtab[(int)'g'] = vtab[(int)'t'] = 1;
+    vinit = true;
+  }
+  for (int64_t r = 0; r < n_rows; r++) {
+    const uint8_t* s = arena + starts[r];
+    const int64_t n = lens[r];
+    uint8_t* crow = codes4 + r * cw;
+    uint8_t* vrow = valid8 + r * vw;
+    int64_t j = 0;
+    for (; j + 8 <= n; j += 8) {
+      uint8_t c0 = (uint8_t)(((s[j + 0] >> 1) & 3) | (((s[j + 1] >> 1) & 3) << 2) |
+                             (((s[j + 2] >> 1) & 3) << 4) | (((s[j + 3] >> 1) & 3) << 6));
+      uint8_t c1 = (uint8_t)(((s[j + 4] >> 1) & 3) | (((s[j + 5] >> 1) & 3) << 2) |
+                             (((s[j + 6] >> 1) & 3) << 4) | (((s[j + 7] >> 1) & 3) << 6));
+      crow[j / 4] = c0;
+      crow[j / 4 + 1] = c1;
+      uint8_t v = 0;
+      for (int t = 0; t < 8; t++) v |= (uint8_t)(vtab[s[j + t]] << t);
+      vrow[j / 8] = v;
+    }
+    for (; j < n; j++) {
+      crow[j / 4] |= (uint8_t)(((s[j] >> 1) & 3) << (2 * (j % 4)));
+      vrow[j / 8] |= (uint8_t)(vtab[s[j]] << (j % 8));
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// bincode-standard varint u64 array codec (index file format;
+// ref: src/index.rs:130-164). Unsigned ints: <251 one raw byte; 251 + u16LE;
+// 252 + u32LE; 253 + u64LE.
+// ---------------------------------------------------------------------------
+
+// Decode `count` varints from buf[0..len) into out. Returns bytes consumed,
+// or -1 on truncated/malformed input.
+int64_t dx_decode_u64_varint(const uint8_t* buf, int64_t len, int64_t count,
+                             uint64_t* out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < count; i++) {
+    // dominant case first: for hash data ~100% of records are 0xFD+u64LE.
+    // Unrolled run of 4 keeps the branch predictor and load unit busy.
+    while (count - i >= 4 && len - pos >= 36 && buf[pos] == 253 &&
+           buf[pos + 9] == 253 && buf[pos + 18] == 253 && buf[pos + 27] == 253) {
+      uint64_t v0, v1, v2, v3;
+      memcpy(&v0, buf + pos + 1, 8);
+      memcpy(&v1, buf + pos + 10, 8);
+      memcpy(&v2, buf + pos + 19, 8);
+      memcpy(&v3, buf + pos + 28, 8);
+      out[i] = v0;
+      out[i + 1] = v1;
+      out[i + 2] = v2;
+      out[i + 3] = v3;
+      i += 4;
+      pos += 36;
+    }
+    if (i >= count) break;
+    if (pos >= len) return -1;
+    uint8_t first = buf[pos];
+    if (first == 253) {
+      if (pos + 9 > len) return -1;
+      uint64_t v;
+      memcpy(&v, buf + pos + 1, 8);
+      out[i] = v;
+      pos += 9;
+    } else if (first <= 250) {
+      out[i] = first;
+      pos += 1;
+    } else if (first == 251) {
+      if (pos + 3 > len) return -1;
+      uint16_t v;
+      memcpy(&v, buf + pos + 1, 2);
+      out[i] = v;
+      pos += 3;
+    } else if (first == 252) {
+      if (pos + 5 > len) return -1;
+      uint32_t v;
+      memcpy(&v, buf + pos + 1, 4);
+      out[i] = v;
+      pos += 5;
+    } else {
+      return -1;  // 254 (u128) unsupported for u64 arrays; 255 invalid
+    }
+  }
+  return pos;
+}
+
+// Encode `count` u64s into out (caller allocates >= 9*count). Returns bytes
+// written.
+int64_t dx_encode_u64_varint(const uint64_t* vals, int64_t count,
+                             uint8_t* out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < count; i++) {
+    uint64_t v = vals[i];
+    if (v <= 250) {
+      out[pos++] = (uint8_t)v;
+    } else if (v <= 0xFFFF) {
+      out[pos] = 251;
+      uint16_t x = (uint16_t)v;
+      memcpy(out + pos + 1, &x, 2);
+      pos += 3;
+    } else if (v <= 0xFFFFFFFFULL) {
+      out[pos] = 252;
+      uint32_t x = (uint32_t)v;
+      memcpy(out + pos + 1, &x, 4);
+      pos += 5;
+    } else {
+      out[pos] = 253;
+      memcpy(out + pos + 1, &v, 8);
+      pos += 9;
+    }
+  }
+  return pos;
+}
+
+// 1 if strictly increasing (sorted + unique), else 0.
+int dx_u64_sorted_unique(const uint64_t* vals, int64_t count) {
+  for (int64_t i = 1; i < count; i++)
+    if (vals[i] <= vals[i - 1]) return 0;
+  return 1;
+}
+
 }  // extern "C"

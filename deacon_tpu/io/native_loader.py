@@ -81,8 +81,89 @@ def get_lib():
         ]
         lib.dx_writer_close.restype = ctypes.c_int
         lib.dx_writer_close.argtypes = [ctypes.c_void_p]
+        lib.dx_pack_tile.restype = None
+        lib.dx_pack_tile.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.dx_decode_u64_varint.restype = ctypes.c_int64
+        lib.dx_decode_u64_varint.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.dx_encode_u64_varint.restype = ctypes.c_int64
+        lib.dx_encode_u64_varint.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.dx_u64_sorted_unique.restype = ctypes.c_int
+        lib.dx_u64_sorted_unique.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
+
+
+def native_pack_tile(arena: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                     R: int, L: int):
+    """Pack row slices of a byte arena into the device tile layout
+    (bit-packed codes (R, L/4) + validity (R, L/8)); None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert L % 8 == 0
+    codes4 = np.empty((R, L // 4), dtype=np.uint8)
+    valid8 = np.empty((R, L // 8), dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    lib.dx_pack_tile(
+        arena.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        len(lens), R, L,
+        codes4.ctypes.data_as(ctypes.c_void_p),
+        valid8.ctypes.data_as(ctypes.c_void_p),
+    )
+    return codes4, valid8
+
+
+def native_decode_u64_varint(buf: np.ndarray, offset: int, count: int):
+    """bincode-standard varint u64 array decode; returns (values, new_offset)
+    or None if unavailable. Raises ValueError on malformed input."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(count, dtype=np.uint64)
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    consumed = lib.dx_decode_u64_varint(
+        ctypes.c_void_p(buf.ctypes.data + offset),
+        buf.size - offset, count, out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if consumed < 0:
+        raise ValueError("Truncated or malformed bincode u64 stream")
+    return out, offset + int(consumed)
+
+
+def native_encode_u64_varint(vals: np.ndarray):
+    """bincode-standard varint encode of a u64 array; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    out = np.empty(vals.size * 9, dtype=np.uint8)
+    n = lib.dx_encode_u64_varint(
+        vals.ctypes.data_as(ctypes.c_void_p), vals.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:n].tobytes()
+
+
+def native_u64_sorted_unique(vals: np.ndarray):
+    """True/False, or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    return bool(lib.dx_u64_sorted_unique(
+        vals.ctypes.data_as(ctypes.c_void_p), vals.size
+    ))
 
 
 class NativeFastxReader:

@@ -1,0 +1,57 @@
+"""Process-wide JAX configuration for the deacon-tpu runtime.
+
+Imported (and applied) before any jitted code compiles. The critical piece
+is the persistent compilation cache: on the axon TPU backend, compiles are
+erratically slow (the same program has been observed to compile in 1 s or
+300+ s across sessions) and any multi-minute compile degrades the process's
+dispatch latency ~100x for its remaining lifetime (PERFNOTES.md #7). With
+the cache enabled, steady-state CLI runs execute only cache-hit loads.
+
+The engine's compiled programs are deliberately index-independent (see
+``build_probe_planes``'s quantized run bound), so one warm cache serves
+every index/input combination at a given tile class.
+"""
+
+from __future__ import annotations
+
+import os
+
+_APPLIED = False
+
+
+def ensure(cache_dir: str | None = None) -> None:
+    """Enable the persistent compile cache (idempotent).
+
+    Resolution order: explicit arg > $DEACON_TPU_JAX_CACHE > repo-local
+    ``.jax_cache`` if it exists (dev checkouts) > ``~/.cache/deacon_tpu``.
+    Set DEACON_TPU_JAX_CACHE=0 to disable.
+    """
+    global _APPLIED
+    if _APPLIED:
+        return
+    _APPLIED = True
+
+    env = os.environ.get("DEACON_TPU_JAX_CACHE")
+    if env == "0":
+        return
+    if cache_dir is None:
+        cache_dir = env
+    if cache_dir is None:
+        repo_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+        if os.path.isdir(repo_cache):
+            cache_dir = repo_cache
+        else:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "deacon_tpu", "jax_cache"
+            )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # persist everything, even sub-second compiles: the poisoned-regime
+        # risk makes every avoided compile worth a disk entry
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization; never fail startup over it

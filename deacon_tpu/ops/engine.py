@@ -36,6 +36,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .. import jaxenv
+
+jaxenv.ensure()
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -187,7 +191,7 @@ def build_probe_planes(index_hashes: np.ndarray):
     hi = (arr >> np.uint64(32)).astype(np.uint32)
     lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     if arr.size == 0:
-        return hi, lo, 1
+        return hi, lo, 8
     # max run of equal hi words
     change = np.nonzero(np.diff(hi))[0]
     if change.size == 0:
@@ -195,7 +199,17 @@ def build_probe_planes(index_hashes: np.ndarray):
     else:
         run_bounds = np.concatenate([[-1], change, [hi.size - 1]])
         max_run = int(np.max(np.diff(run_bounds)))
-    return hi, lo, max(1, max_run)
+    # Quantize the static unroll bound (floor 8, then powers of two) so the
+    # compiled probe program is INDEX-INDEPENDENT for all realistic indexes:
+    # random-hash indexes up to ~5.5e8 entries have hi-plane runs <= ~7, so
+    # every index compiles to the same max_run=8 program and the persistent
+    # compile cache hits across indexes (an index-content-derived bound
+    # forced a full recompile per index — minutes on axon — and left the
+    # process in the degraded-dispatch regime; PERFNOTES.md #7).
+    q = 8
+    while q < max_run:
+        q *= 2
+    return hi, lo, q
 
 
 def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int):
@@ -598,6 +612,19 @@ def _engine_step(
     return hits, totals, total
 
 
+@jax.jit
+def _stage_fuse_out(hits, totals, used):
+    """Fuse the three step outputs into ONE device array so resolve() does a
+    single device->host fetch. On the tunneled axon backend a synchronous
+    np.asarray of a device array costs seconds (each fetch pays a slow RPC
+    path), while copy_to_host_async + one fetch is ~25 ms."""
+    return jnp.concatenate([
+        hits.astype(jnp.int32),
+        totals.astype(jnp.int32),
+        used.astype(jnp.int32)[None],
+    ])
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _stage_entropy(
     orig_codes, validb, slot_row, slot_pos, slot_valid, entropy_threshold,
@@ -711,6 +738,51 @@ PACK_CODE_NP = mnp.PACK_CODE
 VALID_BASE_NP = mnp.VALID_BASE
 
 
+def pack_rows_packed(rows: list["_Row"], R: int, L: int, k: int, l: int):
+    """pack_rows + host_pack_bits fused, via the native C++ tile packer when
+    available (the NumPy path costs ~13 ms per 2 Mbases on a small host and
+    was the CLI end-to-end bottleneck; the C++ packer runs at memcpy-ish
+    speed). Returns (packed_codes, packed_valid, mlen, allow_short, rid,
+    mate, cstart)."""
+    n = len(rows)
+    mlen = np.full(R, -1, dtype=np.int32)
+    allow_short = np.zeros(R, dtype=bool)
+    rid = np.zeros(R, dtype=np.int32)
+    mate = np.zeros(R, dtype=np.int32)
+    cstart = np.zeros(R, dtype=np.int32)
+    if n == 0:
+        return (
+            np.zeros((R, L // 4), dtype=np.uint8),
+            np.zeros((R, L // 8), dtype=np.uint8),
+            mlen, allow_short, rid, mate, cstart,
+        )
+    native = None
+    try:
+        from ..io.native_loader import native_pack_tile
+
+        lens = np.fromiter((len(r.seq) for r in rows), dtype=np.int64, count=n)
+        arena = np.frombuffer(b"".join(r.seq for r in rows), dtype=np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+        native = native_pack_tile(arena, starts, lens, R, L)
+    except Exception:
+        native = None
+    if native is None:
+        codes, validb, mlen, allow_short, rid, mate, cstart = pack_rows(
+            rows, R, L, k, l
+        )
+        pc, pv = host_pack_bits(codes, validb)
+        return pc, pv, mlen, allow_short, rid, mate, cstart
+    pc, pv = native
+    mlen[:n] = lens - (k - 1)
+    allow_short[:n] = lens < l
+    rid[:n] = np.fromiter((r.rid for r in rows), dtype=np.int32, count=n)
+    mate[:n] = np.fromiter((r.mate for r in rows), dtype=np.int32, count=n)
+    cstart[:n] = np.fromiter(
+        (r.chunk_start for r in rows), dtype=np.int32, count=n
+    )
+    return pc, pv, mlen, allow_short, rid, mate, cstart
+
+
 class BudgetOverflow(RuntimeError):
     """Minimizer budget exceeded for a device batch; caller should fall back."""
 
@@ -753,7 +825,13 @@ class DevicePipeline:
         if not self.tiles:
             self.tiles = [(max(self.l, 64), 4096)]
         self.budget_frac = budget_frac
-        self.device = device
+        # Always commit arrays to an explicit device: uncommitted inputs
+        # compile with UnspecifiedValue arg shardings, which changes the
+        # persistent-cache key — a CLI run (device defaulted) would never
+        # share cache entries with bench/tests (explicit device), forcing a
+        # full recompile per process on the axon backend.
+        self.device = device if device is not None else jax.devices()[0]
+        device = self.device
         arr = np.sort(np.asarray(index_hashes, dtype=np.uint64))
         hi, lo, self.max_run = build_probe_planes(arr)
         self.index_hi = jax.device_put(jnp.asarray(hi), device)
@@ -827,8 +905,8 @@ class DevicePipeline:
                 rows_local = [
                     _Row(local[r.rid], r.mate, r.chunk_start, r.seq) for r in batch
                 ]
-                h, t, used, budget = self._launch_batch(rows_local, L, R)
-                in_flight.append((local, h, t, used, budget))
+                out, budget = self._launch_batch(rows_local, L, R)
+                in_flight.append((local, out, R, budget))
                 batch, gid_map = [], []
 
             for rows in groups:
@@ -841,13 +919,15 @@ class DevicePipeline:
         def resolve():
             hits = np.zeros(n_logical, dtype=np.int64)
             totals = np.zeros(n_logical, dtype=np.int64)
-            for local, h, t, used, budget in in_flight:
-                if int(used) > budget:
+            for local, out, R, budget in in_flight:
+                arr = np.asarray(out).astype(np.int64)
+                used = int(arr[2 * R])
+                if used > budget:
                     raise BudgetOverflow(
-                        f"minimizer budget exceeded: {int(used)} > {budget}"
+                        f"minimizer budget exceeded: {used} > {budget}"
                     )
-                hn = np.asarray(h, dtype=np.int64)
-                tn = np.asarray(t, dtype=np.int64)
+                hn = arr[:R]
+                tn = arr[R : 2 * R]
                 for g, i in local.items():
                     hits[g] += hn[i]
                     totals[g] += tn[i]
@@ -862,10 +942,9 @@ class DevicePipeline:
     def _launch_batch(self, rows: list[_Row], L: int, R: int):
         """Launch one device batch asynchronously; returns device arrays."""
         budget = (int(self.budget_frac * L * R) + 191) // 128 * 128
-        codes, validb, mlen, allow_short, rid, mate, cstart = pack_rows(
+        pc, pv, mlen, allow_short, rid, mate, cstart = pack_rows_packed(
             rows, R, L, self.k, self.l
         )
-        pc, pv = host_pack_bits(codes, validb)
         hits, totals, used = _engine_step(
             jnp.asarray(pc),
             jnp.asarray(pv),
@@ -885,7 +964,12 @@ class DevicePipeline:
             dedup_positions=(L >= self.L_max),
             packed=True,
         )
-        return hits, totals, used, budget
+        out = _stage_fuse_out(hits, totals, used)
+        try:
+            out.copy_to_host_async()  # overlap d2h with later batches
+        except Exception:
+            pass
+        return out, budget
 
     # ------------------------------------------------------------------
     # decision API

@@ -59,6 +59,15 @@ def encode_u64_array(values: np.ndarray) -> bytes:
     n = v.size
     if n == 0:
         return b""
+    if n >= 65536:  # native fast path (C++; ~memcpy speed)
+        try:
+            from ..io.native_loader import native_encode_u64_varint
+
+            data = native_encode_u64_varint(v)
+            if data is not None:
+                return data
+        except Exception:
+            pass
     lens = np.full(n, 9, dtype=np.int64)
     small = v <= np.uint64(_BYTE_MAX)
     u16 = (~small) & (v <= np.uint64(0xFFFF))
@@ -105,6 +114,17 @@ def decode_u64_array(buf: np.ndarray, offset: int, count: int) -> tuple[np.ndarr
     decode is pure NumPy; transitions between length classes cost one Python
     iteration each (rare for hash data).
     """
+    if count >= 65536:  # native fast path (C++; ~memcpy speed)
+        try:
+            from ..io.native_loader import native_decode_u64_varint
+
+            res = native_decode_u64_varint(buf, offset, count)
+            if res is not None:
+                return res
+        except ValueError:
+            raise
+        except Exception:
+            pass
     out = np.empty(count, dtype=np.uint64)
     pos = offset
     done = 0
