@@ -57,7 +57,7 @@ def main() -> None:
 
     k, w = 31, 15
     n_index = int(float(os.environ.get("DEACON_BENCH_INDEX_M", "100")) * 1e6)
-    R = int(os.environ.get("DEACON_BENCH_ROWS", "512"))
+    R = int(os.environ.get("DEACON_BENCH_ROWS", "1024"))
     L = int(os.environ.get("DEACON_BENCH_ROWLEN", "16384"))
     iters = int(os.environ.get("DEACON_BENCH_ITERS", "200"))
 
@@ -107,15 +107,14 @@ def main() -> None:
             pv = jax.device_put(jnp.asarray(pv), dev)
         packed_batches.append((pc, pv))
 
+    step = eng.engine_step_fused((k, w, budget, R, max_run, True))
+
     def launch(i):
         pc, pv = packed_batches[i % n_rot]
-        hits, totals, used = eng._engine_step(
+        return step(
             jnp.asarray(pc), jnp.asarray(pv), j_mlen, j_short,
             j_rid, j_mate, j_cstart, index_hi, index_lo,
-            k=k, w=w, budget=budget, num_segments=R, max_run=max_run,
-            dedup_positions=True, packed=True,
         )
-        return hits
 
     t0 = time.monotonic()
     launch(0).block_until_ready()

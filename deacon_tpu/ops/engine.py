@@ -625,6 +625,46 @@ def _stage_fuse_out(hits, totals, used):
     ])
 
 
+_FUSED_STEPS: dict[tuple, object] = {}
+
+
+def engine_step_fused(statics: tuple):
+    """One jitted XLA program for the ENTIRE engine step + output fusing.
+
+    vs the chain of separately-jitted stages: 1 dispatch instead of 9
+    (measured 0.04 ms vs 0.15 ms per (512,16384) step free-running) and XLA
+    may fuse across stage boundaries. The staged path remains available with
+    DEACON_TPU_STAGED=1 as a hedge against pathological whole-program
+    compiles on new tile shapes (see PERFNOTES.md compile-bomb notes).
+
+    ``statics`` = (k, w, budget, num_segments, max_run, dedup_positions).
+    Returns fn(codes, validb, mlen, allow_short, rid, mate, chunk_start,
+    index_hi, index_lo) -> fused (2R+1,) i32 output.
+    """
+    fn = _FUSED_STEPS.get(statics)
+    if fn is None:
+        k, w, budget, num_segments, max_run, dedup_positions = statics
+
+        def whole(codes, validb, mlen, allow_short, rid, mate, chunk_start,
+                  index_hi, index_lo):
+            hits, totals, used = _engine_step(
+                codes, validb, mlen, allow_short, rid, mate, chunk_start,
+                index_hi, index_lo, k=k, w=w, budget=budget,
+                num_segments=num_segments, max_run=max_run,
+                dedup_positions=dedup_positions, packed=True,
+            )
+            return jnp.concatenate([
+                hits.astype(jnp.int32),
+                totals.astype(jnp.int32),
+                used.astype(jnp.int32)[None],
+            ])
+
+        whole.__name__ = "_engine_step"  # stable persistent-cache key name
+        fn = jax.jit(whole)
+        _FUSED_STEPS[statics] = fn
+    return fn
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _stage_entropy(
     orig_codes, validb, slot_row, slot_pos, slot_valid, entropy_threshold,
@@ -945,26 +985,23 @@ class DevicePipeline:
         pc, pv, mlen, allow_short, rid, mate, cstart = pack_rows_packed(
             rows, R, L, self.k, self.l
         )
-        hits, totals, used = _engine_step(
-            jnp.asarray(pc),
-            jnp.asarray(pv),
-            jnp.asarray(mlen),
-            jnp.asarray(allow_short),
-            jnp.asarray(rid),
-            jnp.asarray(mate),
-            jnp.asarray(cstart),
-            self.index_hi,
-            self.index_lo,
-            k=self.k,
-            w=self.w,
-            budget=budget,
-            num_segments=R,
-            max_run=self.max_run,
-            # only the largest tile class ever holds chunked long reads
-            dedup_positions=(L >= self.L_max),
-            packed=True,
-        )
-        out = _stage_fuse_out(hits, totals, used)
+        args = [
+            jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(mlen),
+            jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
+            jnp.asarray(cstart), self.index_hi, self.index_lo,
+        ]
+        # only the largest tile class ever holds chunked long reads
+        statics = (self.k, self.w, budget, R, self.max_run, L >= self.L_max)
+        import os
+
+        if os.environ.get("DEACON_TPU_STAGED"):
+            hits, totals, used = _engine_step(
+                *args, k=self.k, w=self.w, budget=budget, num_segments=R,
+                max_run=self.max_run, dedup_positions=statics[-1], packed=True,
+            )
+            out = _stage_fuse_out(hits, totals, used)
+        else:
+            out = engine_step_fused(statics)(*args)
         try:
             out.copy_to_host_async()  # overlap d2h with later batches
         except Exception:
