@@ -20,7 +20,7 @@ from ..constants import TOOL_NAME, VERSION
 from ..index.store import load_index
 from ..io.fastx import FastxReader, Record, read_batch
 from ..io.writers import FastxWriter, format_record, get_writer
-from ..ops import minimizers_np as mnp
+from ..ops import host_extract
 from .backend import LocalBackend
 from .progress import FilterStats, Spinner
 from .summary import build_summary, write_summary
@@ -44,28 +44,33 @@ def _rust_bool(b: bool) -> str:
 
 
 class HostDecider:
-    """NumPy-oracle extraction + sorted-array probe; supports debug k-mers."""
+    """Host extraction (C++ engine, NumPy-oracle fallback) + sorted-array
+    probe; supports debug k-mers."""
 
     def __init__(self, backend, k: int, w: int):
         self.backend = backend
         self.k, self.w = k, w
 
     def decide_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
-        ext = [
-            mnp.get_minimizer_hashes_and_positions(s, prefix_length, self.k, self.w)
-            for s in seqs
-        ]
+        ext = host_extract.extract_filter_batch(seqs, prefix_length, self.k, self.w)
         return self.backend.decide_unpaired(
             ext, self.k, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete, cfg.debug
         )
 
     def decide_paired(self, pairs, prefix_length, cfg: FilterConfig):
-        ext = [
-            mnp.get_paired_minimizer_hashes_and_positions(
-                s1, s2, prefix_length, self.k, self.w
-            )
-            for s1, s2 in pairs
-        ]
+        flat: list[bytes] = []
+        for s1, s2 in pairs:
+            flat.append(s1)
+            flat.append(s2)
+        per = host_extract.extract_filter_batch(flat, prefix_length, self.k, self.w)
+        ext = []
+        for i in range(0, len(per), 2):
+            (h1, p1, e1), (h2, p2, e2) = per[i], per[i + 1]
+            ext.append((
+                np.concatenate([h1, h2]),
+                np.concatenate([p1, p2]),
+                (e1, e2),
+            ))
         return self.backend.decide_paired(
             ext, self.k, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete, cfg.debug
         )

@@ -11,6 +11,7 @@ import numpy as np
 from ..config import IndexConfig
 from ..constants import DIFF_STREAM_BATCH, INDEX_BUILD_BATCH, TOOL_NAME, VERSION
 from ..io.fastx import FastxReader, read_batch
+from ..ops import host_extract
 from ..ops import minimizers_np as mnp
 from . import store
 
@@ -51,15 +52,12 @@ class _Extractor:
                 return self._pipe.extract_batch(seqs)
             except self._overflow:
                 pass
-        return [
-            mnp.compute_minimizer_hashes(s, self.k, self.w, self.entropy)
-            for s in seqs
-        ]
+        return host_extract.extract_index_batch(seqs, self.k, self.w, self.entropy)
 
 
 def _extract_batch_hashes(seqs: list[bytes], k: int, w: int, entropy: float):
-    """One-shot oracle extraction (used by diff streaming)."""
-    return [mnp.compute_minimizer_hashes(s, k, w, entropy) for s in seqs]
+    """One-shot host extraction (used by diff streaming)."""
+    return host_extract.extract_index_batch(seqs, k, w, entropy)
 
 
 def build(config: IndexConfig) -> None:

@@ -7,11 +7,13 @@
 // packing, and compressed output encoding. Built with `make` (see Makefile);
 // deacon_tpu/io/fastx.py is the pure-Python fallback and correctness oracle.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <lzma.h>
@@ -671,6 +673,365 @@ int dx_u64_sorted_unique(const uint64_t* vals, int64_t count) {
   for (int64_t i = 1; i < count; i++)
     if (vals[i] <= vals[i - 1]) return 0;
   return 1;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Host minimizer-extraction engine
+//
+// The C++ twin of the NumPy oracle (deacon_tpu/ops/minimizers_np.py) and the
+// JAX device engine: identical scheme, bit-identical outputs (enforced by
+// tests/test_native_extract.py). Used as the fast host fallback path where
+// no accelerator is attached — the analogue of the reference's
+// simd-minimizers CPU path (ref: src/minimizers.rs:125-191,
+// src/filter_common.rs:211-310).
+// ===========================================================================
+
+namespace {
+
+// ---- XXH3-64 small-input paths (seed 0, default secret), matching
+// deacon_tpu/utils/xxh3.py bit-for-bit ----
+// secret[8..16]^secret[16..24] etc. of the upstream kSecret, seed 0;
+// values cross-checked against deacon_tpu/utils/xxh3.py
+constexpr uint64_t kBitflip4to8 = 0xc73ab174c5ecd5a2ULL;
+constexpr uint64_t kBitflipLo9to16 = 0x6782737bea4239b9ULL;
+constexpr uint64_t kBitflipHi9to16 = 0xaf56bc3b0996523aULL;
+constexpr uint64_t kPrimeMx2 = 0x9FB21C651E98DF25ULL;
+constexpr uint64_t kPrime64_3 = 0x165667919E3779F9ULL;
+
+static inline uint64_t rotl64(uint64_t x, int n) {
+  return (x << n) | (x >> (64 - n));
+}
+
+static inline uint64_t xxh3_u64(uint64_t v) {
+  uint64_t lo32 = v & 0xFFFFFFFFULL, hi32 = v >> 32;
+  uint64_t input64 = hi32 | (lo32 << 32);
+  uint64_t h = input64 ^ kBitflip4to8;
+  h ^= rotl64(h, 49) ^ rotl64(h, 24);
+  h *= kPrimeMx2;
+  h ^= (h >> 35) + 8ULL;
+  h *= kPrimeMx2;
+  return h ^ (h >> 28);
+}
+
+static inline uint64_t xxh3_u128(uint64_t lo, uint64_t hi) {
+  uint64_t il = lo ^ kBitflipLo9to16;
+  uint64_t ih = hi ^ kBitflipHi9to16;
+  unsigned __int128 m = (unsigned __int128)il * ih;
+  uint64_t fold = (uint64_t)m ^ (uint64_t)(m >> 64);
+  uint64_t acc = 16ULL + __builtin_bswap64(il) + ih + fold;
+  acc ^= acc >> 37;
+  acc *= kPrime64_3;
+  return acc ^ (acc >> 32);
+}
+
+static inline uint32_t fmix32(uint32_t x) {
+  x ^= x >> 16;
+  x *= 0x85EBCA6BU;
+  x ^= x >> 13;
+  x *= 0xC2B2AE35U;
+  x ^= x >> 16;
+  return x;
+}
+
+// IUPAC->ACGT canonicalisation (index side; ref: src/minimizers.rs:24-43)
+struct IupacTable {
+  uint8_t map[256];
+  IupacTable() {
+    for (int i = 0; i < 256; i++) map[i] = 'C';
+    auto set = [&](const char* src, char dst) {
+      for (const char* p = src; *p; p++) map[(uint8_t)*p] = (uint8_t)dst;
+    };
+    set("Aa", 'A'); set("Cc", 'C'); set("Gg", 'G'); set("Tt", 'T');
+    set("Rr", 'G'); set("Yy", 'C'); set("Ss", 'G'); set("Ww", 'A');
+    set("Kk", 'G'); set("Mm", 'C'); set("Bb", 'C'); set("Dd", 'G');
+    set("Hh", 'C'); set("Vv", 'G'); set("Nn", 'C');
+  }
+};
+static const IupacTable kIupac;
+
+static inline bool valid_base(uint8_t b) {
+  uint8_t u = b & 0xDF;
+  return u == 'A' || u == 'C' || u == 'G' || u == 'T';
+}
+
+// Scaled Shannon entropy of a k-mer's ACGT composition, float32 math to
+// mirror the oracle (ref: src/minimizers.rs:73-121). k < 10 always passes.
+static inline float scaled_entropy(const uint8_t* win, int k) {
+  float counts[4] = {0, 0, 0, 0};
+  float total = 0;
+  for (int j = 0; j < k; j++) {
+    switch (win[j] & 0xDF) {
+      case 'A': counts[0] += 1.0f; total += 1.0f; break;
+      case 'C': counts[1] += 1.0f; total += 1.0f; break;
+      case 'G': counts[2] += 1.0f; total += 1.0f; break;
+      case 'T': counts[3] += 1.0f; total += 1.0f; break;
+      default: break;
+    }
+  }
+  if (total <= 0.0f) return 1.0f;
+  float acc = 0.0f;
+  for (int c = 0; c < 4; c++) {
+    if (counts[c] > 0.0f) {
+      float p = counts[c] / total;
+      acc += p * log2f(p);
+    }
+  }
+  return -acc / 2.0f;
+}
+
+// Extract minimizers of one sequence. Appends (hash, position) pairs.
+// Returns count appended, or -1 if out capacity would be exceeded.
+// index_mode: IUPAC-canonicalise before selection, validity+entropy on the
+// original bytes. keys_buf is a reusable scratch vector.
+static int64_t extract_one(const uint8_t* seq, int64_t n, int k, int w,
+                           bool index_mode, float entropy_threshold,
+                           std::vector<uint32_t>& keys_buf,
+                           std::vector<uint32_t>& pos_buf,
+                           std::vector<uint64_t>& sfx_buf,
+                           uint64_t* out_h, uint32_t* out_p, int64_t cap) {
+  if (n < k) return 0;
+  const int64_t m = n - k + 1;
+  keys_buf.clear();
+  keys_buf.resize(m);
+  const int shift_top = 2 * (k - 1);
+  const bool wide = k > 32;
+  // index side selects on IUPAC-canonicalised bytes (ref:
+  // src/minimizers.rs:143-148); filter side packs the raw bytes
+  auto code_at = [&](int64_t i) -> uint32_t {
+    uint8_t b = index_mode ? kIupac.map[seq[i]] : seq[i];
+    return (b >> 1) & 3;
+  };
+
+  // Rolling canonical values + selection keys at every position.
+  // fwd = sum code[p+j] << 2j ; rc = sum (code[p+k-1-j]^2) << 2j.
+  // Pass 1 (serial recurrence, short dependency chain) stores the 32-bit
+  // XOR-folds; pass 2 applies fmix32 over the whole buffer, which the
+  // compiler auto-vectorizes (the multiply chain inside the rolling loop
+  // otherwise dominates its latency).
+  if (!wide) {
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t fwd = 0, rc = 0;
+    for (int j = 0; j < k - 1; j++) {
+      uint64_t c = code_at(j);
+      fwd |= c << (2 * j);
+      rc = (rc << 2) | (c ^ 2);
+    }
+    for (int64_t p = 0; p < m; p++) {
+      uint64_t c = code_at(p + k - 1);
+      fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
+      rc = ((rc << 2) & mask) | (c ^ 2);
+      uint64_t v = fwd <= rc ? fwd : rc;
+      keys_buf[p] = (uint32_t)v ^ (uint32_t)(v >> 32);
+    }
+  } else {
+    unsigned __int128 fwd = 0, rc = 0;
+    const unsigned __int128 mask =
+        (((unsigned __int128)1) << (2 * k)) - 1;  // k <= 57 < 64
+    for (int j = 0; j < k - 1; j++) {
+      unsigned __int128 c = code_at(j);
+      fwd |= c << (2 * j);
+      rc = (rc << 2) | (c ^ 2);
+    }
+    for (int64_t p = 0; p < m; p++) {
+      unsigned __int128 c = code_at(p + k - 1);
+      fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
+      rc = ((rc << 2) & mask) | (c ^ 2);
+      unsigned __int128 v = fwd <= rc ? fwd : rc;
+      uint64_t lo = (uint64_t)v, hi = (uint64_t)(v >> 64);
+      keys_buf[p] =
+          (uint32_t)lo ^ (uint32_t)(lo >> 32) ^ (uint32_t)hi ^ (uint32_t)(hi >> 32);
+    }
+  }
+  for (int64_t p = 0; p < m; p++) {  // vectorizable finalizer pass
+    uint32_t x = keys_buf[p];
+    x ^= x >> 16;
+    x *= 0x85EBCA6BU;
+    x ^= x >> 13;
+    x *= 0xC2B2AE35U;
+    x ^= x >> 16;
+    keys_buf[p] = x & 0xFFFF0000U;
+  }
+
+  // Window argmin with leftmost tie-break, deduplicated. van Herk/
+  // Gil-Werman block minima over (key << 32 | pos) packed u64s: a smaller
+  // pos wins key ties automatically, every loop is branch-light (a monotone
+  // deque measured ~55 MB/s on mispredicts; this form ~95 MB/s).
+  pos_buf.clear();
+  if (m <= w) {
+    uint32_t best = 0;
+    for (int64_t p = 1; p < m; p++)
+      if (keys_buf[p] < keys_buf[best]) best = (uint32_t)p;
+    pos_buf.push_back(best);
+  } else {
+    sfx_buf.clear();
+    sfx_buf.resize(m);
+    for (int64_t bs = 0; bs < m; bs += w) {
+      int64_t be = bs + w < m ? bs + w : m;
+      uint64_t run = ~0ULL;
+      for (int64_t j = be - 1; j >= bs; j--) {
+        uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
+        run = pk < run ? pk : run;
+        sfx_buf[j] = run;
+      }
+    }
+    uint64_t pfx = ~0ULL;
+    int64_t last = -1;
+    for (int64_t j = 0; j < m; j++) {
+      if (j % w == 0) pfx = ~0ULL;
+      uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
+      pfx = pk < pfx ? pk : pfx;
+      if (j >= w - 1) {
+        uint64_t s = sfx_buf[j - w + 1];
+        uint64_t win = s < pfx ? s : pfx;
+        int64_t p = (uint32_t)win;
+        if (p != last) {
+          last = p;
+          pos_buf.push_back((uint32_t)p);
+        }
+      }
+    }
+  }
+
+  // validity (no non-ACGT byte in the ORIGINAL k-mer), entropy, values, hash
+  // via direct recomputation at the selected positions (selected count is
+  // ~2m/(w+1); recompute beats buffering 16 B/base of rolling values).
+  int64_t cnt = 0;
+  for (uint32_t p : pos_buf) {
+    bool ok = true;
+    for (int j = 0; j < k; j++) {
+      if (!valid_base(seq[p + j])) { ok = false; break; }
+    }
+    if (!ok) continue;
+    if (index_mode && entropy_threshold != 0.0f && k >= 10 &&
+        scaled_entropy(seq + p, k) < entropy_threshold)
+      continue;
+    if (cnt >= cap) return -1;
+    uint64_t lo = 0, hi = 0;
+    if (!wide) {
+      uint64_t fwd = 0, rc = 0;
+      for (int j = 0; j < k; j++) {
+        uint64_t c = index_mode ? ((kIupac.map[seq[p + j]] >> 1) & 3)
+                                : ((seq[p + j] >> 1) & 3);
+        fwd |= c << (2 * j);
+        rc = (rc << 2) | (c ^ 2);
+      }
+      lo = fwd <= rc ? fwd : rc;
+      out_h[cnt] = xxh3_u64(lo);
+    } else {
+      unsigned __int128 fwd = 0, rc = 0;
+      for (int j = 0; j < k; j++) {
+        unsigned __int128 c = index_mode ? ((kIupac.map[seq[p + j]] >> 1) & 3)
+                                         : ((seq[p + j] >> 1) & 3);
+        fwd |= c << (2 * j);
+        rc = (rc << 2) | (c ^ 2);
+      }
+      unsigned __int128 v = fwd <= rc ? fwd : rc;
+      lo = (uint64_t)v;
+      hi = (uint64_t)(v >> 64);
+      out_h[cnt] = xxh3_u128(lo, hi);
+    }
+    out_p[cnt] = p;
+    cnt++;
+  }
+  return cnt;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched minimizer extraction over an arena of sequences.
+// index_mode=1: IUPAC canonicalisation + entropy filter (index build side,
+// ref: src/minimizers.rs:125-191); 0: filter side (raw 2-bit packing,
+// ref: src/filter_common.rs:211-310). Caller handles prefix truncation and
+// trailing-newline stripping via starts/lens.
+// Outputs: out_hashes/out_pos (capacity cap), out_counts per sequence.
+// Returns total minimizer count, or -1 if cap was insufficient.
+int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
+                         const int64_t* lens, int64_t n_seqs, int32_t k,
+                         int32_t w, int32_t index_mode,
+                         float entropy_threshold, uint64_t* out_hashes,
+                         uint32_t* out_pos, int64_t* out_counts,
+                         int64_t cap, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && n_threads > hw) n_threads = hw;
+  if ((int64_t)n_threads > n_seqs) n_threads = (int32_t)(n_seqs ? n_seqs : 1);
+
+  if (n_threads == 1) {
+    std::vector<uint32_t> keys_buf, pos_buf;
+    std::vector<uint64_t> sfx_buf;
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_seqs; i++) {
+      int64_t c = extract_one(arena + starts[i], lens[i], k, w,
+                              index_mode != 0, entropy_threshold, keys_buf,
+                              pos_buf, sfx_buf, out_hashes + total,
+                              out_pos + total, cap - total);
+      if (c < 0) return -1;
+      out_counts[i] = c;
+      total += c;
+    }
+    return total;
+  }
+
+  // Multi-threaded: contiguous sequence ranges balanced by total bases;
+  // each worker fills private buffers, then results are packed in order
+  // (the reference parallelizes identically with rayon par_iter over
+  // record batches; ref: src/remote_filter.rs:762-774).
+  std::vector<int64_t> cuts(n_threads + 1, 0);
+  int64_t total_bases = 0;
+  for (int64_t i = 0; i < n_seqs; i++) total_bases += lens[i];
+  {
+    int64_t acc = 0, t = 1;
+    for (int64_t i = 0; i < n_seqs && t < n_threads; i++) {
+      acc += lens[i];
+      if (acc * n_threads >= total_bases * t) cuts[t++] = i + 1;
+    }
+    for (int64_t t2 = 1; t2 < n_threads; t2++)
+      if (cuts[t2] == 0) cuts[t2] = cuts[t2 - 1];
+    cuts[n_threads] = n_seqs;
+  }
+  struct Part {
+    std::vector<uint64_t> h;
+    std::vector<uint32_t> p;
+    bool overflow = false;
+  };
+  std::vector<Part> parts(n_threads);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      Part& part = parts[t];
+      std::vector<uint32_t> keys_buf, pos_buf;
+      std::vector<uint64_t> sfx_buf;
+      std::vector<uint64_t> h1;
+      std::vector<uint32_t> p1;
+      for (int64_t i = cuts[t]; i < cuts[t + 1]; i++) {
+        int64_t max_m = lens[i] >= k ? lens[i] - k + 1 : 0;
+        h1.resize(max_m);
+        p1.resize(max_m);
+        int64_t c = extract_one(arena + starts[i], lens[i], k, w,
+                                index_mode != 0, entropy_threshold, keys_buf,
+                                pos_buf, sfx_buf, h1.data(), p1.data(), max_m);
+        if (c < 0) { part.overflow = true; return; }  // cannot happen: cap=m
+        out_counts[i] = c;
+        part.h.insert(part.h.end(), h1.begin(), h1.begin() + c);
+        part.p.insert(part.p.end(), p1.begin(), p1.begin() + c);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (auto& part : parts) total += (int64_t)part.h.size();
+  if (total > cap) return -1;
+  int64_t off = 0;
+  for (auto& part : parts) {
+    memcpy(out_hashes + off, part.h.data(), part.h.size() * 8);
+    memcpy(out_pos + off, part.p.data(), part.p.size() * 4);
+    off += (int64_t)part.h.size();
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -97,8 +97,49 @@ def get_lib():
         ]
         lib.dx_u64_sorted_unique.restype = ctypes.c_int
         lib.dx_u64_sorted_unique.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.dx_extract_batch.restype = ctypes.c_int64
+        lib.dx_extract_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
+
+
+def native_extract_batch(arena: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                         k: int, w: int, index_mode: bool,
+                         entropy_threshold: float = 0.0, n_threads: int = 0):
+    """Batched host minimizer extraction (C++ engine; bit-identical to the
+    NumPy oracle). Returns (hashes u64, positions u32, counts i64) or None
+    if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    n = len(lens)
+    counts = np.empty(n, dtype=np.int64)
+    # ~2m/(w+1) expected; start at a safe margin and double on overflow
+    cap = max(1024, int(int(lens.sum()) * 2 // (w + 1) + 64 * n))
+    while True:
+        hashes = np.empty(cap, dtype=np.uint64)
+        pos = np.empty(cap, dtype=np.uint32)
+        total = lib.dx_extract_batch(
+            arena.ctypes.data_as(ctypes.c_void_p),
+            starts.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            n, k, w, 1 if index_mode else 0,
+            ctypes.c_float(entropy_threshold),
+            hashes.ctypes.data_as(ctypes.c_void_p),
+            pos.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.c_void_p),
+            cap, n_threads if n_threads > 0 else (os.cpu_count() or 1),
+        )
+        if total >= 0:
+            return hashes[:total], pos[:total], counts
+        cap *= 2
 
 
 def native_pack_tile(arena: np.ndarray, starts: np.ndarray, lens: np.ndarray,

@@ -1,0 +1,92 @@
+"""Differential tests: C++ host extraction engine == NumPy oracle.
+
+The native engine (io/native/fastx_native.cpp dx_extract_batch) must be
+bit-identical to ops/minimizers_np.py on both the filter side
+(ref: src/filter_common.rs:211-310) and the index side
+(ref: src/minimizers.rs:125-191), including IUPAC handling, validity
+windows, entropy filtering, the k>32 u128 value path, and edge cases.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from deacon_tpu.io.native_loader import get_lib, native_extract_batch
+from deacon_tpu.ops import host_extract
+from deacon_tpu.ops import minimizers_np as mnp
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native library unavailable"
+)
+
+ALPHABETS = [
+    b"ACGT",
+    b"ACGTacgt",
+    b"ACGTNRYSWKMBDHVn",  # IUPAC + lowercase n
+    b"ACGT\nX-",  # junk bytes
+    b"AAAC",  # low-entropy-ish
+]
+
+
+def _rand_seqs(rng, alphabet, n_seqs, max_len):
+    out = []
+    a = np.frombuffer(alphabet, dtype=np.uint8)
+    for _ in range(n_seqs):
+        n = int(rng.integers(0, max_len + 1))
+        out.append(rng.choice(a, n).astype(np.uint8).tobytes())
+    return out
+
+
+@pytest.mark.parametrize("k,w", [(31, 15), (5, 3), (41, 15), (21, 1), (56, 9)])
+@pytest.mark.parametrize("alphabet", ALPHABETS)
+def test_filter_side_matches_oracle(k, w, alphabet):
+    rng = np.random.default_rng(zlib.crc32(repr((k, w, alphabet)).encode()))
+    seqs = _rand_seqs(rng, alphabet, 40, 400)
+    seqs += [b"", b"A" * (k - 1) if k > 1 else b"", b"A" * k, b"A" * (k + w)]
+    for prefix in (0, 100):
+        got = host_extract.extract_filter_batch(seqs, prefix, k, w)
+        for s, (h, p, e) in zip(seqs, got):
+            oh, op, oe = mnp.get_minimizer_hashes_and_positions(s, prefix, k, w)
+            assert e == oe
+            np.testing.assert_array_equal(p, op)
+            np.testing.assert_array_equal(h, oh)
+
+
+@pytest.mark.parametrize("k,w", [(31, 15), (41, 15), (11, 5)])
+@pytest.mark.parametrize("entropy", [0.0, 0.01, 0.5, 0.9])
+@pytest.mark.parametrize("alphabet", [b"ACGT", b"ACGTNryn", b"AAAAAAAC"])
+def test_index_side_matches_oracle(k, w, entropy, alphabet):
+    rng = np.random.default_rng(zlib.crc32(repr((k, w, entropy, alphabet)).encode()))
+    seqs = _rand_seqs(rng, alphabet, 25, 300)
+    seqs += [b"A" * 100, b"ACGT" * 50, b"AC" * 60]
+    got = host_extract.extract_index_batch(seqs, k, w, entropy)
+    for s, h in zip(seqs, got):
+        oh = mnp.compute_minimizer_hashes(s, k, w, entropy)
+        np.testing.assert_array_equal(h, oh)
+
+
+def test_long_read_and_overflow_regrow():
+    rng = np.random.default_rng(7)
+    a = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [rng.choice(a, 100_000).astype(np.uint8).tobytes()]
+    got = host_extract.extract_filter_batch(seqs, 0, 31, 15)
+    oh, op, oe = mnp.get_minimizer_hashes_and_positions(seqs[0], 0, 31, 15)
+    np.testing.assert_array_equal(got[0][0], oh)
+    np.testing.assert_array_equal(got[0][1], op)
+    # direct native call with a forced-tiny capacity exercises the regrow loop
+    lens = np.array([len(seqs[0])], dtype=np.int64)
+    starts = np.array([0], dtype=np.int64)
+    arena = np.frombuffer(seqs[0], dtype=np.uint8)
+    res = native_extract_batch(arena, starts, lens, 31, 15, index_mode=False)
+    np.testing.assert_array_equal(res[0], oh)
+
+
+def test_homopolymer_single_minimizer_per_window_run():
+    # all-identical k-mers: every window picks the leftmost position 0 key...
+    # the deque dedup must still emit strictly increasing positions
+    s = b"A" * 200
+    got = host_extract.extract_filter_batch([s], 0, 31, 15)
+    oh, op, _ = mnp.get_minimizer_hashes_and_positions(s, 0, 31, 15)
+    np.testing.assert_array_equal(got[0][1], op)
+    np.testing.assert_array_equal(got[0][0], oh)
