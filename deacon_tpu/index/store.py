@@ -62,10 +62,29 @@ class MinimizerIndex:
         return int(self.hashes.size)
 
     def contains(self, queries: np.ndarray) -> np.ndarray:
-        """Vectorized membership of uint64 queries against the sorted array."""
+        """Vectorized membership of uint64 queries against the sorted array.
+
+        Large indexes use the native bucketed probe (np.searchsorted costs
+        ~17 us/query at 50M entries from random DRAM reads plus per-element
+        overhead; the bucket table keeps each search inside cache lines)."""
         q = np.asarray(queries, dtype=np.uint64)
         if self.hashes.size == 0 or q.size == 0:
             return np.zeros(q.shape, dtype=bool)
+        if self.hashes.size >= 262_144:
+            probe = getattr(self, "_native_probe", None)
+            if probe is None and not getattr(self, "_native_probe_failed", False):
+                try:
+                    from ..io.native_loader import native_probe
+
+                    probe = native_probe(self.hashes)
+                except Exception:
+                    probe = None
+                if probe is None:
+                    object.__setattr__(self, "_native_probe_failed", True)
+                else:
+                    object.__setattr__(self, "_native_probe", probe)
+            if probe is not None:
+                return probe.query(q).reshape(q.shape)
         idx = np.searchsorted(self.hashes, q)
         idx_c = np.minimum(idx, self.hashes.size - 1)
         return self.hashes[idx_c] == q

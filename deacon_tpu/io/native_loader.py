@@ -97,6 +97,14 @@ def get_lib():
         ]
         lib.dx_u64_sorted_unique.restype = ctypes.c_int
         lib.dx_u64_sorted_unique.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.dx_probe_build.restype = ctypes.c_void_p
+        lib.dx_probe_build.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.dx_probe_free.argtypes = [ctypes.c_void_p]
+        lib.dx_probe_query.restype = None
+        lib.dx_probe_query.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.dx_extract_batch.restype = ctypes.c_int64
         lib.dx_extract_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -194,6 +202,50 @@ def native_encode_u64_varint(vals: np.ndarray):
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out[:n].tobytes()
+
+
+class NativeProbe:
+    """Bucketed membership probe over a sorted unique uint64 array.
+
+    ~100x faster than np.searchsorted for large indexes (a 2^16-bucket
+    offset table keeps each lookup inside a few cache lines). Keeps a
+    reference to the keys array (the C side reads it on every query).
+    """
+
+    def __init__(self, keys: np.ndarray, lib):
+        self._lib = lib
+        self._keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        self._h = lib.dx_probe_build(
+            self._keys.ctypes.data_as(ctypes.c_void_p), self._keys.size
+        )
+
+    def query(self, q: np.ndarray) -> np.ndarray:
+        q = np.ascontiguousarray(q, dtype=np.uint64)
+        out = np.empty(q.size, dtype=np.uint8)
+        self._lib.dx_probe_query(
+            self._h,
+            self._keys.ctypes.data_as(ctypes.c_void_p),
+            q.ctypes.data_as(ctypes.c_void_p),
+            q.size,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out.view(bool)
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.dx_probe_free(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+
+def native_probe(keys: np.ndarray):
+    """Build a NativeProbe, or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return NativeProbe(keys, lib)
 
 
 def native_u64_sorted_unique(vals: np.ndarray):
