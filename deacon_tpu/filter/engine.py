@@ -158,7 +158,11 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     """Pick the decision pipeline: device engine unless debug/numpy/remote.
 
     With device="auto", small jobs (small index AND small input file) stay on
-    the NumPy host path — JAX import + first-compile overhead would dominate.
+    the host path — JAX import + first-compile overhead would dominate. A
+    tunneled accelerator (the experimental `axon` remote-TPU platform) is
+    also skipped: its per-batch result materializations run ~100x below chip
+    speed (PERFNOTES.md "cassette" notes), so the C++ host engine is
+    strictly faster end-to-end there. Force with --device tpu.
     """
     host = HostDecider(backend, k, w)
     if index is None or cfg.debug or cfg.device == "numpy":
@@ -176,12 +180,25 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
             and input_size < 16_000_000
         ):
             return host
+        if _default_backend_is_tunneled():
+            return host
     try:
         return DeviceDecider(index, k, w, cfg.device, host)
     except Exception:
         if cfg.device in ("tpu", "cpu"):
             raise
         return host
+
+
+def _default_backend_is_tunneled() -> bool:
+    """True when the default JAX backend is a remote/tunneled accelerator
+    whose device->host materializations are pathologically slow."""
+    try:
+        import jax
+
+        return "axon" in jax.devices()[0].client.platform_version.lower()
+    except Exception:
+        return False
 
 
 def run(config: FilterConfig) -> None:
