@@ -78,6 +78,10 @@ def _add_filter_like_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--device", default="auto",
                    choices=["auto", "tpu", "cpu", "numpy"],
                    help="compute backend (TPU-native extension flag)")
+    p.add_argument("--mesh", default=None, metavar="DATAxSHARD",
+                   help="device mesh, e.g. 2x4: reads data-parallel over "
+                        "DATA chips, index range-sharded over SHARD chips "
+                        "(TPU-native extension flag)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -220,6 +224,7 @@ def main(argv: list[str] | None = None) -> int:
                 debug=args.debug,
                 quiet=args.quiet,
                 device=args.device,
+                mesh=args.mesh,
             ).execute()
         elif args.command == "server":
             from .server.app import run_server

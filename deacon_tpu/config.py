@@ -40,6 +40,9 @@ class FilterConfig:
     # TPU-native extras (not in the reference surface):
     device: str = "auto"  # "auto" | "tpu" | "cpu" | "numpy"
     batch_size: int = 10_000
+    #: device mesh "DATAxSHARD" (e.g. "2x4"): rows data-parallel over DATA
+    #: chips, index range-sharded over SHARD chips, psum-merged (SURVEY §2.3)
+    mesh: str | None = None
 
     def execute(self) -> None:
         from .filter.engine import run

@@ -154,6 +154,63 @@ class DeviceDecider:
         return done
 
 
+class ShardedDecider:
+    """Multi-chip decider: rows data-parallel, index range-sharded across the
+    mesh's shard axis, per-shard membership psum-merged (SURVEY §2.3;
+    parallel/sharded.py). Falls back to the host decider on overflow."""
+
+    def __init__(self, index, k: int, w: int, mesh_spec: str, fallback):
+        from ..parallel.multihost import maybe_init_distributed
+        from ..parallel.sharded import ShardedPipeline, make_mesh
+
+        maybe_init_distributed()
+        try:
+            n_data, n_shard = (int(x) for x in mesh_spec.lower().split("x"))
+        except ValueError as e:
+            raise ValueError(
+                f"--mesh must be DATAxSHARD (e.g. 2x4), got {mesh_spec!r}"
+            ) from e
+        self.pipe = ShardedPipeline(index.hashes, k, w, make_mesh(n_data, n_shard))
+        self.fallback = fallback
+        from ..ops.engine import BudgetOverflow
+
+        self._overflow = BudgetOverflow
+
+    def _decide(self, hits, totals, cfg: FilterConfig):
+        from .thresholds import keep_mask_batch
+
+        keep = keep_mask_batch(
+            hits, totals, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete
+        )
+        return [
+            (bool(kp), int(h), int(t), [])
+            for kp, h, t in zip(keep, hits, totals)
+        ]
+
+    def decide_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
+        try:
+            hits, totals = self.pipe.counts_single(seqs, prefix_length)
+        except self._overflow:
+            return self.fallback.decide_unpaired(seqs, prefix_length, cfg)
+        return self._decide(hits, totals, cfg)
+
+    def decide_paired(self, pairs, prefix_length, cfg: FilterConfig):
+        try:
+            hits, totals = self.pipe.counts_paired(pairs, prefix_length)
+        except self._overflow:
+            return self.fallback.decide_paired(pairs, prefix_length, cfg)
+        return self._decide(hits, totals, cfg)
+
+    # synchronous: the sharded pipeline resolves within the call
+    def launch_unpaired(self, seqs, prefix_length, cfg):
+        result = self.decide_unpaired(seqs, prefix_length, cfg)
+        return lambda: result
+
+    def launch_paired(self, pairs, prefix_length, cfg):
+        result = self.decide_paired(pairs, prefix_length, cfg)
+        return lambda: result
+
+
 def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     """Pick the decision pipeline: device engine unless debug/numpy/remote.
 
@@ -167,6 +224,8 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     host = HostDecider(backend, k, w)
     if index is None or cfg.debug or cfg.device == "numpy":
         return host
+    if getattr(cfg, "mesh", None):
+        return ShardedDecider(index, k, w, cfg.mesh, host)
     if cfg.device == "auto":
         import os
 

@@ -25,7 +25,11 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import engine as eng
@@ -42,16 +46,21 @@ def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
 
 
 def _sharded_step(
-    codes, validb, mlen, allow_short, rid, mate, chunk_start,
+    codes_p, valid_p, mlen, allow_short, rid, mate, chunk_start,
     index_hi, index_lo,
     *, k, w, budget, num_segments, max_run,
 ):
     """Runs per-device under shard_map: local rows x local index shard.
 
+    ``codes_p``/``valid_p`` arrive bit-packed (4 bases + 8 validity bits per
+    byte) from the native host packer and are unpacked on device — 5x fewer
+    bytes over PCIe/ICI than raw (R, L) u8 planes.
+
     An equal-hi run split across two shards is still covered exactly: the
     query's local searchsorted lands at the run's continuation (position 0)
     on the next shard, and membership ORs across shards via the psum.
     """
+    codes, validb = eng._stage_unpack(codes_p, valid_p)
 
     def probe(h):
         member_l, pos_l = eng.probe_split_u32_pos(
@@ -139,16 +148,18 @@ class ShardedPipeline:
             num_segments=self.Rs,
             max_run=max_run,
         )
-        mapped = shard_map(
-            fn,
+        smap_kwargs = dict(
             mesh=mesh,
             in_specs=(
                 P("data"), P("data"), P("data"), P("data"),
                 P("data"), P("data"), P("data"), P("shard"), P("shard"),
             ),
             out_specs=(P("data"), P("data"), P(("data",))),
-            check_rep=False,
         )
+        try:  # jax >= 0.8 renamed check_rep -> check_vma
+            mapped = shard_map(fn, check_vma=False, **smap_kwargs)
+        except TypeError:
+            mapped = shard_map(fn, check_rep=False, **smap_kwargs)
         self._fn = jax.jit(mapped, in_shardings=self._in_shardings)
 
     # ------------------------------------------------------------------
@@ -220,8 +231,8 @@ class ShardedPipeline:
 
     def _run_global_batch(self, shard_rows: list[list[eng._Row]]):
         R, L = self.R, self.L
-        codes = np.zeros((R, L), dtype=np.uint8)
-        validb = np.zeros((R, L), dtype=bool)
+        codes_p = np.zeros((R, L // 4), dtype=np.uint8)
+        valid_p = np.zeros((R, L // 8), dtype=np.uint8)
         mlen = np.full(R, -1, dtype=np.int32)
         allow_short = np.zeros(R, dtype=bool)
         rid = np.zeros(R, dtype=np.int32)
@@ -229,14 +240,14 @@ class ShardedPipeline:
         cstart = np.zeros(R, dtype=np.int32)
         for d, rows in enumerate(shard_rows):
             base = d * self.Rs
-            (codes[base : base + self.Rs], validb[base : base + self.Rs],
+            (codes_p[base : base + self.Rs], valid_p[base : base + self.Rs],
              mlen[base : base + self.Rs], allow_short[base : base + self.Rs],
              rid[base : base + self.Rs], mate[base : base + self.Rs],
-             cstart[base : base + self.Rs]) = eng.pack_rows(
+             cstart[base : base + self.Rs]) = eng.pack_rows_packed(
                 rows, self.Rs, L, self.k, self.l
             )
         hits, totals, used = self._fn(
-            jnp.asarray(codes), jnp.asarray(validb), jnp.asarray(mlen),
+            jnp.asarray(codes_p), jnp.asarray(valid_p), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
             jnp.asarray(cstart), self.index_hi, self.index_lo,
         )

@@ -48,3 +48,51 @@ def test_sharded_counts_match_oracle():
         member = index.contains(h)
         oh = int(np.unique(h[member]).size)
         assert (hp[i], tp[i]) == (oh, h.size), f"pair {i}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_paired_matches_oracle():
+    from deacon_tpu.parallel.sharded import ShardedPipeline, make_mesh
+
+    genome = rs(2500)
+    idx_hashes = np.unique(mnp.compute_minimizer_hashes(genome, 31, 15))
+    index = MinimizerIndex(IndexHeader.new(31, 15), idx_hashes)
+    pipe = ShardedPipeline(
+        idx_hashes, 31, 15, make_mesh(4, 2), row_len=256, rows_per_shard=16
+    )
+    pairs = [
+        (genome[100:250], genome[100:250]),  # shared minimizers count once
+        (rs(150), genome[300:450]),          # one matching mate
+        (rs(120), rs(130)),
+        (genome[50:95], b"A" * 40),
+    ]
+    hits, totals = pipe.counts_paired(pairs, 0)
+    for i, (s1, s2) in enumerate(pairs):
+        h, _, _ = mnp.get_paired_minimizer_hashes_and_positions(s1, s2, 0, 31, 15)
+        member = index.contains(h)
+        assert hits[i] == np.unique(h[member]).size, f"pair {i}"
+        assert totals[i] == h.size, f"pair {i}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cli_filter_mesh(tmp_path):
+    """--mesh 2x4 end-to-end through the CLI on the virtual device mesh."""
+    from helpers import run_cli, write_fasta, write_fastq, random_dna
+
+    genome = random_dna(4000)
+    write_fasta(tmp_path / "host.fa", [("chr", genome)])
+    run_cli(["index", "build", tmp_path / "host.fa", "-o", tmp_path / "h.idx", "-q"])
+    reads = [
+        ("host1", genome[500:800]),
+        ("rand1", random_dna(300)),
+        ("host2", genome[1000:1300]),
+        ("rand2", random_dna(300)),
+    ]
+    write_fastq(tmp_path / "reads.fq", reads)
+    run_cli([
+        "filter", tmp_path / "h.idx", tmp_path / "reads.fq",
+        "-o", tmp_path / "out.fq", "--mesh", "2x4", "-q",
+    ])
+    out = (tmp_path / "out.fq").read_text()
+    assert "@host1" in out and "@host2" in out
+    assert "rand1" not in out and "rand2" not in out
