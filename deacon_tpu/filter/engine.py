@@ -260,6 +260,91 @@ def _default_backend_is_tunneled() -> bool:
         return False
 
 
+def _run_native_pipeline(
+    config: FilterConfig, index, decider, k: int, w: int,
+    stats: "FilterStats", quiet: bool, start_time: float,
+) -> bool:
+    """Fully native C++ pipeline (io/native dx_filter_run): reader thread ->
+    extraction/probe/decide worker pool -> ordered writer, with zero
+    per-record Python work. Used when the decision would run on the host
+    anyway (HostDecider), debug is off and a local index is loaded. Returns
+    True when it ran (stats filled, output files written and finished);
+    False to fall back to the Python-orchestrated path."""
+    if index is None or config.debug or not isinstance(decider, HostDecider):
+        return False
+    if config.device != "auto":
+        return False  # numpy = pure-Python oracle path; tpu/cpu = device path
+    from ..io.writers import resolve_codec
+
+    # level validation must propagate (ref: src/local_filter.rs:95-107)
+    out_codec = resolve_codec(config.output_path, config.compression_level)
+    output2 = None
+    out2_codec = 0
+    if config.output2_path is not None and config.input2_path is not None:
+        output2 = config.output2_path
+        out2_codec = resolve_codec(output2, config.compression_level)
+    try:
+        from ..io.native_loader import get_lib, native_filter_run, native_probe
+
+        if get_lib() is None:
+            return False
+        probe = native_probe(index.hashes)
+        if probe is None:
+            return False
+    except Exception:
+        return False
+
+    import threading
+
+    progress = np.zeros(6, dtype=np.int64)
+    spinner = Spinner(not quiet)
+    stop = threading.Event()
+
+    def _poll():
+        view = FilterStats()
+        while not stop.wait(0.1):
+            view.total_seqs = int(progress[0])
+            view.filtered_seqs = int(progress[1])
+            view.total_bp = int(progress[2])
+            view.output_bp = int(progress[3])
+            spinner.update(view, start_time)
+
+    poller = threading.Thread(target=_poll, daemon=True)
+    poller.start()
+    try:
+        native_filter_run(
+            config.input_path,
+            config.input2_path,
+            config.output_path,
+            output2,
+            out_codec,
+            config.compression_level,
+            out2_codec,
+            config.compression_level,
+            probe,
+            k,
+            w,
+            config.prefix_length,
+            config.abs_threshold,
+            config.rel_threshold,
+            config.deplete,
+            config.rename,
+            config.threads,
+            progress,
+        )
+    finally:
+        stop.set()
+        poller.join()
+        spinner.finish()
+    stats.total_seqs = int(progress[0])
+    stats.filtered_seqs = int(progress[1])
+    stats.total_bp = int(progress[2])
+    stats.output_bp = int(progress[3])
+    stats.filtered_bp = int(progress[4])
+    stats.output_seq_counter = int(progress[5])
+    return True
+
+
 def run(config: FilterConfig) -> None:
     start_time = time.monotonic()
     tool_version = f"{TOOL_NAME} {VERSION}"
@@ -313,14 +398,21 @@ def run(config: FilterConfig) -> None:
 
     decider = make_decider(index, backend, k, w, config)
 
+    stats = FilterStats()
+    filtering_start = time.monotonic()
+    if _run_native_pipeline(
+        config, index, decider, k, w, stats, quiet, filtering_start
+    ):
+        _finish_run(config, stats, start_time, quiet, tool_version,
+                    summary_index, k, w)
+        return
+
     writer = get_writer(config.output_path, config.compression_level)
     writer2: FastxWriter | None = None
     if config.output2_path is not None and config.input2_path is not None:
         writer2 = get_writer(config.output2_path, config.compression_level)
 
-    stats = FilterStats()
     spinner = Spinner(not quiet)
-    filtering_start = time.monotonic()
     buffer = bytearray()
     buffer2 = bytearray()
 
@@ -451,6 +543,15 @@ def run(config: FilterConfig) -> None:
     if writer2 is not None:
         writer2.finish()
 
+    _finish_run(config, stats, start_time, quiet, tool_version, summary_index,
+                k, w)
+
+
+def _finish_run(
+    config: FilterConfig, stats: "FilterStats", start_time: float,
+    quiet: bool, tool_version: str, summary_index: str, k: int, w: int,
+) -> None:
+    """Final stderr stats line + optional summary JSON (C11/C12)."""
     total_time = time.monotonic() - start_time
     output_seqs = stats.total_seqs - stats.filtered_seqs
     seqs_per_sec = stats.total_seqs / total_time if total_time > 0 else 0.0

@@ -7,11 +7,17 @@
 // packing, and compressed output encoding. Built with `make` (see Makefile);
 // deacon_tpu/io/fastx.py is the pure-Python fallback and correctness oracle.
 
+#include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -1083,6 +1089,505 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
     off += (int64_t)part.h.size();
   }
   return total;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Fully native streaming filter pipeline
+//
+// The C++ twin of deacon_tpu/filter/engine.py's host path: a reader thread
+// parses records into batches, a worker pool extracts minimizers + probes
+// the index + applies thresholds, and an ordered writer thread formats and
+// writes kept records (the paraseq reader / rayon workers / locked writer
+// architecture of the reference, ref: src/local_filter.rs:153-187,345-573,
+// re-expressed as an explicit pipeline). Semantics (distinct-hit counting,
+// pair-union, threshold math, rename numbering, stats) are bit-identical to
+// the Python engine; tests/test_native_pipeline.py enforces it.
+// ===========================================================================
+
+namespace {
+
+struct FBatch {
+  int64_t seq_no = 0;
+  int64_t n_units = 0;  // records (single) or pairs (paired)
+  bool paired = false;
+  std::vector<uint8_t> arena;
+  std::vector<int64_t> meta;  // 6 per record: id_off,id_len,seq_off,seq_len,qual_off,qual_len
+  std::vector<uint8_t> keep;  // per unit (worker output)
+};
+
+struct FQueue {
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<FBatch*> q;
+  size_t cap;
+  bool closed = false;
+  explicit FQueue(size_t c) : cap(c) {}
+  bool push(FBatch* b) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_push.wait(lk, [&] { return q.size() < cap || closed; });
+    if (closed) return false;
+    q.push_back(b);
+    cv_pop.notify_one();
+    return true;
+  }
+  bool pop(FBatch*& out) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_pop.wait(lk, [&] { return !q.empty() || closed; });
+    if (q.empty()) return false;
+    out = q.front();
+    q.pop_front();
+    cv_push.notify_one();
+    return true;
+  }
+  void close() {
+    std::lock_guard<std::mutex> lk(mu);
+    closed = true;
+    cv_push.notify_all();
+    cv_pop.notify_all();
+  }
+};
+
+struct FilterJob {
+  // index
+  const uint64_t* keys = nullptr;
+  const int64_t* bucket_off = nullptr;  // 65537 entries (dx_probe_build)
+  // params
+  int k = 31, w = 15;
+  int64_t prefix_len = 0;
+  int64_t abs_threshold = 2;
+  double rel_threshold = 0.01;
+  bool deplete = false, rename = false;
+  // io
+  DxWriter* w1 = nullptr;
+  DxWriter* w2 = nullptr;
+  // pipeline
+  FQueue work{4};
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+  std::map<int64_t, FBatch*> done;
+  int64_t next_write = 0;
+  std::atomic<int64_t> total_batches{-1};
+  std::atomic<bool> failed{false};
+  std::mutex err_mu;
+  std::string err;
+  // stats (writer-thread-owned; mirrored into `progress` for live polling)
+  int64_t total_seqs = 0, filtered_seqs = 0, total_bp = 0;
+  int64_t output_bp = 0, filtered_bp = 0, out_counter = 0;
+  int64_t* progress = nullptr;  // [6]
+
+  void fail(const std::string& m) {
+    {
+      std::lock_guard<std::mutex> lk(err_mu);
+      if (err.empty()) err = m;
+    }
+    failed.store(true);
+    work.close();
+    done_cv.notify_all();
+  }
+};
+
+// membership probe against the bucketed sorted array (same algorithm as
+// dx_probe_query)
+static inline bool probe_one(const uint64_t* keys, const int64_t* off,
+                             uint64_t v) {
+  int64_t lo = off[v >> 48], hi = off[(v >> 48) + 1];
+  int64_t end = hi;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (keys[mid] < v) lo = mid + 1;
+    else hi = mid;
+  }
+  return lo < end && keys[lo] == v;
+}
+
+// distinct index hits among `hashes` (seen-set semantics,
+// ref: src/filter_common.rs:129-155): collect matches, sort, count unique.
+static int64_t count_distinct_hits(const FilterJob& J, const uint64_t* hashes,
+                                   int64_t n, std::vector<uint64_t>& scratch) {
+  scratch.clear();
+  constexpr int kAhead = 8;
+  for (int64_t i = 0; i < n; i++) {
+    if (i + kAhead < n) {
+      uint64_t qa = hashes[i + kAhead];
+      int64_t b = (int64_t)(qa >> 48);
+      __builtin_prefetch(&J.keys[(J.bucket_off[b] + J.bucket_off[b + 1]) / 2]);
+    }
+    if (probe_one(J.keys, J.bucket_off, hashes[i])) scratch.push_back(hashes[i]);
+  }
+  if (scratch.empty()) return 0;
+  std::sort(scratch.begin(), scratch.end());
+  int64_t distinct = 1;
+  for (size_t i = 1; i < scratch.size(); i++)
+    if (scratch[i] != scratch[i - 1]) distinct++;
+  return distinct;
+}
+
+// keep decision (ref: src/filter_common.rs:84-112; Rust f64::round is
+// half-away-from-zero and rel >= 0, so floor(x + 0.5))
+static inline bool keep_decision(const FilterJob& J, int64_t hits,
+                                 int64_t total) {
+  int64_t rel_req =
+      total == 0
+          ? 0
+          : std::max<int64_t>(
+                1, (int64_t)std::floor(J.rel_threshold * (double)total + 0.5));
+  int64_t required = std::max(J.abs_threshold, rel_req);
+  return J.deplete ? hits < required : hits >= required;
+}
+
+static void filter_worker(FilterJob& J) {
+  std::vector<uint32_t> keys_buf, pos_buf;
+  std::vector<uint64_t> sfx_buf, hashes, scratch;
+  std::vector<uint32_t> posv;
+  FBatch* b;
+  while (J.work.pop(b)) {
+    if (J.failed.load()) {
+      delete b;
+      continue;
+    }
+    b->keep.resize(b->n_units);
+    const int recs_per_unit = b->paired ? 2 : 1;
+    for (int64_t u = 0; u < b->n_units; u++) {
+      hashes.clear();
+      for (int r = 0; r < recs_per_unit; r++) {
+        const int64_t* m = b->meta.data() + 6 * (u * recs_per_unit + r);
+        int64_t len = m[3];
+        if (J.prefix_len > 0 && len > J.prefix_len) len = J.prefix_len;
+        int64_t max_m = len >= J.k ? len - J.k + 1 : 0;
+        if (max_m <= 0) continue;
+        size_t base = hashes.size();
+        hashes.resize(base + max_m);
+        posv.resize(max_m);
+        int64_t c = extract_one(b->arena.data() + m[2], len, J.k, J.w,
+                                /*index_mode=*/false, 0.0f, keys_buf, pos_buf,
+                                sfx_buf, hashes.data() + base, posv.data(),
+                                max_m);
+        hashes.resize(base + (c > 0 ? c : 0));
+      }
+      int64_t total = (int64_t)hashes.size();
+      int64_t hits =
+          count_distinct_hits(J, hashes.data(), total, scratch);
+      b->keep[u] = keep_decision(J, hits, total) ? 1 : 0;
+    }
+    {
+      std::lock_guard<std::mutex> lk(J.done_mu);
+      J.done[b->seq_no] = b;
+    }
+    J.done_cv.notify_all();
+  }
+}
+
+static void append_bytes(std::vector<uint8_t>& dst, const uint8_t* p,
+                         int64_t n) {
+  dst.insert(dst.end(), p, p + n);
+}
+
+// format one record (ref: src/remote_filter.rs:1402-1443); identical bytes
+// to io/writers.py format_record
+static void emit_record(std::vector<uint8_t>& dst, const FBatch& b,
+                        const int64_t* m, bool rename, int64_t seqnum) {
+  bool is_fq = m[4] >= 0;
+  dst.push_back(is_fq ? '@' : '>');
+  if (rename) {
+    char tmp[24];
+    int n = snprintf(tmp, sizeof(tmp), "%lld", (long long)seqnum);
+    append_bytes(dst, (const uint8_t*)tmp, n);
+  } else {
+    append_bytes(dst, b.arena.data() + m[0], m[1]);
+  }
+  dst.push_back('\n');
+  append_bytes(dst, b.arena.data() + m[2], m[3]);
+  if (is_fq) {
+    dst.push_back('\n');
+    dst.push_back('+');
+    dst.push_back('\n');
+    append_bytes(dst, b.arena.data() + m[4], m[5]);
+  }
+  dst.push_back('\n');
+}
+
+static void filter_writer(FilterJob& J) {
+  std::vector<uint8_t> buf, buf2;
+  while (true) {
+    FBatch* b = nullptr;
+    {
+      std::unique_lock<std::mutex> lk(J.done_mu);
+      J.done_cv.wait(lk, [&] {
+        return J.failed.load() || J.done.count(J.next_write) ||
+               (J.total_batches.load() >= 0 &&
+                J.next_write >= J.total_batches.load());
+      });
+      if (J.failed.load()) return;
+      if (J.total_batches.load() >= 0 &&
+          J.next_write >= J.total_batches.load() &&
+          !J.done.count(J.next_write))
+        return;
+      auto it = J.done.find(J.next_write);
+      b = it->second;
+      J.done.erase(it);
+      J.next_write++;
+    }
+    buf.clear();
+    buf2.clear();
+    const int recs_per_unit = b->paired ? 2 : 1;
+    for (int64_t u = 0; u < b->n_units; u++) {
+      const int64_t* m1 = b->meta.data() + 6 * u * recs_per_unit;
+      if (b->paired) {
+        const int64_t* m2 = m1 + 6;
+        int64_t pair_bp = m1[3] + m2[3];
+        J.total_seqs += 2;
+        J.total_bp += pair_bp;
+        if (b->keep[u]) {
+          J.output_bp += pair_bp;
+          J.out_counter += 2;
+          emit_record(buf, *b, m1, J.rename, J.out_counter - 1);
+          emit_record(J.w2 ? buf2 : buf, *b, m2, J.rename, J.out_counter);
+        } else {
+          J.filtered_seqs += 2;
+          J.filtered_bp += pair_bp;
+        }
+      } else {
+        J.total_seqs += 1;
+        J.total_bp += m1[3];
+        if (b->keep[u]) {
+          J.output_bp += m1[3];
+          J.out_counter += 1;
+          emit_record(buf, *b, m1, J.rename, J.out_counter);
+        } else {
+          J.filtered_seqs += 1;
+          J.filtered_bp += m1[3];
+        }
+      }
+    }
+    delete b;
+    if (!buf.empty() && dx_writer_write(J.w1, buf.data(), buf.size()) != 0) {
+      J.fail("write failed");
+      return;
+    }
+    if (J.w2 && !buf2.empty() &&
+        dx_writer_write(J.w2, buf2.data(), buf2.size()) != 0) {
+      J.fail("write failed");
+      return;
+    }
+    if (J.progress) {
+      __atomic_store_n(&J.progress[0], J.total_seqs, __ATOMIC_RELAXED);
+      __atomic_store_n(&J.progress[1], J.filtered_seqs, __ATOMIC_RELAXED);
+      __atomic_store_n(&J.progress[2], J.total_bp, __ATOMIC_RELAXED);
+      __atomic_store_n(&J.progress[3], J.output_bp, __ATOMIC_RELAXED);
+      __atomic_store_n(&J.progress[4], J.filtered_bp, __ATOMIC_RELAXED);
+      __atomic_store_n(&J.progress[5], J.out_counter, __ATOMIC_RELAXED);
+    }
+  }
+}
+
+constexpr int64_t kBatchRecords = 10000;  // ref: src/remote_filter.rs:727
+constexpr int64_t kBatchArena = 8 << 20;
+
+static bool append_record(FBatch* b, const Record& rec, bool is_fastq) {
+  int64_t used = (int64_t)b->arena.size();
+  b->meta.push_back(used);
+  b->meta.push_back((int64_t)rec.id.size());
+  b->arena.insert(b->arena.end(), rec.id.begin(), rec.id.end());
+  used += (int64_t)rec.id.size();
+  b->meta.push_back(used);
+  b->meta.push_back((int64_t)rec.seq.size());
+  b->arena.insert(b->arena.end(), rec.seq.begin(), rec.seq.end());
+  used += (int64_t)rec.seq.size();
+  if (is_fastq) {
+    b->meta.push_back(used);
+    b->meta.push_back((int64_t)rec.qual.size());
+    b->arena.insert(b->arena.end(), rec.qual.begin(), rec.qual.end());
+  } else {
+    b->meta.push_back(-1);
+    b->meta.push_back(0);
+  }
+  return (int64_t)b->arena.size() >= kBatchArena;
+}
+
+// reader thread body; mode: 0 single, 1 paired (two readers), 2 interleaved
+static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
+  int64_t seq_no = 0;
+  int64_t interleaved_count = 0;
+  bool eof = false;
+  while (!eof && !J.failed.load()) {
+    FBatch* b = new FBatch();
+    b->seq_no = seq_no;
+    b->paired = mode != 0;
+    b->arena.reserve(kBatchArena + 65536);
+    Record rec1, rec2;
+    while (b->n_units < kBatchRecords) {
+      int rc = r1->parse_record(rec1);
+      if (rc < 0) {
+        J.fail(r1->error);
+        delete b;
+        return;
+      }
+      if (rc == 0) {
+        eof = true;
+        break;
+      }
+      if (mode == 0) {
+        b->n_units++;
+        if (append_record(b, rec1, r1->is_fastq == 1)) break;
+      } else {
+        if (mode == 2) interleaved_count++;
+        DxReader* rr = mode == 1 ? r2 : r1;
+        int rc2 = rr->parse_record(rec2);
+        if (rc2 < 0) {
+          J.fail(rr->error);
+          delete b;
+          return;
+        }
+        if (rc2 == 0) {
+          if (mode == 2) {
+            char msg[96];
+            snprintf(msg, sizeof(msg),
+                     "Uneven number of interleaved sequence pairs. Found "
+                     "%lld records.",
+                     (long long)interleaved_count);
+            J.fail(msg);
+            delete b;
+            return;
+          }
+          // paired files: stop at the shorter input
+          // (ref: src/remote_filter.rs:931-955)
+          eof = true;
+          break;
+        }
+        if (mode == 2) interleaved_count++;
+        b->n_units++;
+        bool full = append_record(b, rec1, r1->is_fastq == 1);
+        full |= append_record(b, rec2, rr->is_fastq == 1);
+        if (full) break;
+      }
+    }
+    if (b->n_units == 0) {
+      delete b;
+      break;
+    }
+    seq_no++;
+    if (!J.work.push(b)) {
+      delete b;
+      return;
+    }
+  }
+  J.total_batches.store(seq_no);
+  J.work.close();
+  J.done_cv.notify_all();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Run the full native filter pipeline. Returns 0 on success, -1 on error
+// (message in errbuf). `progress` is int64[6]: total_seqs, filtered_seqs,
+// total_bp, output_bp, filtered_bp, output_seq_counter — updated atomically
+// per batch for live polling; final values are the exact run totals.
+// mode: 0 single (input), 1 paired (input+input2), 2 interleaved (input).
+int dx_filter_run(const char* input, const char* input2, const char* output,
+                  const char* output2, int out_codec, int out_level,
+                  int out2_codec, int out2_level, const uint64_t* index_keys,
+                  void* probe_handle, int32_t k, int32_t w,
+                  int64_t prefix_len, int64_t abs_threshold,
+                  double rel_threshold, int32_t deplete, int32_t rename,
+                  int32_t n_threads, int64_t* progress, char* errbuf,
+                  int64_t errbuf_cap) {
+  auto set_err = [&](const std::string& m) {
+    if (errbuf && errbuf_cap > 0)
+      snprintf(errbuf, (size_t)errbuf_cap, "%s", m.c_str());
+  };
+  int mode = input2 == nullptr ? 0
+             : (strcmp(input, "-") == 0 && strcmp(input2, "-") == 0) ? 2
+                                                                     : 1;
+  DxReader* r1 = dx_open(input);
+  if (!r1) {
+    set_err(std::string("Failed to open ") + input);
+    return -1;
+  }
+  DxReader* r2 = nullptr;
+  if (mode == 1) {
+    r2 = dx_open(input2);
+    if (!r2) {
+      dx_close(r1);
+      set_err(std::string("Failed to open ") + input2);
+      return -1;
+    }
+  }
+  FilterJob J;
+  J.keys = index_keys;
+  J.bucket_off = static_cast<std::vector<int64_t>*>(probe_handle)->data();
+  J.k = k;
+  J.w = w;
+  J.prefix_len = prefix_len;
+  J.abs_threshold = abs_threshold;
+  J.rel_threshold = rel_threshold;
+  J.deplete = deplete != 0;
+  J.rename = rename != 0;
+  J.progress = progress;
+  J.w1 = dx_writer_open(output, out_codec, out_level);
+  if (!J.w1) {
+    dx_close(r1);
+    if (r2) dx_close(r2);
+    set_err(std::string("Failed to create output file: ") + output);
+    return -1;
+  }
+  if (output2) {
+    J.w2 = dx_writer_open(output2, out2_codec, out2_level);
+    if (!J.w2) {
+      dx_writer_close(J.w1);
+      dx_close(r1);
+      if (r2) dx_close(r2);
+      set_err(std::string("Failed to create output file: ") + output2);
+      return -1;
+    }
+  }
+
+  if (n_threads < 1) {
+    int hw = (int)std::thread::hardware_concurrency();
+    n_threads = hw > 0 ? hw : 1;
+  }
+
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; t++)
+    workers.emplace_back([&J] { filter_worker(J); });
+  std::thread writer_th([&J] { filter_writer(J); });
+  std::thread reader_th([&] { filter_reader(J, r1, r2, mode); });
+
+  reader_th.join();
+  for (auto& th : workers) th.join();
+  J.done_cv.notify_all();
+  writer_th.join();
+
+  // free any batches stranded by a failure
+  for (auto& kv : J.done) delete kv.second;
+  J.done.clear();
+
+  dx_close(r1);
+  if (r2) dx_close(r2);
+  int rc1 = dx_writer_close(J.w1);
+  int rc2 = J.w2 ? dx_writer_close(J.w2) : 0;
+
+  if (J.failed.load()) {
+    std::lock_guard<std::mutex> lk(J.err_mu);
+    set_err(J.err);
+    return -1;
+  }
+  if (rc1 != 0 || rc2 != 0) {
+    set_err("native write failed while finishing output");
+    return -1;
+  }
+  if (progress) {
+    progress[0] = J.total_seqs;
+    progress[1] = J.filtered_seqs;
+    progress[2] = J.total_bp;
+    progress[3] = J.output_bp;
+    progress[4] = J.filtered_bp;
+    progress[5] = J.out_counter;
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -105,6 +105,15 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.dx_filter_run.restype = ctypes.c_int
+        lib.dx_filter_run.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ]
         lib.dx_extract_batch.restype = ctypes.c_int64
         lib.dx_extract_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -238,6 +247,53 @@ class NativeProbe:
                 self._h = None
         except Exception:
             pass
+
+
+def native_filter_run(
+    input_path: str,
+    input2_path: str | None,
+    output_path: str,
+    output2_path: str | None,
+    out_codec: int,
+    out_level: int,
+    out2_codec: int,
+    out2_level: int,
+    probe: "NativeProbe",
+    k: int,
+    w: int,
+    prefix_length: int,
+    abs_threshold: int,
+    rel_threshold: float,
+    deplete: bool,
+    rename: bool,
+    n_threads: int,
+    progress: np.ndarray,
+) -> None:
+    """Run the full native filter pipeline (reader -> extraction workers ->
+    ordered writer; the C++ twin of filter/engine.py's host path). `progress`
+    is an int64[6] array updated live: total_seqs, filtered_seqs, total_bp,
+    output_bp, filtered_bp, output_seq_counter. Raises ValueError with the
+    native error message on failure. Blocks until EOF (the GIL is released,
+    so a Python thread can poll `progress` for the spinner)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    errbuf = ctypes.create_string_buffer(512)
+    rc = lib.dx_filter_run(
+        input_path.encode(),
+        None if input2_path is None else input2_path.encode(),
+        output_path.encode(),
+        None if output2_path is None else output2_path.encode(),
+        out_codec, out_level, out2_codec, out2_level,
+        probe._keys.ctypes.data_as(ctypes.c_void_p),
+        probe._h,
+        k, w, prefix_length, abs_threshold, rel_threshold,
+        1 if deplete else 0, 1 if rename else 0, n_threads,
+        progress.ctypes.data_as(ctypes.c_void_p),
+        errbuf, len(errbuf),
+    )
+    if rc != 0:
+        raise ValueError(errbuf.value.decode("utf-8", "replace") or "native filter failed")
 
 
 def native_probe(keys: np.ndarray):

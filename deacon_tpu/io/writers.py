@@ -52,23 +52,30 @@ class FastxWriter:
             self._closer()
 
 
+def resolve_codec(output_path: str, compression_level: int) -> int:
+    """Extension -> native codec id (0 plain, 1 gz, 2 zst, 3 xz), validating
+    the level range for the format (ref: src/local_filter.rs:95-107)."""
+    if output_path == "-":
+        return 0
+    if output_path.endswith(".gz"):
+        _validate_level(compression_level, 1, 9, "gzip")
+        return 1
+    if output_path.endswith(".zst"):
+        _validate_level(compression_level, 1, 22, "zstd")
+        return 2
+    if output_path.endswith(".xz"):
+        _validate_level(compression_level, 0, 9, "xz")
+        return 3
+    return 0
+
+
 def get_writer(output_path: str, compression_level: int):
     """stdout for "-"; .gz/.zst/.xz compression by extension otherwise.
 
     Prefers the native C++ encoders (io/native) when available."""
+    codec = resolve_codec(output_path, compression_level)
     if output_path == "-":
         return FastxWriter(sys.stdout.buffer)
-
-    codec = 0
-    if output_path.endswith(".gz"):
-        _validate_level(compression_level, 1, 9, "gzip")
-        codec = 1
-    elif output_path.endswith(".zst"):
-        _validate_level(compression_level, 1, 22, "zstd")
-        codec = 2
-    elif output_path.endswith(".xz"):
-        _validate_level(compression_level, 0, 9, "xz")
-        codec = 3
     try:
         from .native_loader import NativeWriter, get_lib
 
