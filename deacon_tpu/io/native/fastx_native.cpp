@@ -26,6 +26,10 @@
 #include <zlib.h>
 #include <zstd.h>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr size_t kBufSize = 1 << 20;
@@ -692,43 +696,79 @@ int dx_u64_sorted_unique(const uint64_t* vals, int64_t count) {
 // 50M-entry index; this probe ~0.1 us).
 // ---------------------------------------------------------------------------
 
+}  // extern "C"
+
+namespace {
+
+// Bucket table over the high `bits` bits of each key; sized so the average
+// bucket fits in ~1-2 cache lines (bits grows with n, capped at 26 =>
+// 256 MiB of u32 offsets for a panhuman-scale 4.1e8-key index, ~6 keys
+// per bucket). Queries are software-pipelined: the offset-table line is
+// prefetched kAheadOff iterations out, the key range kAheadKeys out, so the
+// two dependent DRAM reads per probe overlap across iterations.
+struct ProbeTable {
+  std::vector<uint32_t> off;  // 2^bits + 1 offsets (n < 2^32 always: max
+                              // observed index is ~5.5e8 minimizers)
+  int shift = 48;             // 64 - bits
+};
+
+inline int probe_bits_for(int64_t n) {
+  int bits = 16;
+  while (bits < 26 && (n >> (bits + 3)) > 0) bits++;  // ~8 keys per bucket
+  return bits;
+}
+
+inline bool probe_lookup(const ProbeTable& t, const uint64_t* keys,
+                         uint64_t v) {
+  uint64_t b = v >> t.shift;
+  int64_t lo = t.off[b], hi = t.off[b + 1];
+  int64_t end = hi;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (keys[mid] < v) lo = mid + 1;
+    else hi = mid;
+  }
+  return lo < end && keys[lo] == v;
+}
+
+constexpr int kAheadOff = 16, kAheadKeys = 6;
+
+}  // namespace
+
+extern "C" {
+
 // Builds the bucket offset table for a sorted unique array. The caller
 // keeps `keys` alive and unchanged for the lifetime of the handle.
 void* dx_probe_build(const uint64_t* keys, int64_t n) {
-  auto* off = new std::vector<int64_t>(65537);
+  auto* t = new ProbeTable();
+  int bits = probe_bits_for(n);
+  t->shift = 64 - bits;
+  int64_t nb = (int64_t)1 << bits;
+  t->off.resize(nb + 1);
   int64_t pos = 0;
-  for (int64_t b = 0; b < 65536; b++) {
-    (*off)[b] = pos;
+  for (int64_t b = 0; b < nb; b++) {
+    t->off[b] = (uint32_t)pos;
     uint64_t limit_hi = (uint64_t)b;
-    while (pos < n && (keys[pos] >> 48) <= limit_hi) pos++;
+    while (pos < n && (keys[pos] >> t->shift) <= limit_hi) pos++;
   }
-  (*off)[65536] = n;
-  return off;
+  t->off[nb] = (uint32_t)n;
+  return t;
 }
 
 void dx_probe_free(void* handle) {
-  delete static_cast<std::vector<int64_t>*>(handle);
+  delete static_cast<ProbeTable*>(handle);
 }
 
 // out[i] = 1 if q[i] is in keys, else 0.
 void dx_probe_query(void* handle, const uint64_t* keys, const uint64_t* q,
                     int64_t nq, uint8_t* out) {
-  const auto& off = *static_cast<std::vector<int64_t>*>(handle);
-  constexpr int kAhead = 8;  // software prefetch distance
+  const ProbeTable& t = *static_cast<ProbeTable*>(handle);
   for (int64_t i = 0; i < nq; i++) {
-    if (i + kAhead < nq) {
-      uint64_t qa = q[i + kAhead];
-      int64_t b = (int64_t)(qa >> 48);
-      __builtin_prefetch(&keys[(off[b] + off[b + 1]) / 2]);
-    }
-    uint64_t v = q[i];
-    int64_t lo = off[v >> 48], hi = off[(v >> 48) + 1];
-    while (lo < hi) {
-      int64_t mid = (lo + hi) / 2;
-      if (keys[mid] < v) lo = mid + 1;
-      else hi = mid;
-    }
-    out[i] = (lo < off[(v >> 48) + 1] && keys[lo] == v) ? 1 : 0;
+    if (i + kAheadOff < nq)
+      __builtin_prefetch(&t.off[q[i + kAheadOff] >> t.shift]);
+    if (i + kAheadKeys < nq)
+      __builtin_prefetch(&keys[t.off[q[i + kAheadKeys] >> t.shift]]);
+    out[i] = probe_lookup(t, keys, q[i]) ? 1 : 0;
   }
 }
 
@@ -838,145 +878,180 @@ static inline float scaled_entropy(const uint8_t* win, int k) {
   return -acc / 2.0f;
 }
 
+// Per-worker scratch for extract_one: reused across records to avoid
+// allocation churn in the hot loop.
+struct ExtractScratch {
+  std::vector<uint32_t> keys;   // selection key per position
+  std::vector<uint32_t> pos;    // selected (deduped) window-argmin positions
+  std::vector<uint64_t> sfx;    // van Herk block suffix minima
+  std::vector<uint64_t> vals;   // canonical k-mer value per position (k<=32)
+  std::vector<uint8_t> valid;   // 1 = no non-ACGT byte in the k-mer (k<=32)
+};
+
+// code tables: byte -> 2-bit code; filter side packs raw bytes, index side
+// IUPAC-canonicalises first (ref: src/minimizers.rs:143-148 vs
+// src/filter_common.rs:238). kBadTable: 1 for non-ACGT bytes.
+struct CodeTables {
+  uint8_t filter[256];
+  uint8_t index[256];
+  uint8_t bad[256];
+  CodeTables() {
+    for (int b = 0; b < 256; b++) {
+      filter[b] = (uint8_t)((b >> 1) & 3);
+      index[b] = (uint8_t)((kIupac.map[b] >> 1) & 3);
+      bad[b] = valid_base((uint8_t)b) ? 0 : 1;
+    }
+  }
+};
+static const CodeTables kCodes;
+
 // Extract minimizers of one sequence. Appends (hash, position) pairs.
 // Returns count appended, or -1 if out capacity would be exceeded.
 // index_mode: IUPAC-canonicalise before selection, validity+entropy on the
-// original bytes. keys_buf is a reusable scratch vector.
+// original bytes.
 static int64_t extract_one(const uint8_t* seq, int64_t n, int k, int w,
                            bool index_mode, float entropy_threshold,
-                           std::vector<uint32_t>& keys_buf,
-                           std::vector<uint32_t>& pos_buf,
-                           std::vector<uint64_t>& sfx_buf,
-                           uint64_t* out_h, uint32_t* out_p, int64_t cap) {
+                           ExtractScratch& scr, uint64_t* out_h,
+                           uint32_t* out_p, int64_t cap) {
   if (n < k) return 0;
   const int64_t m = n - k + 1;
-  keys_buf.clear();
-  keys_buf.resize(m);
+  scr.keys.resize(m);
   const int shift_top = 2 * (k - 1);
   const bool wide = k > 32;
-  // index side selects on IUPAC-canonicalised bytes (ref:
-  // src/minimizers.rs:143-148); filter side packs the raw bytes
-  auto code_at = [&](int64_t i) -> uint32_t {
-    uint8_t b = index_mode ? kIupac.map[seq[i]] : seq[i];
-    return (b >> 1) & 3;
-  };
+  const uint8_t* codes = index_mode ? kCodes.index : kCodes.filter;
+  const uint8_t* bad_tab = kCodes.bad;
 
-  // Rolling canonical values + selection keys at every position.
+  // Pass 1: rolling canonical values + selection keys at every position.
   // fwd = sum code[p+j] << 2j ; rc = sum (code[p+k-1-j]^2) << 2j.
-  // Pass 1 (serial recurrence, short dependency chain) stores the 32-bit
-  // XOR-folds; pass 2 applies fmix32 over the whole buffer, which the
-  // compiler auto-vectorizes (the multiply chain inside the rolling loop
-  // otherwise dominates its latency).
+  // The serial recurrence has a ~2-cycle dependency chain and measures
+  // ~375 Mbp/s scalar — FASTER than an 8-lane AVX-512 rewrite on this
+  // host (163 Mbp/s: cvt/transpose overhead + vector downclock), so it
+  // stays scalar. Canonical values and a rolling non-ACGT counter are
+  // recorded per position so the selected-position pass below is a pure
+  // table lookup (recomputing each selected k-mer measured 1/96 of the
+  // per-base budget; buffering costs only a streaming 9 B/base write).
   if (!wide) {
+    scr.vals.resize(m);
+    scr.valid.resize(m);
     const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
     uint64_t fwd = 0, rc = 0;
+    int bad = 0;
     for (int j = 0; j < k - 1; j++) {
-      uint64_t c = code_at(j);
+      uint8_t b = seq[j];
+      uint64_t c = codes[b];
       fwd |= c << (2 * j);
       rc = (rc << 2) | (c ^ 2);
+      bad += bad_tab[b];
     }
     for (int64_t p = 0; p < m; p++) {
-      uint64_t c = code_at(p + k - 1);
+      uint8_t b = seq[p + k - 1];
+      uint64_t c = codes[b];
       fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
       rc = ((rc << 2) & mask) | (c ^ 2);
+      bad += bad_tab[b];
       uint64_t v = fwd <= rc ? fwd : rc;
-      keys_buf[p] = (uint32_t)v ^ (uint32_t)(v >> 32);
+      scr.vals[p] = v;
+      scr.valid[p] = (uint8_t)(bad == 0);
+      bad -= bad_tab[seq[p]];  // k-mer at p+1 drops seq[p]
+      scr.keys[p] = (uint32_t)v ^ (uint32_t)(v >> 32);
     }
   } else {
     unsigned __int128 fwd = 0, rc = 0;
     const unsigned __int128 mask =
         (((unsigned __int128)1) << (2 * k)) - 1;  // k <= 57 < 64
     for (int j = 0; j < k - 1; j++) {
-      unsigned __int128 c = code_at(j);
+      unsigned __int128 c = codes[seq[j]];
       fwd |= c << (2 * j);
       rc = (rc << 2) | (c ^ 2);
     }
     for (int64_t p = 0; p < m; p++) {
-      unsigned __int128 c = code_at(p + k - 1);
+      unsigned __int128 c = codes[seq[p + k - 1]];
       fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
       rc = ((rc << 2) & mask) | (c ^ 2);
       unsigned __int128 v = fwd <= rc ? fwd : rc;
       uint64_t lo = (uint64_t)v, hi = (uint64_t)(v >> 64);
-      keys_buf[p] =
+      scr.keys[p] =
           (uint32_t)lo ^ (uint32_t)(lo >> 32) ^ (uint32_t)hi ^ (uint32_t)(hi >> 32);
     }
   }
   for (int64_t p = 0; p < m; p++) {  // vectorizable finalizer pass
-    uint32_t x = keys_buf[p];
+    uint32_t x = scr.keys[p];
     x ^= x >> 16;
     x *= 0x85EBCA6BU;
     x ^= x >> 13;
     x *= 0xC2B2AE35U;
     x ^= x >> 16;
-    keys_buf[p] = x & 0xFFFF0000U;
+    scr.keys[p] = x & 0xFFFF0000U;
   }
+  const uint32_t* keys_buf = scr.keys.data();
 
   // Window argmin with leftmost tie-break, deduplicated. van Herk/
   // Gil-Werman block minima over (key << 32 | pos) packed u64s: a smaller
   // pos wins key ties automatically, every loop is branch-light (a monotone
-  // deque measured ~55 MB/s on mispredicts; this form ~95 MB/s).
-  pos_buf.clear();
+  // deque measured ~55 MB/s on mispredicts). Both scans walk blocks
+  // explicitly — a j % w in the hot loop costs an integer divide per
+  // position and halved throughput.
+  scr.pos.clear();
   if (m <= w) {
     uint32_t best = 0;
     for (int64_t p = 1; p < m; p++)
       if (keys_buf[p] < keys_buf[best]) best = (uint32_t)p;
-    pos_buf.push_back(best);
+    scr.pos.push_back(best);
   } else {
-    sfx_buf.clear();
-    sfx_buf.resize(m);
+    scr.sfx.resize(m);
     for (int64_t bs = 0; bs < m; bs += w) {
       int64_t be = bs + w < m ? bs + w : m;
       uint64_t run = ~0ULL;
       for (int64_t j = be - 1; j >= bs; j--) {
         uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
         run = pk < run ? pk : run;
-        sfx_buf[j] = run;
+        scr.sfx[j] = run;
       }
     }
-    uint64_t pfx = ~0ULL;
     int64_t last = -1;
-    for (int64_t j = 0; j < m; j++) {
-      if (j % w == 0) pfx = ~0ULL;
-      uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
-      pfx = pk < pfx ? pk : pfx;
-      if (j >= w - 1) {
-        uint64_t s = sfx_buf[j - w + 1];
-        uint64_t win = s < pfx ? s : pfx;
-        int64_t p = (uint32_t)win;
-        if (p != last) {
-          last = p;
-          pos_buf.push_back((uint32_t)p);
+    for (int64_t bs = 0; bs < m; bs += w) {
+      int64_t be = bs + w < m ? bs + w : m;
+      uint64_t pfx = ~0ULL;
+      for (int64_t j = bs; j < be; j++) {
+        uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
+        pfx = pk < pfx ? pk : pfx;
+        if (j >= w - 1) {
+          uint64_t s = scr.sfx[j - w + 1];
+          uint64_t win = s < pfx ? s : pfx;
+          int64_t p = (uint32_t)win;
+          if (p != last) {
+            last = p;
+            scr.pos.push_back((uint32_t)p);
+          }
         }
       }
     }
   }
 
-  // validity (no non-ACGT byte in the ORIGINAL k-mer), entropy, values, hash
-  // via direct recomputation at the selected positions (selected count is
-  // ~2m/(w+1); recompute beats buffering 16 B/base of rolling values).
+  // Selected positions: validity (no non-ACGT byte in the ORIGINAL k-mer),
+  // entropy, hash. k<=32 reads the buffered value/validity; k>32 (rare)
+  // recomputes directly.
   int64_t cnt = 0;
-  for (uint32_t p : pos_buf) {
-    bool ok = true;
-    for (int j = 0; j < k; j++) {
-      if (!valid_base(seq[p + j])) { ok = false; break; }
-    }
-    if (!ok) continue;
-    if (index_mode && entropy_threshold != 0.0f && k >= 10 &&
-        scaled_entropy(seq + p, k) < entropy_threshold)
-      continue;
-    if (cnt >= cap) return -1;
-    uint64_t lo = 0, hi = 0;
+  for (uint32_t p : scr.pos) {
     if (!wide) {
-      uint64_t fwd = 0, rc = 0;
-      for (int j = 0; j < k; j++) {
-        uint64_t c = index_mode ? ((kIupac.map[seq[p + j]] >> 1) & 3)
-                                : ((seq[p + j] >> 1) & 3);
-        fwd |= c << (2 * j);
-        rc = (rc << 2) | (c ^ 2);
-      }
-      lo = fwd <= rc ? fwd : rc;
-      out_h[cnt] = xxh3_u64(lo);
+      if (!scr.valid[p]) continue;
+      if (index_mode && entropy_threshold != 0.0f && k >= 10 &&
+          scaled_entropy(seq + p, k) < entropy_threshold)
+        continue;
+      if (cnt >= cap) return -1;
+      out_h[cnt] = xxh3_u64(scr.vals[p]);
+      out_p[cnt] = p;
+      cnt++;
     } else {
+      bool ok = true;
+      for (int j = 0; j < k; j++) {
+        if (!valid_base(seq[p + j])) { ok = false; break; }
+      }
+      if (!ok) continue;
+      if (index_mode && entropy_threshold != 0.0f && k >= 10 &&
+          scaled_entropy(seq + p, k) < entropy_threshold)
+        continue;
+      if (cnt >= cap) return -1;
       unsigned __int128 fwd = 0, rc = 0;
       for (int j = 0; j < k; j++) {
         unsigned __int128 c = index_mode ? ((kIupac.map[seq[p + j]] >> 1) & 3)
@@ -985,12 +1060,10 @@ static int64_t extract_one(const uint8_t* seq, int64_t n, int k, int w,
         rc = (rc << 2) | (c ^ 2);
       }
       unsigned __int128 v = fwd <= rc ? fwd : rc;
-      lo = (uint64_t)v;
-      hi = (uint64_t)(v >> 64);
-      out_h[cnt] = xxh3_u128(lo, hi);
+      out_h[cnt] = xxh3_u128((uint64_t)v, (uint64_t)(v >> 64));
+      out_p[cnt] = p;
+      cnt++;
     }
-    out_p[cnt] = p;
-    cnt++;
   }
   return cnt;
 }
@@ -1018,13 +1091,12 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
   if ((int64_t)n_threads > n_seqs) n_threads = (int32_t)(n_seqs ? n_seqs : 1);
 
   if (n_threads == 1) {
-    std::vector<uint32_t> keys_buf, pos_buf;
-    std::vector<uint64_t> sfx_buf;
+    ExtractScratch scr;
     int64_t total = 0;
     for (int64_t i = 0; i < n_seqs; i++) {
       int64_t c = extract_one(arena + starts[i], lens[i], k, w,
-                              index_mode != 0, entropy_threshold, keys_buf,
-                              pos_buf, sfx_buf, out_hashes + total,
+                              index_mode != 0, entropy_threshold, scr,
+                              out_hashes + total,
                               out_pos + total, cap - total);
       if (c < 0) return -1;
       out_counts[i] = c;
@@ -1060,8 +1132,7 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
   for (int t = 0; t < n_threads; t++) {
     threads.emplace_back([&, t]() {
       Part& part = parts[t];
-      std::vector<uint32_t> keys_buf, pos_buf;
-      std::vector<uint64_t> sfx_buf;
+      ExtractScratch scr;
       std::vector<uint64_t> h1;
       std::vector<uint32_t> p1;
       for (int64_t i = cuts[t]; i < cuts[t + 1]; i++) {
@@ -1069,8 +1140,8 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
         h1.resize(max_m);
         p1.resize(max_m);
         int64_t c = extract_one(arena + starts[i], lens[i], k, w,
-                                index_mode != 0, entropy_threshold, keys_buf,
-                                pos_buf, sfx_buf, h1.data(), p1.data(), max_m);
+                                index_mode != 0, entropy_threshold, scr,
+                                h1.data(), p1.data(), max_m);
         if (c < 0) { part.overflow = true; return; }  // cannot happen: cap=m
         out_counts[i] = c;
         part.h.insert(part.h.end(), h1.begin(), h1.begin() + c);
@@ -1152,7 +1223,7 @@ struct FQueue {
 struct FilterJob {
   // index
   const uint64_t* keys = nullptr;
-  const int64_t* bucket_off = nullptr;  // 65537 entries (dx_probe_build)
+  const ProbeTable* probe = nullptr;  // from dx_probe_build
   // params
   int k = 31, w = 15;
   int64_t prefix_len = 0;
@@ -1188,33 +1259,18 @@ struct FilterJob {
   }
 };
 
-// membership probe against the bucketed sorted array (same algorithm as
-// dx_probe_query)
-static inline bool probe_one(const uint64_t* keys, const int64_t* off,
-                             uint64_t v) {
-  int64_t lo = off[v >> 48], hi = off[(v >> 48) + 1];
-  int64_t end = hi;
-  while (lo < hi) {
-    int64_t mid = (lo + hi) >> 1;
-    if (keys[mid] < v) lo = mid + 1;
-    else hi = mid;
-  }
-  return lo < end && keys[lo] == v;
-}
-
 // distinct index hits among `hashes` (seen-set semantics,
 // ref: src/filter_common.rs:129-155): collect matches, sort, count unique.
 static int64_t count_distinct_hits(const FilterJob& J, const uint64_t* hashes,
                                    int64_t n, std::vector<uint64_t>& scratch) {
   scratch.clear();
-  constexpr int kAhead = 8;
+  const ProbeTable& t = *J.probe;
   for (int64_t i = 0; i < n; i++) {
-    if (i + kAhead < n) {
-      uint64_t qa = hashes[i + kAhead];
-      int64_t b = (int64_t)(qa >> 48);
-      __builtin_prefetch(&J.keys[(J.bucket_off[b] + J.bucket_off[b + 1]) / 2]);
-    }
-    if (probe_one(J.keys, J.bucket_off, hashes[i])) scratch.push_back(hashes[i]);
+    if (i + kAheadOff < n)
+      __builtin_prefetch(&t.off[hashes[i + kAheadOff] >> t.shift]);
+    if (i + kAheadKeys < n)
+      __builtin_prefetch(&J.keys[t.off[hashes[i + kAheadKeys] >> t.shift]]);
+    if (probe_lookup(t, J.keys, hashes[i])) scratch.push_back(hashes[i]);
   }
   if (scratch.empty()) return 0;
   std::sort(scratch.begin(), scratch.end());
@@ -1238,8 +1294,8 @@ static inline bool keep_decision(const FilterJob& J, int64_t hits,
 }
 
 static void filter_worker(FilterJob& J) {
-  std::vector<uint32_t> keys_buf, pos_buf;
-  std::vector<uint64_t> sfx_buf, hashes, scratch;
+  ExtractScratch scr;
+  std::vector<uint64_t> hashes, scratch;
   std::vector<uint32_t> posv;
   FBatch* b;
   while (J.work.pop(b)) {
@@ -1261,9 +1317,8 @@ static void filter_worker(FilterJob& J) {
         hashes.resize(base + max_m);
         posv.resize(max_m);
         int64_t c = extract_one(b->arena.data() + m[2], len, J.k, J.w,
-                                /*index_mode=*/false, 0.0f, keys_buf, pos_buf,
-                                sfx_buf, hashes.data() + base, posv.data(),
-                                max_m);
+                                /*index_mode=*/false, 0.0f, scr,
+                                hashes.data() + base, posv.data(), max_m);
         hashes.resize(base + (c > 0 ? c : 0));
       }
       int64_t total = (int64_t)hashes.size();
@@ -1518,7 +1573,7 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
   }
   FilterJob J;
   J.keys = index_keys;
-  J.bucket_off = static_cast<std::vector<int64_t>*>(probe_handle)->data();
+  J.probe = static_cast<ProbeTable*>(probe_handle);
   J.k = k;
   J.w = w;
   J.prefix_len = prefix_len;
