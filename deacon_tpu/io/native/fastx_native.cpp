@@ -23,6 +23,7 @@
 #include <vector>
 
 #include <lzma.h>
+#include <sys/mman.h>
 #include <zlib.h>
 #include <zstd.h>
 
@@ -686,72 +687,129 @@ int dx_u64_sorted_unique(const uint64_t* vals, int64_t count) {
 }
 
 // ---------------------------------------------------------------------------
-// Bucketed membership probe over a sorted u64 array (the host-side analogue
-// of the device engine's HBM probe; plays the reference's FxHashSet role,
+// Single-miss membership probe (the host-side analogue of the device
+// engine's HBM probe; plays the reference's FxHashSet role,
 // ref: src/index.rs:98, src/filter_common.rs:129-155).
 //
-// A 2^16-entry offset table over the keys' high 16 bits narrows each binary
-// search to ~n/65536 entries (a few cache lines), vs 26 random DRAM reads
-// for a full binary search (np.searchsorted measured 17 us/query on a
-// 50M-entry index; this probe ~0.1 us).
+// Index keys are xxh3 outputs — already uniform — and arrive sorted, so a
+// linear-probing table keyed by the top bits needs no rehash and builds in
+// ONE sequential pass: inserting in sorted order keeps home buckets
+// monotone, so each key lands at max(home, cursor) and table values stay
+// globally sorted. Lookups scan forward from `v >> shift` and stop at an
+// empty slot or any value > v — one random cache line touched per probe
+// (vs two dependent misses for the previous offset-table + binary-search
+// design: 56 -> 26 ns/probe at 100M keys). Slots are THP-backed to cut TLB
+// misses on multi-GB tables.
 // ---------------------------------------------------------------------------
 
 }  // extern "C"
 
 namespace {
 
-// Bucket table over the high `bits` bits of each key; sized so the average
-// bucket fits in ~1-2 cache lines (bits grows with n, capped at 26 =>
-// 256 MiB of u32 offsets for a panhuman-scale 4.1e8-key index, ~6 keys
-// per bucket). Queries are software-pipelined: the offset-table line is
-// prefetched kAheadOff iterations out, the key range kAheadKeys out, so the
-// two dependent DRAM reads per probe overlap across iterations.
 struct ProbeTable {
-  std::vector<uint32_t> off;  // 2^bits + 1 offsets (n < 2^32 always: max
-                              // observed index is ~5.5e8 minimizers)
-  int shift = 48;             // 64 - bits
+  uint64_t* slots = nullptr;
+  size_t map_bytes = 0;  // mmap length (n_slots + spill tail)
+  int64_t n_slots = 0;   // power of two, load factor <= kProbeLoad
+  int shift = 0;         // 64 - log2(n_slots)
+  bool has_zero = false; // 0 is the empty sentinel; a real 0 key is tracked
+                         // out of band
+  uint64_t mix = 1;  // 1 = identity; kProbeMix when keys were scrambled
+  ~ProbeTable() {
+    if (slots) munmap(slots, map_bytes);
+  }
 };
 
-inline int probe_bits_for(int64_t n) {
-  int bits = 16;
-  while (bits < 26 && (n >> (bits + 3)) > 0) bits++;  // ~8 keys per bucket
-  return bits;
-}
+constexpr double kProbeLoad = 0.75;
+constexpr int64_t kProbeSpill = 1 << 16;  // top-of-range clusters overflow
+                                          // past n_slots into this zero tail
+constexpr int64_t kProbeMaxDisp = kProbeSpill / 2;  // displacement beyond
+                                                    // this => keys not
+                                                    // uniform => scramble
+constexpr int kProbeAhead = 24;
+constexpr uint64_t kProbeMix = 0x9E3779B97F4A7C15ULL;  // odd => bijective
 
-inline bool probe_lookup(const ProbeTable& t, const uint64_t* keys,
-                         uint64_t v) {
-  uint64_t b = v >> t.shift;
-  int64_t lo = t.off[b], hi = t.off[b + 1];
-  int64_t end = hi;
-  while (lo < hi) {
-    int64_t mid = (lo + hi) >> 1;
-    if (keys[mid] < v) lo = mid + 1;
-    else hi = mid;
+inline bool probe_lookup(const ProbeTable& t, uint64_t v) {
+  if (v == 0) return t.has_zero;
+  v *= t.mix;  // identity (mix=1) for real xxh3-uniform indexes
+  int64_t pos = (int64_t)(v >> t.shift);
+  for (;;) {
+    uint64_t e = t.slots[pos];
+    if (e == v) return true;
+    if (e == 0 || e > v) return false;
+    pos++;
   }
-  return lo < end && keys[lo] == v;
 }
 
-constexpr int kAheadOff = 16, kAheadKeys = 6;
+// One sequential pass over sorted unique nonzero keys: home buckets are
+// monotone, so each key lands at max(home, cursor) and stored values stay
+// globally sorted (which is what lets lookups stop at any value > v).
+// Returns false if some key displaces implausibly far from home — the
+// signature of a non-uniform key distribution.
+static bool probe_fill(ProbeTable* t, const uint64_t* keys, int64_t n) {
+  int64_t cursor = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t v = keys[i];
+    if (v == 0) {
+      t->has_zero = true;
+      continue;
+    }
+    int64_t home = (int64_t)(v >> t->shift);
+    int64_t pos = home > cursor ? home : cursor;
+    if (pos - home > kProbeMaxDisp) return false;
+    t->slots[pos] = v;
+    cursor = pos + 1;
+  }
+  return true;
+}
 
 }  // namespace
 
 extern "C" {
 
-// Builds the bucket offset table for a sorted unique array. The caller
-// keeps `keys` alive and unchanged for the lifetime of the handle.
+// Builds the linear-probing table from a sorted unique array. The keys
+// array is NOT referenced after this returns.
+//
+// Real index keys are xxh3 outputs, uniform over the full u64 range, so the
+// direct top-bits build succeeds. Structured or range-compressed keys (e.g.
+// synthetic test indexes drawn from [0, 2^63)) would overload part of the
+// table; the fill detects that via a displacement bound and rebuilds with
+// every key multiplied by an odd mixing constant (bijective, so membership
+// is preserved) and re-sorted, which redistributes any input uniformly.
 void* dx_probe_build(const uint64_t* keys, int64_t n) {
   auto* t = new ProbeTable();
-  int bits = probe_bits_for(n);
+  int bits = 10;
+  while (bits < 40 && (double)((int64_t)1 << bits) * kProbeLoad < (double)n)
+    bits++;
+  t->n_slots = (int64_t)1 << bits;
   t->shift = 64 - bits;
-  int64_t nb = (int64_t)1 << bits;
-  t->off.resize(nb + 1);
-  int64_t pos = 0;
-  for (int64_t b = 0; b < nb; b++) {
-    t->off[b] = (uint32_t)pos;
-    uint64_t limit_hi = (uint64_t)b;
-    while (pos < n && (keys[pos] >> t->shift) <= limit_hi) pos++;
+  t->map_bytes = (size_t)(t->n_slots + kProbeSpill) * 8;
+  t->slots = (uint64_t*)mmap(nullptr, t->map_bytes, PROT_READ | PROT_WRITE,
+                             MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (t->slots == MAP_FAILED) {
+    t->slots = nullptr;
+    delete t;
+    return nullptr;
   }
-  t->off[nb] = (uint32_t)n;
+#ifdef MADV_HUGEPAGE
+  // THP cuts TLB misses ~12% on multi-GB tables but (with defrag=madvise)
+  // costs seconds of synchronous compaction at first touch — only worth it
+  // for panhuman-scale indexes whose runs amortize it.
+  if (n >= 100'000'000) madvise(t->slots, t->map_bytes, MADV_HUGEPAGE);
+#endif
+  if (probe_fill(t, keys, n)) return t;
+  // non-uniform keys: scramble, re-sort, rebuild
+  memset(t->slots, 0, t->map_bytes);
+  t->has_zero = false;
+  t->mix = kProbeMix;
+  std::vector<uint64_t> mixed(n);
+  for (int64_t i = 0; i < n; i++) mixed[i] = keys[i] * kProbeMix;
+  std::sort(mixed.begin(), mixed.end());
+  if (!probe_fill(t, mixed.data(), n)) {  // can't happen for real inputs
+    delete t;
+    return nullptr;
+  }
+  // a zero KEY scrambles to zero; probe_fill flagged it as has_zero, which
+  // matches lookup's pre-scramble v==0 check. Nothing more to do.
   return t;
 }
 
@@ -759,16 +817,16 @@ void dx_probe_free(void* handle) {
   delete static_cast<ProbeTable*>(handle);
 }
 
-// out[i] = 1 if q[i] is in keys, else 0.
+// out[i] = 1 if q[i] is in the table, else 0. `keys` is unused (kept for
+// ABI stability with the previous two-level probe).
 void dx_probe_query(void* handle, const uint64_t* keys, const uint64_t* q,
                     int64_t nq, uint8_t* out) {
+  (void)keys;
   const ProbeTable& t = *static_cast<ProbeTable*>(handle);
   for (int64_t i = 0; i < nq; i++) {
-    if (i + kAheadOff < nq)
-      __builtin_prefetch(&t.off[q[i + kAheadOff] >> t.shift]);
-    if (i + kAheadKeys < nq)
-      __builtin_prefetch(&keys[t.off[q[i + kAheadKeys] >> t.shift]]);
-    out[i] = probe_lookup(t, keys, q[i]) ? 1 : 0;
+    if (i + kProbeAhead < nq)
+      __builtin_prefetch(&t.slots[(q[i + kProbeAhead] * t.mix) >> t.shift]);
+    out[i] = probe_lookup(t, q[i]) ? 1 : 0;
   }
 }
 
@@ -886,7 +944,303 @@ struct ExtractScratch {
   std::vector<uint64_t> sfx;    // van Herk block suffix minima
   std::vector<uint64_t> vals;   // canonical k-mer value per position (k<=32)
   std::vector<uint8_t> valid;   // 1 = no non-ACGT byte in the k-mer (k<=32)
+  std::vector<uint64_t> badbits;  // SIMD path: 1 bit per base, 1 = non-ACGT
+  std::vector<uint8_t> canon;     // SIMD index mode: IUPAC-canonicalised seq
 };
+
+// true iff no bad bit in [p, p+k) (k <= 32 here, so the window spans at most
+// two words)
+static inline bool window_clean(const uint64_t* bits, int64_t p, int k) {
+  int64_t wi = p >> 6, sh = p & 63;
+  uint64_t win = bits[wi] >> sh;
+  if (sh) win |= bits[wi + 1] << (64 - sh);
+  return (win & ((1ULL << k) - 1)) == 0;
+}
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+// ---- AVX-512 pass 1 -------------------------------------------------------
+// The rolling fwd/rc recurrence is a serial ~2-cycle dependency chain per
+// base; eight independent lanes (one contiguous chunk of the record each)
+// break it. Measured 3.3x over scalar at 10 kb read scale on this host
+// (523 -> 1737 Mbp/s). Each lane streams its bytes 8 at a time from one u64
+// load; per-step outputs are 8x8-transposed so each lane's values store
+// contiguously. Validity moves out of the recurrence into a per-base bad-bit
+// mask consulted only at selected positions (same windowed-bitmask idea as
+// the reference's filter side, ref: src/filter_common.rs:245-286).
+
+// 1 bit per base, 1 = non-ACGT. Bits at/after n are set (harmless: windows
+// never reach them). bits must hold (n >> 6) + 2 words.
+static void bad_bitmask(const uint8_t* seq, int64_t n, uint64_t* bits) {
+  const __m512i dfm = _mm512_set1_epi8((char)0xDF);
+  const __m512i A = _mm512_set1_epi8('A'), C = _mm512_set1_epi8('C');
+  const __m512i G = _mm512_set1_epi8('G'), T = _mm512_set1_epi8('T');
+  int64_t nb = (n + 63) / 64;
+  for (int64_t i = 0; i < nb; i++) {
+    int64_t off = i * 64;
+    __mmask64 load = (n - off >= 64) ? ~0ULL : ((~0ULL) >> (64 - (n - off)));
+    __m512i b = _mm512_maskz_loadu_epi8(load, seq + off);
+    __m512i u = _mm512_and_si512(b, dfm);
+    __mmask64 ok = _mm512_cmpeq_epi8_mask(u, A) |
+                   _mm512_cmpeq_epi8_mask(u, C) |
+                   _mm512_cmpeq_epi8_mask(u, G) |
+                   _mm512_cmpeq_epi8_mask(u, T);
+    bits[i] = ~(uint64_t)ok;
+  }
+  bits[nb] = ~0ULL;
+}
+
+// rows r[s] lane i = lane i's value at step s  ->  cols c[i] = lane i's 8
+// consecutive step values
+static inline void transpose8x8(const __m512i r[8], __m512i c[8]) {
+  __m512i t[8], s[8];
+  t[0] = _mm512_unpacklo_epi64(r[0], r[1]);
+  t[1] = _mm512_unpackhi_epi64(r[0], r[1]);
+  t[2] = _mm512_unpacklo_epi64(r[2], r[3]);
+  t[3] = _mm512_unpackhi_epi64(r[2], r[3]);
+  t[4] = _mm512_unpacklo_epi64(r[4], r[5]);
+  t[5] = _mm512_unpackhi_epi64(r[4], r[5]);
+  t[6] = _mm512_unpacklo_epi64(r[6], r[7]);
+  t[7] = _mm512_unpackhi_epi64(r[6], r[7]);
+  const __m512i iA = _mm512_setr_epi64(0, 1, 8, 9, 4, 5, 12, 13);
+  const __m512i iB = _mm512_setr_epi64(2, 3, 10, 11, 6, 7, 14, 15);
+  s[0] = _mm512_permutex2var_epi64(t[0], iA, t[2]);
+  s[1] = _mm512_permutex2var_epi64(t[1], iA, t[3]);
+  s[2] = _mm512_permutex2var_epi64(t[0], iB, t[2]);
+  s[3] = _mm512_permutex2var_epi64(t[1], iB, t[3]);
+  s[4] = _mm512_permutex2var_epi64(t[4], iA, t[6]);
+  s[5] = _mm512_permutex2var_epi64(t[5], iA, t[7]);
+  s[6] = _mm512_permutex2var_epi64(t[4], iB, t[6]);
+  s[7] = _mm512_permutex2var_epi64(t[5], iB, t[7]);
+  const __m512i iC = _mm512_setr_epi64(0, 1, 2, 3, 8, 9, 10, 11);
+  const __m512i iD = _mm512_setr_epi64(4, 5, 6, 7, 12, 13, 14, 15);
+  c[0] = _mm512_permutex2var_epi64(s[0], iC, s[4]);
+  c[1] = _mm512_permutex2var_epi64(s[1], iC, s[5]);
+  c[2] = _mm512_permutex2var_epi64(s[2], iC, s[6]);
+  c[3] = _mm512_permutex2var_epi64(s[3], iC, s[7]);
+  c[4] = _mm512_permutex2var_epi64(s[0], iD, s[4]);
+  c[5] = _mm512_permutex2var_epi64(s[1], iD, s[5]);
+  c[6] = _mm512_permutex2var_epi64(s[2], iD, s[6]);
+  c[7] = _mm512_permutex2var_epi64(s[3], iD, s[7]);
+}
+
+static inline __m512i load8_lanes(const uint8_t* base, const int64_t* starts,
+                                  int64_t off) {
+  uint64_t v[8];
+  for (int i = 0; i < 8; i++) memcpy(&v[i], base + starts[i] + off, 8);
+  return _mm512_loadu_si512((const void*)v);
+}
+
+// Canonical k-mer value per position, filter-mode codes ((b>>1)&3), k<=32.
+// Lanes cover 8 contiguous chunks of L8 = 8*(m/64) positions; the tail
+// [8*L8, m) runs the scalar recurrence. Index mode canonicalises into a
+// scratch copy first and calls this on the copy (valid bases map to
+// themselves so values at kept positions are unchanged).
+static void pass1_avx512(const uint8_t* seq, int64_t n, int k,
+                         uint64_t* vals) {
+  const int64_t m = n - k + 1;
+  const int shift_top = 2 * (k - 1);
+  const uint64_t maskv = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int64_t T = m / 64;
+  const int64_t L8 = 8 * T;
+  if (T > 0) {
+    const __m512i m255 = _mm512_set1_epi64(0xFF);
+    const __m512i m3 = _mm512_set1_epi64(3);
+    const __m512i m2 = _mm512_set1_epi64(2);
+    const __m512i vmask = _mm512_set1_epi64((long long)maskv);
+    __m512i fwd = _mm512_setzero_si512(), rc = _mm512_setzero_si512();
+    int64_t lane_start[8];
+    for (int i = 0; i < 8; i++) lane_start[i] = i * L8;
+    // warmup: k-1 bases per lane through the uniform shift-in recurrence;
+    // after the main loop's step j, fwd then holds bases [ci+j, ci+j+k).
+    for (int64_t t = 0; t < k - 1;) {
+      int take = (int)((k - 1 - t) < 8 ? (k - 1 - t) : 8);
+      __m512i bytes = load8_lanes(seq, lane_start, t);
+      for (int s = 0; s < take; s++) {
+        __m512i b = _mm512_and_si512(bytes, m255);
+        bytes = _mm512_srli_epi64(bytes, 8);
+        __m512i c = _mm512_and_si512(_mm512_srli_epi64(b, 1), m3);
+        fwd = _mm512_or_si512(_mm512_srli_epi64(fwd, 2),
+                              _mm512_slli_epi64(c, shift_top));
+        rc = _mm512_or_si512(
+            _mm512_and_si512(_mm512_slli_epi64(rc, 2), vmask),
+            _mm512_xor_si512(c, m2));
+      }
+      t += take;
+    }
+    for (int64_t tile = 0; tile < T; tile++) {
+      int64_t j0 = tile * 8;
+      __m512i bytes = load8_lanes(seq, lane_start, k - 1 + j0);
+      __m512i rows[8], cols[8];
+      for (int s = 0; s < 8; s++) {
+        __m512i b = _mm512_and_si512(bytes, m255);
+        bytes = _mm512_srli_epi64(bytes, 8);
+        __m512i c = _mm512_and_si512(_mm512_srli_epi64(b, 1), m3);
+        fwd = _mm512_or_si512(_mm512_srli_epi64(fwd, 2),
+                              _mm512_slli_epi64(c, shift_top));
+        rc = _mm512_or_si512(
+            _mm512_and_si512(_mm512_slli_epi64(rc, 2), vmask),
+            _mm512_xor_si512(c, m2));
+        rows[s] = _mm512_min_epu64(fwd, rc);
+      }
+      transpose8x8(rows, cols);
+      for (int i = 0; i < 8; i++)
+        _mm512_storeu_si512((void*)(vals + lane_start[i] + j0), cols[i]);
+    }
+  }
+  // scalar tail [8*L8, m)
+  int64_t p0 = 8 * L8;
+  if (p0 < m) {
+    uint64_t fwd = 0, rc = 0;
+    for (int j = 0; j < k - 1; j++) {
+      uint64_t c = (seq[p0 + j] >> 1) & 3;
+      fwd |= c << (2 * j);
+      rc = (rc << 2) | (c ^ 2);
+    }
+    for (int64_t p = p0; p < m; p++) {
+      uint64_t c = (seq[p + k - 1] >> 1) & 3;
+      fwd = (p > p0 ? (fwd >> 2) : fwd) | (c << shift_top);
+      rc = ((rc << 2) & maskv) | (c ^ 2);
+      vals[p] = fwd <= rc ? fwd : rc;
+    }
+  }
+}
+#endif  // __AVX512F__ && __AVX512BW__
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+// ---- AVX-512 window argmin -----------------------------------------------
+// Selection keys carry only 16 bits (top of fmix32), and w fits a u8, so the
+// whole scan runs in u32 "pk"s = key | phase — 16 lanes per vector. Layout:
+// 16 consecutive w-blocks ride the 16 lanes of one vector; per-block suffix/
+// prefix minima are computed phase-by-phase (w vector steps per 16 blocks),
+// and each window min combines this block's prefix with the PREVIOUS
+// block's suffix — a single cross-lane shift (valignd against the prior
+// group's registers). Leftmost tie-break is exact: within a block the
+// phase in the pk's low bits resolves ties; across the block pair the
+// suffix side (earlier positions) is preferred unless the prefix key is
+// strictly smaller. Measured 3x over the scalar van Herk at w=15.
+
+static void tr16(__m512i m[16]) {  // 16x16 u32 in-place transpose
+  __m512i t[16];
+  for (int i = 0; i < 16; i += 2) {
+    t[i] = _mm512_unpacklo_epi32(m[i], m[i + 1]);
+    t[i + 1] = _mm512_unpackhi_epi32(m[i], m[i + 1]);
+  }
+  for (int i = 0; i < 16; i += 4) {
+    m[i] = _mm512_unpacklo_epi64(t[i], t[i + 2]);
+    m[i + 1] = _mm512_unpackhi_epi64(t[i], t[i + 2]);
+    m[i + 2] = _mm512_unpacklo_epi64(t[i + 1], t[i + 3]);
+    m[i + 3] = _mm512_unpackhi_epi64(t[i + 1], t[i + 3]);
+  }
+  for (int i = 0; i < 4; i++) {
+    t[i] = _mm512_shuffle_i32x4(m[i], m[i + 4], 0x88);
+    t[i + 4] = _mm512_shuffle_i32x4(m[i], m[i + 4], 0xdd);
+    t[i + 8] = _mm512_shuffle_i32x4(m[i + 8], m[i + 12], 0x88);
+    t[i + 12] = _mm512_shuffle_i32x4(m[i + 8], m[i + 12], 0xdd);
+  }
+  for (int i = 0; i < 8; i++) {
+    m[i] = _mm512_shuffle_i32x4(t[i], t[i + 8], 0x88);
+    m[i + 8] = _mm512_shuffle_i32x4(t[i], t[i + 8], 0xdd);
+  }
+}
+
+// Requires 2 <= w <= 16, m > w, and keys readable through keys[m + 15]
+// (extract_one pads scr.keys). Appends deduplicated window-argmin positions
+// to pos. sfx64 is scratch for the scalar tail.
+static void window_argmin_avx512(const uint32_t* keys, int64_t m, int w,
+                                 std::vector<uint32_t>& pos,
+                                 std::vector<uint64_t>& sfx64) {
+  const int64_t full_blocks = m / w;
+  const int64_t groups = full_blocks / 16;
+  int64_t last = -1;
+  size_t out0 = pos.size();
+  pos.resize(out0 + (size_t)m - w + 1);
+  uint32_t* out = pos.data() + out0;
+  int64_t nout = 0;
+  __m512i sfx_prev[17];
+  for (int f = 0; f < 17; f++) sfx_prev[f] = _mm512_set1_epi32(-1);
+  const __m512i lane_iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                              10, 11, 12, 13, 14, 15);
+  const __m512i wv = _mm512_set1_epi32(w);
+  const __m512i lane_off = _mm512_mullo_epi32(lane_iota, wv);
+  const __m512i low16 = _mm512_set1_epi32(0xFFFF);
+  for (int64_t g = 0; g < groups; g++) {
+    const int64_t base = g * 16 * w;
+    __m512i K[16];
+    for (int i = 0; i < 16; i++)
+      K[i] = _mm512_loadu_si512((const void*)(keys + base + i * w));
+    tr16(K);
+    __m512i pk[16], sfx[17], win[16];
+    for (int f = 0; f < w; f++)
+      pk[f] = _mm512_or_si512(K[f], _mm512_set1_epi32(f));
+    sfx[w - 1] = pk[w - 1];
+    for (int f = w - 2; f >= 0; f--)
+      sfx[f] = _mm512_min_epu32(pk[f], sfx[f + 1]);
+    sfx[w] = _mm512_set1_epi32(-1);  // window entirely in current block
+    __m512i pfx = pk[0];
+    __m512i bs_v = _mm512_add_epi32(_mm512_set1_epi32((int)base), lane_off);
+    __m512i bs_prev = _mm512_sub_epi32(bs_v, wv);
+    for (int f = 0; f < w; f++) {
+      if (f) pfx = _mm512_min_epu32(pfx, pk[f]);
+      __m512i s = _mm512_alignr_epi32(sfx[f + 1], sfx_prev[f + 1], 15);
+      __mmask16 take_p = _mm512_cmplt_epu32_mask(
+          _mm512_srli_epi32(pfx, 16), _mm512_srli_epi32(s, 16));
+      __m512i chosen = _mm512_mask_mov_epi32(s, take_p, pfx);
+      __m512i cb = _mm512_mask_mov_epi32(bs_prev, take_p, bs_v);
+      win[f] = _mm512_add_epi32(cb, _mm512_and_si512(chosen, low16));
+    }
+    for (int f = w; f < 16; f++) win[f] = win[w - 1];  // tr16 padding
+    for (int f = 0; f <= w; f++) sfx_prev[f] = sfx[f];
+    tr16(win);  // -> per-lane rows of w consecutive window results
+    for (int i = 0; i < 16; i++) {
+      alignas(64) uint32_t cand[16];
+      _mm512_store_si512((void*)cand, win[i]);
+      // group 0, block 0: windows before phase w-1 are incomplete
+      int f0 = (g == 0 && i == 0) ? w - 1 : 0;
+      for (int f = f0; f < w; f++) {
+        int64_t p = cand[f];
+        if (p != last) {
+          last = p;
+          out[nout++] = (uint32_t)p;
+        }
+      }
+    }
+  }
+  // scalar tail over the remaining blocks, seeded with the suffix minima of
+  // the block just before it
+  int64_t tail_bs = groups * 16 * w;
+  if (tail_bs < m) {
+    int64_t p0 = tail_bs >= w ? tail_bs - w : 0;
+    sfx64.resize(m);
+    for (int64_t bs = p0; bs < m; bs += w) {
+      int64_t be = bs + w < m ? bs + w : m;
+      uint64_t run = ~0ULL;
+      for (int64_t j = be - 1; j >= bs; j--) {
+        uint64_t pk = ((uint64_t)keys[j] << 32) | (uint32_t)j;
+        run = pk < run ? pk : run;
+        sfx64[j] = run;
+      }
+    }
+    for (int64_t bs = tail_bs; bs < m; bs += w) {
+      int64_t be = bs + w < m ? bs + w : m;
+      uint64_t pfx = ~0ULL;
+      for (int64_t j = bs; j < be; j++) {
+        uint64_t pk = ((uint64_t)keys[j] << 32) | (uint32_t)j;
+        pfx = pk < pfx ? pk : pfx;
+        if (j >= w - 1) {
+          uint64_t s = j - w + 1 >= p0 ? sfx64[j - w + 1] : ~0ULL;
+          uint64_t win = s < pfx ? s : pfx;
+          int64_t p = (uint32_t)win;
+          if (p != last) {
+            last = p;
+            out[nout++] = (uint32_t)p;
+          }
+        }
+      }
+    }
+  }
+  pos.resize(out0 + (size_t)nout);
+}
+#endif  // __AVX512F__ && __AVX512BW__
 
 // code tables: byte -> 2-bit code; filter side packs raw bytes, index side
 // IUPAC-canonicalises first (ref: src/minimizers.rs:143-148 vs
@@ -915,45 +1269,62 @@ static int64_t extract_one(const uint8_t* seq, int64_t n, int k, int w,
                            uint32_t* out_p, int64_t cap) {
   if (n < k) return 0;
   const int64_t m = n - k + 1;
-  scr.keys.resize(m);
+  scr.keys.resize(m + 16);  // +16: SIMD argmin block loads read past m
   const int shift_top = 2 * (k - 1);
   const bool wide = k > 32;
   const uint8_t* codes = index_mode ? kCodes.index : kCodes.filter;
   const uint8_t* bad_tab = kCodes.bad;
 
-  // Pass 1: rolling canonical values + selection keys at every position.
+  // Pass 1: rolling canonical values at every position.
   // fwd = sum code[p+j] << 2j ; rc = sum (code[p+k-1-j]^2) << 2j.
-  // The serial recurrence has a ~2-cycle dependency chain and measures
-  // ~375 Mbp/s scalar — FASTER than an 8-lane AVX-512 rewrite on this
-  // host (163 Mbp/s: cvt/transpose overhead + vector downclock), so it
-  // stays scalar. Canonical values and a rolling non-ACGT counter are
-  // recorded per position so the selected-position pass below is a pure
-  // table lookup (recomputing each selected k-mer measured 1/96 of the
-  // per-base budget; buffering costs only a streaming 9 B/base write).
+  // The serial recurrence has a ~2-cycle dependency chain; the AVX-512
+  // 8-lane chunked rewrite above runs it 3.3x faster at read scale, with
+  // validity as a per-base bad-bit mask consulted only at selected
+  // positions. Scalar fallback keeps a rolling non-ACGT counter instead.
+  // Canonical values are recorded per position either way so the
+  // selected-position pass below is a pure table lookup.
+  bool use_simd = false;
   if (!wide) {
     scr.vals.resize(m);
-    scr.valid.resize(m);
-    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
-    uint64_t fwd = 0, rc = 0;
-    int bad = 0;
-    for (int j = 0; j < k - 1; j++) {
-      uint8_t b = seq[j];
-      uint64_t c = codes[b];
-      fwd |= c << (2 * j);
-      rc = (rc << 2) | (c ^ 2);
-      bad += bad_tab[b];
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    if (m >= 512) {
+      use_simd = true;
+      const uint8_t* src = seq;
+      if (index_mode) {
+        // IUPAC-canonicalise a copy: selection must see mapped codes
+        // exactly like the reference (ref: src/minimizers.rs:143-148)
+        scr.canon.resize(n);
+        for (int64_t i = 0; i < n; i++) scr.canon[i] = kIupac.map[seq[i]];
+        src = scr.canon.data();
+      }
+      pass1_avx512(src, n, k, scr.vals.data());
+      scr.badbits.resize((n >> 6) + 2);
+      bad_bitmask(seq, n, scr.badbits.data());
     }
-    for (int64_t p = 0; p < m; p++) {
-      uint8_t b = seq[p + k - 1];
-      uint64_t c = codes[b];
-      fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
-      rc = ((rc << 2) & mask) | (c ^ 2);
-      bad += bad_tab[b];
-      uint64_t v = fwd <= rc ? fwd : rc;
-      scr.vals[p] = v;
-      scr.valid[p] = (uint8_t)(bad == 0);
-      bad -= bad_tab[seq[p]];  // k-mer at p+1 drops seq[p]
-      scr.keys[p] = (uint32_t)v ^ (uint32_t)(v >> 32);
+#endif
+    if (!use_simd) {
+      scr.valid.resize(m);
+      const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+      uint64_t fwd = 0, rc = 0;
+      int bad = 0;
+      for (int j = 0; j < k - 1; j++) {
+        uint8_t b = seq[j];
+        uint64_t c = codes[b];
+        fwd |= c << (2 * j);
+        rc = (rc << 2) | (c ^ 2);
+        bad += bad_tab[b];
+      }
+      for (int64_t p = 0; p < m; p++) {
+        uint8_t b = seq[p + k - 1];
+        uint64_t c = codes[b];
+        fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
+        rc = ((rc << 2) & mask) | (c ^ 2);
+        bad += bad_tab[b];
+        uint64_t v = fwd <= rc ? fwd : rc;
+        scr.vals[p] = v;
+        scr.valid[p] = (uint8_t)(bad == 0);
+        bad -= bad_tab[seq[p]];  // k-mer at p+1 drops seq[p]
+      }
     }
   } else {
     unsigned __int128 fwd = 0, rc = 0;
@@ -974,14 +1345,28 @@ static int64_t extract_one(const uint8_t* seq, int64_t n, int k, int w,
           (uint32_t)lo ^ (uint32_t)(lo >> 32) ^ (uint32_t)hi ^ (uint32_t)(hi >> 32);
     }
   }
-  for (int64_t p = 0; p < m; p++) {  // vectorizable finalizer pass
-    uint32_t x = scr.keys[p];
-    x ^= x >> 16;
-    x *= 0x85EBCA6BU;
-    x ^= x >> 13;
-    x *= 0xC2B2AE35U;
-    x ^= x >> 16;
-    scr.keys[p] = x & 0xFFFF0000U;
+  if (!wide) {  // vectorizable finalizer pass: selection keys from values
+    const uint64_t* vals_buf = scr.vals.data();
+    for (int64_t p = 0; p < m; p++) {
+      uint64_t v = vals_buf[p];
+      uint32_t x = (uint32_t)v ^ (uint32_t)(v >> 32);
+      x ^= x >> 16;
+      x *= 0x85EBCA6BU;
+      x ^= x >> 13;
+      x *= 0xC2B2AE35U;
+      x ^= x >> 16;
+      scr.keys[p] = x & 0xFFFF0000U;
+    }
+  } else {
+    for (int64_t p = 0; p < m; p++) {
+      uint32_t x = scr.keys[p];
+      x ^= x >> 16;
+      x *= 0x85EBCA6BU;
+      x ^= x >> 13;
+      x *= 0xC2B2AE35U;
+      x ^= x >> 16;
+      scr.keys[p] = x & 0xFFFF0000U;
+    }
   }
   const uint32_t* keys_buf = scr.keys.data();
 
@@ -997,7 +1382,13 @@ static int64_t extract_one(const uint8_t* seq, int64_t n, int k, int w,
     for (int64_t p = 1; p < m; p++)
       if (keys_buf[p] < keys_buf[best]) best = (uint32_t)p;
     scr.pos.push_back(best);
-  } else {
+  }
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+  else if (w >= 2 && w <= 16 && m >= 16 * w) {
+    window_argmin_avx512(keys_buf, m, w, scr.pos, scr.sfx);
+  }
+#endif
+  else {
     scr.sfx.resize(m);
     for (int64_t bs = 0; bs < m; bs += w) {
       int64_t be = bs + w < m ? bs + w : m;
@@ -1034,7 +1425,9 @@ static int64_t extract_one(const uint8_t* seq, int64_t n, int k, int w,
   int64_t cnt = 0;
   for (uint32_t p : scr.pos) {
     if (!wide) {
-      if (!scr.valid[p]) continue;
+      if (use_simd ? !window_clean(scr.badbits.data(), p, k)
+                   : !scr.valid[p])
+        continue;
       if (index_mode && entropy_threshold != 0.0f && k >= 10 &&
           scaled_entropy(seq + p, k) < entropy_threshold)
         continue;
@@ -1266,11 +1659,9 @@ static int64_t count_distinct_hits(const FilterJob& J, const uint64_t* hashes,
   scratch.clear();
   const ProbeTable& t = *J.probe;
   for (int64_t i = 0; i < n; i++) {
-    if (i + kAheadOff < n)
-      __builtin_prefetch(&t.off[hashes[i + kAheadOff] >> t.shift]);
-    if (i + kAheadKeys < n)
-      __builtin_prefetch(&J.keys[t.off[hashes[i + kAheadKeys] >> t.shift]]);
-    if (probe_lookup(t, J.keys, hashes[i])) scratch.push_back(hashes[i]);
+    if (i + kProbeAhead < n)
+      __builtin_prefetch(&t.slots[(hashes[i + kProbeAhead] * t.mix) >> t.shift]);
+    if (probe_lookup(t, hashes[i])) scratch.push_back(hashes[i]);
   }
   if (scratch.empty()) return 0;
   std::sort(scratch.begin(), scratch.end());

@@ -82,6 +82,28 @@ def test_long_read_and_overflow_regrow():
     np.testing.assert_array_equal(res[0], oh)
 
 
+@pytest.mark.parametrize("k", [21, 31, 32])
+@pytest.mark.parametrize(
+    "alphabet", [b"ACGT", b"ACGTacgt", b"ACGTNRYSWKMBDHVn", b"ACGT\nX-"]
+)
+def test_long_reads_simd_path_matches_oracle(k, alphabet):
+    # reads with >= 512 k-mer positions take the AVX-512 pass1 (8-lane
+    # chunked recurrence + bad-bit-mask validity); must stay bit-identical
+    # to the oracle on dirty bytes, both filter and index side
+    rng = np.random.default_rng(zlib.crc32(repr((k, alphabet)).encode()))
+    seqs = _rand_seqs(rng, alphabet, 8, 5000)
+    seqs += [bytes(s[: 512 + k - 1]) for s in seqs[:2]]  # boundary m≈512
+    got = host_extract.extract_filter_batch(seqs, 0, k, 15)
+    for s, (h, p, e) in zip(seqs, got):
+        oh, op, oe = mnp.get_minimizer_hashes_and_positions(s, 0, k, 15)
+        np.testing.assert_array_equal(p, op)
+        np.testing.assert_array_equal(h, oh)
+    goti = host_extract.extract_index_batch(seqs, k, 15, 0.5)
+    for s, h in zip(seqs, goti):
+        oh = mnp.compute_minimizer_hashes(s, k, 15, 0.5)
+        np.testing.assert_array_equal(h, oh)
+
+
 def test_homopolymer_single_minimizer_per_window_run():
     # all-identical k-mers: every window picks the leftmost position 0 key...
     # the deque dedup must still emit strictly increasing positions
