@@ -582,6 +582,47 @@ def _stage_count(
     return hits, totals
 
 
+def _pallas_mode() -> str:
+    """'compiled' | 'interpret' | 'off' for the fused Pallas S1+S2 kernel.
+
+    Defaults to compiled on TPU backends and off elsewhere (the Mosaic
+    kernel has no CPU lowering; interpret mode is for tests). Override with
+    DEACON_PALLAS=0|interpret|1.
+    """
+    import os
+
+    v = os.environ.get("DEACON_PALLAS", "").lower()
+    if v in ("0", "off"):
+        return "off"
+    if v == "interpret":
+        return "interpret"
+    try:
+        import jax as _jax
+
+        return "compiled" if _jax.devices()[0].platform == "tpu" else "off"
+    except Exception:
+        return "off"
+
+
+def _values_flags(codes, validb, mlen, allow_short, *, k: int, w: int):
+    """S1+S2(+flag mask): returns (limbs, wp_i, flag), using the fused
+    Pallas kernel (ops/pallas_kernels.py) where supported."""
+    mode = _pallas_mode()
+    R, L = codes.shape
+    if mode != "off" and k <= 32 and R % 8 == 0 and L <= 65536:
+        from . import pallas_kernels as pk
+
+        lo, hi, wp_i = pk.values_argmin_fused(
+            codes, mlen, k=k, w=w, interpret=(mode == "interpret")
+        )
+        flag = _stage_flag_mask(wp_i, validb, mlen, allow_short, k=k, w=w)
+        return (lo, hi), wp_i, flag
+    out = _stage_values(codes, mlen, k=k)
+    limbs, keys = out[:-1], out[-1]
+    wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)
+    return limbs, wp_i, flag
+
+
 def _engine_step(
     codes, validb, mlen, allow_short, rid, mate, chunk_start,
     index_hi, index_lo,
@@ -595,9 +636,9 @@ def _engine_step(
     """
     if packed:
         codes, validb = _stage_unpack(codes, validb)
-    out = _stage_values(codes, mlen, k=k)
-    limbs, keys = out[:-1], out[-1]
-    wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)
+    limbs, wp_i, flag = _values_flags(
+        codes, validb, mlen, allow_short, k=k, w=w
+    )
     slot_row, slot_pos, slot_valid, total = _stage_compact(
         flag, wp_i, budget=budget
     )
@@ -714,9 +755,9 @@ def _extract_step(
     """Index-build extraction (ref: src/minimizers.rs:125-191): returns the
     compacted (hashes, rids, valid, total) for host-side set accumulation.
     Staged dispatches (see the staged-pipeline note above)."""
-    out = _stage_values(codes, mlen, k=k)
-    limbs, keys = out[:-1], out[-1]
-    wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)
+    limbs, wp_i, flag = _values_flags(
+        codes, validb, mlen, allow_short, k=k, w=w
+    )
     slot_row, slot_pos, slot_valid, total = _stage_compact(
         flag, wp_i, budget=budget
     )
