@@ -239,7 +239,9 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
             and input_size < 16_000_000
         ):
             return host
-        if _default_backend_is_tunneled():
+        from ..jaxenv import default_backend_is_tunneled
+
+        if default_backend_is_tunneled():
             return host
     try:
         return DeviceDecider(index, k, w, cfg.device, host)
@@ -247,17 +249,6 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
         if cfg.device in ("tpu", "cpu"):
             raise
         return host
-
-
-def _default_backend_is_tunneled() -> bool:
-    """True when the default JAX backend is a remote/tunneled accelerator
-    whose device->host materializations are pathologically slow."""
-    try:
-        import jax
-
-        return "axon" in jax.devices()[0].client.platform_version.lower()
-    except Exception:
-        return False
 
 
 def _run_native_pipeline(

@@ -113,6 +113,14 @@ def build(config: IndexConfig) -> None:
                 device = "numpy"
         except OSError:
             pass
+        if device == "auto":
+            # tunneled accelerators: per-batch materializations run ~100x
+            # below chip speed, so the C++ host engine is strictly faster
+            # end-to-end (same routing as filter; --device tpu forces)
+            from ..jaxenv import default_backend_is_tunneled
+
+            if default_backend_is_tunneled():
+                device = "numpy"
     extractor = _Extractor(
         config.kmer_length,
         config.window_size,

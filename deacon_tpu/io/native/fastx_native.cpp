@@ -943,8 +943,7 @@ struct ExtractScratch {
   std::vector<uint32_t> pos;    // selected (deduped) window-argmin positions
   std::vector<uint64_t> sfx;    // van Herk block suffix minima
   std::vector<uint64_t> vals;   // canonical k-mer value per position (k<=32)
-  std::vector<uint8_t> valid;   // 1 = no non-ACGT byte in the k-mer (k<=32)
-  std::vector<uint64_t> badbits;  // SIMD path: 1 bit per base, 1 = non-ACGT
+  std::vector<uint64_t> badbits;  // 1 bit per base, 1 = non-ACGT
   std::vector<uint8_t> canon;     // SIMD index mode: IUPAC-canonicalised seq
 };
 
@@ -1261,204 +1260,247 @@ static const CodeTables kCodes;
 
 // Extract minimizers of one sequence. Appends (hash, position) pairs.
 // Returns count appended, or -1 if out capacity would be exceeded.
+// Portable bad-bit mask builder (1 bit per base, 1 = non-ACGT; bits at and
+// after n are set, harmless because windows never reach them).
+static void bad_bitmask_scalar(const uint8_t* seq, int64_t n,
+                               uint64_t* bits) {
+  const int64_t nb = (n + 63) / 64;
+  for (int64_t i = 0; i < nb; i++) bits[i] = 0;
+  for (int64_t i = 0; i < n; i++)
+    if (kCodes.bad[seq[i]]) bits[i >> 6] |= 1ULL << (i & 63);
+  if (n & 63) bits[nb - 1] |= ~0ULL << (n & 63);
+  bits[nb] = ~0ULL;
+}
+
+// Selection keys from canonical values: fold to u32, fmix32, keep the top
+// 16 bits (the low 16 carry the in-block phase in the argmin scan).
+static inline void keys_from_vals(const uint64_t* vals, int64_t m,
+                                  uint32_t* keys) {
+  for (int64_t p = 0; p < m; p++) {
+    uint64_t v = vals[p];
+    uint32_t x = (uint32_t)v ^ (uint32_t)(v >> 32);
+    x ^= x >> 16;
+    x *= 0x85EBCA6BU;
+    x ^= x >> 13;
+    x *= 0xC2B2AE35U;
+    x ^= x >> 16;
+    keys[p] = x & 0xFFFF0000U;
+  }
+}
+
+// Megabase-scale records are processed in chunks of window starts so the
+// per-position scratch (values 8 B + keys 4 B) stays cache-resident: the
+// unchunked multi-pass layout on a 20 Mbp contig allocates ~240 MB of
+// scratch and runs ~20x slower than read-scale inputs (DRAM-bound).
+// Chunks overlap by w-1 positions so every window is computed entirely
+// inside one chunk; results are bit-identical to the unchunked scan, with
+// the chunk-boundary duplicate removed by the carried last-argmin position.
+static const int64_t kChunkWindows = 1 << 17;  // ~1.6 MB scratch/chunk
+
+// Extract minimizers whose selecting windows start in [ws0, ws1), a range
+// of the sequence's NW = (m > w ? m-w+1 : 1) window starts. Ranges
+// partition a record's work across threads (see dx_extract_batch); outputs
+// concatenated over a partition equal the whole-record scan except for one
+// possible boundary repeat (the predecessor range's last minimizer selected
+// again by the first window here), which the merger drops by position.
 // index_mode: IUPAC-canonicalise before selection, validity+entropy on the
 // original bytes.
+static int64_t extract_range(const uint8_t* seq, int64_t n, int k, int w,
+                             bool index_mode, float entropy_threshold,
+                             ExtractScratch& scr, int64_t ws0, int64_t ws1,
+                             uint64_t* out_h, uint32_t* out_p, int64_t cap) {
+  if (n < k) return 0;
+  const int64_t m = n - k + 1;
+  const int shift_top = 2 * (k - 1);
+  const bool wide = k > 32;
+  const uint8_t* codes = index_mode ? kCodes.index : kCodes.filter;
+
+  // Validity over the ORIGINAL bytes of this range, built once; consulted
+  // only at selected positions (same windowed-bitmask idea as the
+  // reference's filter side, ref: src/filter_common.rs:245-286).
+  // window_clean's 64-bit read covers k <= 56, the filter-side bound.
+  // Bit j of the mask covers seq[bit_base + j].
+  const int64_t bit_base = ws0 & ~(int64_t)63;
+  {
+    int64_t p_hi = ws1 - 1 + w - 1 < m - 1 ? ws1 - 1 + w - 1 : m - 1;
+    int64_t n_hi = p_hi + k;  // bytes [bit_base, n_hi) are consulted
+    scr.badbits.resize(((n_hi - bit_base) >> 6) + 2);
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    bad_bitmask(seq + bit_base, n_hi - bit_base, scr.badbits.data());
+#else
+    bad_bitmask_scalar(seq + bit_base, n_hi - bit_base, scr.badbits.data());
+#endif
+  }
+
+  int64_t cnt = 0;
+  int64_t last_argmin = -1;  // dedup across chunk boundaries
+  for (int64_t ws = ws0; ws < ws1; ws += kChunkWindows) {
+    const int64_t we = ws + kChunkWindows < ws1 ? ws + kChunkWindows : ws1;
+    const int64_t m_loc =
+        (we - ws) + w - 1 <= m - ws ? (we - ws) + w - 1 : m - ws;
+    const uint8_t* src = seq + ws;
+    const int64_t n_loc = m_loc + k - 1;
+    scr.keys.resize(m_loc + 16);  // +16: SIMD argmin block loads past m_loc
+
+    // Pass 1: rolling canonical values at every chunk position.
+    // fwd = sum code[p+j] << 2j ; rc = sum (code[p+k-1-j]^2) << 2j.
+    // The serial recurrence has a ~2-cycle dependency chain; the AVX-512
+    // 8-lane chunked rewrite above runs it 3.3x faster at read scale.
+    if (!wide) {
+      scr.vals.resize(m_loc);
+      bool use_simd = false;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+      if (m_loc >= 512) {
+        use_simd = true;
+        const uint8_t* psrc = src;
+        if (index_mode) {
+          // IUPAC-canonicalise a copy: selection must see mapped codes
+          // exactly like the reference (ref: src/minimizers.rs:143-148)
+          scr.canon.resize(n_loc);
+          for (int64_t i = 0; i < n_loc; i++) scr.canon[i] = kIupac.map[src[i]];
+          psrc = scr.canon.data();
+        }
+        pass1_avx512(psrc, n_loc, k, scr.vals.data());
+      }
+#endif
+      if (!use_simd) {
+        const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+        uint64_t fwd = 0, rc = 0;
+        for (int j = 0; j < k - 1; j++) {
+          uint64_t c = codes[src[j]];
+          fwd |= c << (2 * j);
+          rc = (rc << 2) | (c ^ 2);
+        }
+        for (int64_t p = 0; p < m_loc; p++) {
+          uint64_t c = codes[src[p + k - 1]];
+          fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
+          rc = ((rc << 2) & mask) | (c ^ 2);
+          scr.vals[p] = fwd <= rc ? fwd : rc;
+        }
+      }
+      // vectorizable finalizer pass: selection keys from values
+      keys_from_vals(scr.vals.data(), m_loc, scr.keys.data());
+    } else {
+      unsigned __int128 fwd = 0, rc = 0;
+      const unsigned __int128 mask =
+          (((unsigned __int128)1) << (2 * k)) - 1;  // k <= 57 < 64
+      for (int j = 0; j < k - 1; j++) {
+        unsigned __int128 c = codes[src[j]];
+        fwd |= c << (2 * j);
+        rc = (rc << 2) | (c ^ 2);
+      }
+      for (int64_t p = 0; p < m_loc; p++) {
+        unsigned __int128 c = codes[src[p + k - 1]];
+        fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
+        rc = ((rc << 2) & mask) | (c ^ 2);
+        unsigned __int128 v = fwd <= rc ? fwd : rc;
+        uint64_t lo = (uint64_t)v, hi = (uint64_t)(v >> 64);
+        uint32_t x = (uint32_t)lo ^ (uint32_t)(lo >> 32) ^ (uint32_t)hi ^
+                     (uint32_t)(hi >> 32);
+        x ^= x >> 16;
+        x *= 0x85EBCA6BU;
+        x ^= x >> 13;
+        x *= 0xC2B2AE35U;
+        x ^= x >> 16;
+        scr.keys[p] = x & 0xFFFF0000U;
+      }
+    }
+    const uint32_t* keys_buf = scr.keys.data();
+
+    // Window argmin with leftmost tie-break, deduplicated. van Herk/
+    // Gil-Werman block minima over (key << 32 | pos) packed u64s: a smaller
+    // pos wins key ties automatically, every loop is branch-light (a
+    // monotone deque measured ~55 MB/s on mispredicts). Both scans walk
+    // blocks explicitly — a j % w in the hot loop costs an integer divide
+    // per position and halved throughput.
+    scr.pos.clear();
+    if (m <= w) {
+      uint32_t best = 0;
+      for (int64_t p = 1; p < m; p++)
+        if (keys_buf[p] < keys_buf[best]) best = (uint32_t)p;
+      scr.pos.push_back(best);
+    }
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    else if (w >= 2 && w <= 16 && m_loc >= 16 * w) {
+      window_argmin_avx512(keys_buf, m_loc, w, scr.pos, scr.sfx);
+    }
+#endif
+    else {
+      scr.sfx.resize(m_loc);
+      for (int64_t bs = 0; bs < m_loc; bs += w) {
+        int64_t be = bs + w < m_loc ? bs + w : m_loc;
+        uint64_t run = ~0ULL;
+        for (int64_t j = be - 1; j >= bs; j--) {
+          uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
+          run = pk < run ? pk : run;
+          scr.sfx[j] = run;
+        }
+      }
+      int64_t last = -1;
+      for (int64_t bs = 0; bs < m_loc; bs += w) {
+        int64_t be = bs + w < m_loc ? bs + w : m_loc;
+        uint64_t pfx = ~0ULL;
+        for (int64_t j = bs; j < be; j++) {
+          uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
+          pfx = pk < pfx ? pk : pfx;
+          if (j >= w - 1) {
+            uint64_t s = scr.sfx[j - w + 1];
+            uint64_t win = s < pfx ? s : pfx;
+            int64_t p = (uint32_t)win;
+            if (p != last) {
+              last = p;
+              scr.pos.push_back((uint32_t)p);
+            }
+          }
+        }
+      }
+    }
+
+    // Selected positions: validity (no non-ACGT byte in the ORIGINAL
+    // k-mer), entropy, hash. k<=32 reads the buffered value; k>32 (rare)
+    // recomputes directly. Argmin positions are non-decreasing, so the
+    // chunk-boundary duplicate (a window straddling chunks re-selecting the
+    // previous chunk's last minimizer) is exactly the last_argmin repeat.
+    for (uint32_t lp : scr.pos) {
+      const int64_t p = ws + (int64_t)lp;
+      if (p == last_argmin) continue;
+      last_argmin = p;
+      if (!window_clean(scr.badbits.data(), p - bit_base, k)) continue;
+      if (index_mode && entropy_threshold != 0.0f && k >= 10 &&
+          scaled_entropy(seq + p, k) < entropy_threshold)
+        continue;
+      if (cnt >= cap) return -1;
+      if (!wide) {
+        out_h[cnt] = xxh3_u64(scr.vals[lp]);
+      } else {
+        unsigned __int128 fwd = 0, rc = 0;
+        for (int j = 0; j < k; j++) {
+          unsigned __int128 c = index_mode
+                                    ? ((kIupac.map[seq[p + j]] >> 1) & 3)
+                                    : ((seq[p + j] >> 1) & 3);
+          fwd |= c << (2 * j);
+          rc = (rc << 2) | (c ^ 2);
+        }
+        unsigned __int128 v = fwd <= rc ? fwd : rc;
+        out_h[cnt] = xxh3_u128((uint64_t)v, (uint64_t)(v >> 64));
+      }
+      out_p[cnt] = p;
+      cnt++;
+    }
+  }
+  return cnt;
+}
+
+// Whole-record extraction: every window of the sequence.
 static int64_t extract_one(const uint8_t* seq, int64_t n, int k, int w,
                            bool index_mode, float entropy_threshold,
                            ExtractScratch& scr, uint64_t* out_h,
                            uint32_t* out_p, int64_t cap) {
   if (n < k) return 0;
   const int64_t m = n - k + 1;
-  scr.keys.resize(m + 16);  // +16: SIMD argmin block loads read past m
-  const int shift_top = 2 * (k - 1);
-  const bool wide = k > 32;
-  const uint8_t* codes = index_mode ? kCodes.index : kCodes.filter;
-  const uint8_t* bad_tab = kCodes.bad;
-
-  // Pass 1: rolling canonical values at every position.
-  // fwd = sum code[p+j] << 2j ; rc = sum (code[p+k-1-j]^2) << 2j.
-  // The serial recurrence has a ~2-cycle dependency chain; the AVX-512
-  // 8-lane chunked rewrite above runs it 3.3x faster at read scale, with
-  // validity as a per-base bad-bit mask consulted only at selected
-  // positions. Scalar fallback keeps a rolling non-ACGT counter instead.
-  // Canonical values are recorded per position either way so the
-  // selected-position pass below is a pure table lookup.
-  bool use_simd = false;
-  if (!wide) {
-    scr.vals.resize(m);
-#if defined(__AVX512F__) && defined(__AVX512BW__)
-    if (m >= 512) {
-      use_simd = true;
-      const uint8_t* src = seq;
-      if (index_mode) {
-        // IUPAC-canonicalise a copy: selection must see mapped codes
-        // exactly like the reference (ref: src/minimizers.rs:143-148)
-        scr.canon.resize(n);
-        for (int64_t i = 0; i < n; i++) scr.canon[i] = kIupac.map[seq[i]];
-        src = scr.canon.data();
-      }
-      pass1_avx512(src, n, k, scr.vals.data());
-      scr.badbits.resize((n >> 6) + 2);
-      bad_bitmask(seq, n, scr.badbits.data());
-    }
-#endif
-    if (!use_simd) {
-      scr.valid.resize(m);
-      const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
-      uint64_t fwd = 0, rc = 0;
-      int bad = 0;
-      for (int j = 0; j < k - 1; j++) {
-        uint8_t b = seq[j];
-        uint64_t c = codes[b];
-        fwd |= c << (2 * j);
-        rc = (rc << 2) | (c ^ 2);
-        bad += bad_tab[b];
-      }
-      for (int64_t p = 0; p < m; p++) {
-        uint8_t b = seq[p + k - 1];
-        uint64_t c = codes[b];
-        fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
-        rc = ((rc << 2) & mask) | (c ^ 2);
-        bad += bad_tab[b];
-        uint64_t v = fwd <= rc ? fwd : rc;
-        scr.vals[p] = v;
-        scr.valid[p] = (uint8_t)(bad == 0);
-        bad -= bad_tab[seq[p]];  // k-mer at p+1 drops seq[p]
-      }
-    }
-  } else {
-    unsigned __int128 fwd = 0, rc = 0;
-    const unsigned __int128 mask =
-        (((unsigned __int128)1) << (2 * k)) - 1;  // k <= 57 < 64
-    for (int j = 0; j < k - 1; j++) {
-      unsigned __int128 c = codes[seq[j]];
-      fwd |= c << (2 * j);
-      rc = (rc << 2) | (c ^ 2);
-    }
-    for (int64_t p = 0; p < m; p++) {
-      unsigned __int128 c = codes[seq[p + k - 1]];
-      fwd = (p ? (fwd >> 2) : fwd) | (c << shift_top);
-      rc = ((rc << 2) & mask) | (c ^ 2);
-      unsigned __int128 v = fwd <= rc ? fwd : rc;
-      uint64_t lo = (uint64_t)v, hi = (uint64_t)(v >> 64);
-      scr.keys[p] =
-          (uint32_t)lo ^ (uint32_t)(lo >> 32) ^ (uint32_t)hi ^ (uint32_t)(hi >> 32);
-    }
-  }
-  if (!wide) {  // vectorizable finalizer pass: selection keys from values
-    const uint64_t* vals_buf = scr.vals.data();
-    for (int64_t p = 0; p < m; p++) {
-      uint64_t v = vals_buf[p];
-      uint32_t x = (uint32_t)v ^ (uint32_t)(v >> 32);
-      x ^= x >> 16;
-      x *= 0x85EBCA6BU;
-      x ^= x >> 13;
-      x *= 0xC2B2AE35U;
-      x ^= x >> 16;
-      scr.keys[p] = x & 0xFFFF0000U;
-    }
-  } else {
-    for (int64_t p = 0; p < m; p++) {
-      uint32_t x = scr.keys[p];
-      x ^= x >> 16;
-      x *= 0x85EBCA6BU;
-      x ^= x >> 13;
-      x *= 0xC2B2AE35U;
-      x ^= x >> 16;
-      scr.keys[p] = x & 0xFFFF0000U;
-    }
-  }
-  const uint32_t* keys_buf = scr.keys.data();
-
-  // Window argmin with leftmost tie-break, deduplicated. van Herk/
-  // Gil-Werman block minima over (key << 32 | pos) packed u64s: a smaller
-  // pos wins key ties automatically, every loop is branch-light (a monotone
-  // deque measured ~55 MB/s on mispredicts). Both scans walk blocks
-  // explicitly — a j % w in the hot loop costs an integer divide per
-  // position and halved throughput.
-  scr.pos.clear();
-  if (m <= w) {
-    uint32_t best = 0;
-    for (int64_t p = 1; p < m; p++)
-      if (keys_buf[p] < keys_buf[best]) best = (uint32_t)p;
-    scr.pos.push_back(best);
-  }
-#if defined(__AVX512F__) && defined(__AVX512BW__)
-  else if (w >= 2 && w <= 16 && m >= 16 * w) {
-    window_argmin_avx512(keys_buf, m, w, scr.pos, scr.sfx);
-  }
-#endif
-  else {
-    scr.sfx.resize(m);
-    for (int64_t bs = 0; bs < m; bs += w) {
-      int64_t be = bs + w < m ? bs + w : m;
-      uint64_t run = ~0ULL;
-      for (int64_t j = be - 1; j >= bs; j--) {
-        uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
-        run = pk < run ? pk : run;
-        scr.sfx[j] = run;
-      }
-    }
-    int64_t last = -1;
-    for (int64_t bs = 0; bs < m; bs += w) {
-      int64_t be = bs + w < m ? bs + w : m;
-      uint64_t pfx = ~0ULL;
-      for (int64_t j = bs; j < be; j++) {
-        uint64_t pk = ((uint64_t)keys_buf[j] << 32) | (uint32_t)j;
-        pfx = pk < pfx ? pk : pfx;
-        if (j >= w - 1) {
-          uint64_t s = scr.sfx[j - w + 1];
-          uint64_t win = s < pfx ? s : pfx;
-          int64_t p = (uint32_t)win;
-          if (p != last) {
-            last = p;
-            scr.pos.push_back((uint32_t)p);
-          }
-        }
-      }
-    }
-  }
-
-  // Selected positions: validity (no non-ACGT byte in the ORIGINAL k-mer),
-  // entropy, hash. k<=32 reads the buffered value/validity; k>32 (rare)
-  // recomputes directly.
-  int64_t cnt = 0;
-  for (uint32_t p : scr.pos) {
-    if (!wide) {
-      if (use_simd ? !window_clean(scr.badbits.data(), p, k)
-                   : !scr.valid[p])
-        continue;
-      if (index_mode && entropy_threshold != 0.0f && k >= 10 &&
-          scaled_entropy(seq + p, k) < entropy_threshold)
-        continue;
-      if (cnt >= cap) return -1;
-      out_h[cnt] = xxh3_u64(scr.vals[p]);
-      out_p[cnt] = p;
-      cnt++;
-    } else {
-      bool ok = true;
-      for (int j = 0; j < k; j++) {
-        if (!valid_base(seq[p + j])) { ok = false; break; }
-      }
-      if (!ok) continue;
-      if (index_mode && entropy_threshold != 0.0f && k >= 10 &&
-          scaled_entropy(seq + p, k) < entropy_threshold)
-        continue;
-      if (cnt >= cap) return -1;
-      unsigned __int128 fwd = 0, rc = 0;
-      for (int j = 0; j < k; j++) {
-        unsigned __int128 c = index_mode ? ((kIupac.map[seq[p + j]] >> 1) & 3)
-                                         : ((seq[p + j] >> 1) & 3);
-        fwd |= c << (2 * j);
-        rc = (rc << 2) | (c ^ 2);
-      }
-      unsigned __int128 v = fwd <= rc ? fwd : rc;
-      out_h[cnt] = xxh3_u128((uint64_t)v, (uint64_t)(v >> 64));
-      out_p[cnt] = p;
-      cnt++;
-    }
-  }
-  return cnt;
+  const int64_t NW = m > w ? m - w + 1 : 1;
+  return extract_range(seq, n, k, w, index_mode, entropy_threshold, scr, 0,
+                       NW, out_h, out_p, cap);
 }
 
 }  // namespace
@@ -1481,7 +1523,17 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
   if (n_threads < 1) n_threads = 1;
   int hw = (int)std::thread::hardware_concurrency();
   if (hw > 0 && n_threads > hw) n_threads = hw;
-  if ((int64_t)n_threads > n_seqs) n_threads = (int32_t)(n_seqs ? n_seqs : 1);
+  // clamp to the unit count, not the sequence count: window-range units let
+  // one chromosome-scale record use every core
+  int64_t total_units = 0;
+  for (int64_t i = 0; i < n_seqs; i++) {
+    if (lens[i] < k) continue;
+    int64_t m = lens[i] - k + 1;
+    int64_t nw = m > w ? m - w + 1 : 1;
+    total_units += (nw + 4 * kChunkWindows - 1) / (4 * kChunkWindows);
+  }
+  if ((int64_t)n_threads > total_units)
+    n_threads = (int32_t)(total_units ? total_units : 1);
 
   if (n_threads == 1) {
     ExtractScratch scr;
@@ -1498,29 +1550,47 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
     return total;
   }
 
-  // Multi-threaded: contiguous sequence ranges balanced by total bases;
-  // each worker fills private buffers, then results are packed in order
-  // (the reference parallelizes identically with rayon par_iter over
-  // record batches; ref: src/remote_filter.rs:762-774).
+  // Multi-threaded: the work list is window-start ranges, not sequences, so
+  // a single chromosome-scale record still spreads across every core (the
+  // reference's rayon par_iter over records, ref: src/remote_filter.rs:762-
+  // 774, leaves one-contig FASTA inputs single-threaded). Each worker takes
+  // a contiguous run of units balanced by window count; the sequential
+  // merger re-packs outputs in order, dropping the one possible duplicate
+  // at each intra-record seam (extract_range's boundary-repeat contract).
+  struct Unit {
+    int64_t seq, ws0, ws1;
+  };
+  const int64_t kUnitWindows = 4 * kChunkWindows;
+  std::vector<Unit> units;
+  for (int64_t i = 0; i < n_seqs; i++) {
+    out_counts[i] = 0;
+    if (lens[i] < k) continue;
+    int64_t m = lens[i] - k + 1;
+    int64_t nw = m > w ? m - w + 1 : 1;
+    for (int64_t ws = 0; ws < nw; ws += kUnitWindows) {
+      units.push_back({i, ws, ws + kUnitWindows < nw ? ws + kUnitWindows : nw});
+    }
+  }
+  const int64_t n_units = (int64_t)units.size();
+  int64_t total_windows = 0;
+  for (auto& u : units) total_windows += u.ws1 - u.ws0;
   std::vector<int64_t> cuts(n_threads + 1, 0);
-  int64_t total_bases = 0;
-  for (int64_t i = 0; i < n_seqs; i++) total_bases += lens[i];
   {
     int64_t acc = 0, t = 1;
-    for (int64_t i = 0; i < n_seqs && t < n_threads; i++) {
-      acc += lens[i];
-      if (acc * n_threads >= total_bases * t) cuts[t++] = i + 1;
+    for (int64_t i = 0; i < n_units && t < n_threads; i++) {
+      acc += units[i].ws1 - units[i].ws0;
+      if (acc * n_threads >= total_windows * t) cuts[t++] = i + 1;
     }
     for (int64_t t2 = 1; t2 < n_threads; t2++)
       if (cuts[t2] == 0) cuts[t2] = cuts[t2 - 1];
-    cuts[n_threads] = n_seqs;
+    cuts[n_threads] = n_units;
   }
   struct Part {
     std::vector<uint64_t> h;
     std::vector<uint32_t> p;
-    bool overflow = false;
   };
   std::vector<Part> parts(n_threads);
+  std::vector<int64_t> unit_counts(n_units, 0);
   std::vector<std::thread> threads;
   for (int t = 0; t < n_threads; t++) {
     threads.emplace_back([&, t]() {
@@ -1528,31 +1598,57 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
       ExtractScratch scr;
       std::vector<uint64_t> h1;
       std::vector<uint32_t> p1;
-      for (int64_t i = cuts[t]; i < cuts[t + 1]; i++) {
-        int64_t max_m = lens[i] >= k ? lens[i] - k + 1 : 0;
+      for (int64_t ui = cuts[t]; ui < cuts[t + 1]; ui++) {
+        const Unit& u = units[ui];
+        int64_t max_m = u.ws1 - u.ws0;  // <= 1 new minimizer per window
         h1.resize(max_m);
         p1.resize(max_m);
-        int64_t c = extract_one(arena + starts[i], lens[i], k, w,
-                                index_mode != 0, entropy_threshold, scr,
-                                h1.data(), p1.data(), max_m);
-        if (c < 0) { part.overflow = true; return; }  // cannot happen: cap=m
-        out_counts[i] = c;
+        int64_t c = extract_range(arena + starts[u.seq], lens[u.seq], k, w,
+                                  index_mode != 0, entropy_threshold, scr,
+                                  u.ws0, u.ws1, h1.data(), p1.data(), max_m);
+        unit_counts[ui] = c;  // cannot overflow: cap = window count
         part.h.insert(part.h.end(), h1.begin(), h1.begin() + c);
         part.p.insert(part.p.end(), p1.begin(), p1.begin() + c);
       }
     });
   }
   for (auto& th : threads) th.join();
-  int64_t total = 0;
-  for (auto& part : parts) total += (int64_t)part.h.size();
-  if (total > cap) return -1;
+  // Ordered merge with seam dedup: units of one sequence are consecutive,
+  // and minimizer positions are non-decreasing, so a seam duplicate can
+  // only be the first output of a unit equalling the last merged position.
   int64_t off = 0;
-  for (auto& part : parts) {
-    memcpy(out_hashes + off, part.h.data(), part.h.size() * 8);
-    memcpy(out_pos + off, part.p.data(), part.p.size() * 4);
-    off += (int64_t)part.h.size();
+  {
+    std::vector<int64_t> rd(n_threads, 0);
+    int thread_of = 0;
+    int64_t prev_seq = -1;
+    uint32_t last_pos = 0;
+    bool have_last = false;
+    for (int64_t ui = 0; ui < n_units; ui++) {
+      while (ui >= cuts[thread_of + 1]) thread_of++;
+      const Unit& u = units[ui];
+      Part& part = parts[thread_of];
+      int64_t r = rd[thread_of], c = unit_counts[ui];
+      if (u.seq != prev_seq) {
+        prev_seq = u.seq;
+        have_last = false;
+      }
+      if (c > 0 && have_last && part.p[r] == last_pos) {
+        r++;
+        c--;
+      }
+      if (off + c > cap) return -1;
+      if (c > 0) {
+        memcpy(out_hashes + off, part.h.data() + r, c * 8);
+        memcpy(out_pos + off, part.p.data() + r, c * 4);
+        last_pos = part.p[r + c - 1];
+        have_last = true;
+        out_counts[u.seq] += c;
+        off += c;
+      }
+      rd[thread_of] = r + c;  // == original offset + unit_counts[ui]
+    }
   }
-  return total;
+  return off;
 }
 
 }  // extern "C"

@@ -55,3 +55,17 @@ def ensure(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # cache is an optimization; never fail startup over it
+
+
+def default_backend_is_tunneled() -> bool:
+    """True when the default JAX backend is a remote/tunneled accelerator
+    (the experimental `axon` platform) whose device->host materializations
+    run ~100x below chip speed (PERFNOTES.md "cassette" notes). Auto device
+    selection routes real workloads to the C++ host engine in that case;
+    --device tpu still forces the device path."""
+    try:
+        import jax
+
+        return "axon" in jax.devices()[0].client.platform_version.lower()
+    except Exception:
+        return False

@@ -112,3 +112,23 @@ def test_homopolymer_single_minimizer_per_window_run():
     oh, op, _ = mnp.get_minimizer_hashes_and_positions(s, 0, 31, 15)
     np.testing.assert_array_equal(got[0][1], op)
     np.testing.assert_array_equal(got[0][0], oh)
+
+
+@pytest.mark.parametrize(
+    "k,w", [(31, 15), (31, 21), (41, 15)]  # AVX argmin / scalar argmin / wide
+)
+def test_chunked_megabase_record_matches_oracle(k, w):
+    # records longer than kChunkWindows (~131K window starts) are processed
+    # in overlapping cache-resident chunks; selection must stay bit-identical
+    # to the oracle across chunk boundaries, including the boundary-duplicate
+    # dedup and validity windows on dirty bytes
+    rng = np.random.default_rng(zlib.crc32(repr((k, w)).encode()))
+    a = np.frombuffer(b"ACGTACGTNn\n", dtype=np.uint8)
+    s = rng.choice(a, 400_000).astype(np.uint8).tobytes()
+    (h, p, e), = host_extract.extract_filter_batch([s], 0, k, w)
+    oh, op, oe = mnp.get_minimizer_hashes_and_positions(s, 0, k, w)
+    np.testing.assert_array_equal(p, op)
+    np.testing.assert_array_equal(h, oh)
+    (hi,) = host_extract.extract_index_batch([s], k, w, 0.5)
+    ohi = mnp.compute_minimizer_hashes(s, k, w, 0.5)
+    np.testing.assert_array_equal(hi, ohi)
