@@ -609,14 +609,14 @@ def _values_flags(codes, validb, mlen, allow_short, *, k: int, w: int):
     Pallas kernel (ops/pallas_kernels.py) where supported."""
     mode = _pallas_mode()
     R, L = codes.shape
-    if mode != "off" and k <= 32 and R % 8 == 0 and L <= 65536:
+    if mode != "off" and k <= 56 and R % 8 == 0 and L <= 65536:
         from . import pallas_kernels as pk
 
-        lo, hi, wp_i = pk.values_argmin_fused(
+        limbs, wp_i = pk.values_argmin_fused(
             codes, mlen, k=k, w=w, interpret=(mode == "interpret")
         )
         flag = _stage_flag_mask(wp_i, validb, mlen, allow_short, k=k, w=w)
-        return (lo, hi), wp_i, flag
+        return limbs, wp_i, flag
     out = _stage_values(codes, mlen, k=k)
     limbs, keys = out[:-1], out[-1]
     wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)

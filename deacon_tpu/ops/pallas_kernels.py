@@ -13,20 +13,23 @@ Math matches ops/engine.py `_stage_values` + `_stage_argmin` bit-for-bit
 NumPy oracle):
 
 * values: fwd/rc built by pure span-doubling to S = next_pow2(k), then
-  trimmed — fwd_k = fwd_S & ((1 << 2k) - 1) and rc_k = rc_S >> 2(S - k)
+  trimmed — fwd_k = fwd_S masked to 2k bits and rc_k = rc_S >> 2(S - k)
   (bases beyond k fall off the top/bottom respectively), avoiding the
-  span-table combine entirely (nothing extra stays live in VMEM).
-* keys: fmix32(limb0 ^ limb1) & 0xFFFF0000, invalid/tail positions masked
-  to maximum priority (ref selection scheme: src/minimizers.rs:143-148 —
-  priorities replace simd-minimizers' ntHash; see SURVEY §2.2).
+  span-table combine entirely (nothing extra stays live in VMEM). Values
+  are little-endian u32 limb lists: 2 limbs for k <= 32, 4 for the wide
+  33 <= k <= 56 path (the reference's u128 k-mers, ref:
+  src/minimizers.rs:172-190).
+* keys: fmix32(xor of all limbs) & 0xFFFF0000, invalid/tail positions
+  masked to maximum priority (ref selection scheme: src/minimizers.rs:143-
+  148 — priorities replace simd-minimizers' ntHash; see SURVEY §2.2).
 * argmin: doubling MIN over key|pos packed u32s, leftmost tie-break via the
   position in the low 16 bits (requires L <= 65536).
 
 Column shifts use pltpu.roll plus an iota mask (Pallas has no pad-shift);
 rows are independent so blocks need no halo.
 
-Only k <= 32 (2 value limbs) is implemented; the engine falls back to the
-XLA stages for k > 32 and on non-TPU backends.
+The engine falls back to the XLA stages for k > 56 (impossible: the filter
+side asserts k <= 56) and on non-TPU backends.
 """
 
 from __future__ import annotations
@@ -68,56 +71,84 @@ def _shift_cols(x, n: int, fill: int):
     return jnp.where(col < L - n, r, U32(fill))
 
 
-def _limbs_shl(a, b, n: int):
-    """(lo, hi) u32 pair << n (static, 0 <= n <= 32)."""
+def _limbs_shl(limbs, n: int):
+    """Little-endian u32 limb list << n bits (static n >= 0)."""
     if n == 0:
-        return a, b
-    if n == 32:
-        return jnp.zeros_like(a), a
-    return a << U32(n), (b << U32(n)) | (a >> U32(32 - n))
+        return list(limbs)
+    nl = len(limbs)
+    word, bit = n // 32, n % 32
+    zero = jnp.zeros_like(limbs[0])
+    out = []
+    for i in range(nl):
+        v = zero
+        if i - word >= 0:
+            v = limbs[i - word] << U32(bit) if bit else limbs[i - word]
+        if bit and i - word - 1 >= 0:
+            v = v | (limbs[i - word - 1] >> U32(32 - bit))
+        out.append(v)
+    return out
 
 
-def _limbs_shr(a, b, n: int):
-    """(lo, hi) u32 pair >> n (static, 0 <= n < 64)."""
+def _limbs_shr(limbs, n: int):
+    """Little-endian u32 limb list >> n bits (static n >= 0)."""
     if n == 0:
-        return a, b
-    if n >= 32:
-        m = n - 32
-        lo = b >> U32(m) if m else b
-        return lo, jnp.zeros_like(b)
-    return (a >> U32(n)) | (b << U32(32 - n)), b >> U32(n)
+        return list(limbs)
+    nl = len(limbs)
+    word, bit = n // 32, n % 32
+    zero = jnp.zeros_like(limbs[0])
+    out = []
+    for i in range(nl):
+        v = zero
+        if i + word < nl:
+            v = limbs[i + word] >> U32(bit) if bit else limbs[i + word]
+        if bit and i + word + 1 < nl:
+            v = v | (limbs[i + word + 1] << U32(32 - bit))
+        out.append(v)
+    return out
+
+
+def _limbs_le(a, b):
+    """a <= b elementwise over little-endian limb lists (lexicographic)."""
+    # pure compare/and/or chain (Mosaic: no bool truncations or selects)
+    le = a[0] <= b[0]
+    for la, lb in zip(a[1:], b[1:]):  # lo -> hi: highest differing limb wins
+        le = (la < lb) | ((la == lb) & le)
+    return le
 
 
 def _values_kernel_body(codes_u32, mlen_col, *, k: int, w: int):
     """Shared math: (TR, L) u32 codes + (TR, 1) i32 mlen ->
-    (limb_lo, limb_hi, wp_i32)."""
+    (limbs list, wp_i32)."""
     L = codes_u32.shape[-1]
     S = _next_pow2(k)
-    # span-doubling to S for both strands
-    flo, fhi = codes_u32, jnp.zeros_like(codes_u32)
-    rlo, rhi = codes_u32 ^ U32(2), jnp.zeros_like(codes_u32)
+    nl = 2 if k <= 32 else 4
+    zero = jnp.zeros_like(codes_u32)
+    # span-doubling to S for both strands:
+    # f = f | (shift_cols(f, s) << 2s); r = (r << 2s) | shift_cols(r, s)
+    f = [codes_u32] + [zero] * (nl - 1)
+    r = [codes_u32 ^ U32(2)] + [zero] * (nl - 1)
     s = 1
     while s < S:
-        slo, shi = _limbs_shl(
-            _shift_cols(flo, s, 0), _shift_cols(fhi, s, 0), 2 * s
-        )
-        flo, fhi = flo | slo, fhi | shi
-        tlo, thi = _limbs_shl(rlo, rhi, 2 * s)
-        rlo, rhi = tlo | _shift_cols(rlo, s, 0), thi | _shift_cols(rhi, s, 0)
+        fs = _limbs_shl([_shift_cols(x, s, 0) for x in f], 2 * s)
+        f = [a | b for a, b in zip(f, fs)]
+        t = _limbs_shl(r, 2 * s)
+        r = [a | _shift_cols(b, s, 0) for a, b in zip(t, r)]
         s *= 2
     if S != k:
         # fwd_k: drop bases >= k off the top; rc_k: they fall off the bottom
-        if 2 * k <= 32:
-            flo = flo & U32((1 << (2 * k)) - 1)
-            fhi = jnp.zeros_like(fhi)
-        elif 2 * k < 64:
-            fhi = fhi & U32((1 << (2 * k - 32)) - 1)
-        rlo, rhi = _limbs_shr(rlo, rhi, 2 * (S - k))
-    take_f = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
-    lo = jnp.where(take_f, flo, rlo)
-    hi = jnp.where(take_f, fhi, rhi)
+        full, bit = (2 * k) // 32, (2 * k) % 32
+        f = [
+            f[i] if i < full else (f[i] & U32((1 << bit) - 1) if (i == full and bit) else zero)
+            for i in range(nl)
+        ]
+        r = _limbs_shr(r, 2 * (S - k))
+    take_f = _limbs_le(f, r)
+    limbs = [jnp.where(take_f, a, b) for a, b in zip(f, r)]
 
-    keys = _fmix32(lo ^ hi) & U32(_TOPMASK)
+    fold = limbs[0]
+    for x in limbs[1:]:
+        fold = fold ^ x
+    keys = _fmix32(fold) & U32(_TOPMASK)
     col = jax.lax.broadcasted_iota(jnp.int32, codes_u32.shape, 1)
     in_row = col < mlen_col  # (TR, 1) broadcasts over L
     t = jnp.where(in_row, keys, U32(_TOPMASK)) | col.astype(U32)
@@ -139,50 +170,50 @@ def _values_kernel_body(codes_u32, mlen_col, *, k: int, w: int):
     if w - span > 0:
         ts = jnp.minimum(ts, shift_i32(ts, w - span))
     wp = jnp.minimum(ts & jnp.int32(0xFFFF), L - 1)
-    return lo, hi, wp
+    return limbs, wp
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "w", "interpret")
 )
 def values_argmin_fused(codes, mlen, *, k: int, w: int, interpret: bool = False):
-    """(R, L) u8/u32 codes + (R,) i32 mlen -> (limb_lo, limb_hi, wp_i).
+    """(R, L) u8/u32 codes + (R,) i32 mlen -> (*value_limbs, wp_i).
 
-    Drop-in fused replacement for engine._stage_values + _stage_argmin
-    (k <= 32 only). R must be a multiple of 8; L a multiple of 128 and
-    <= 65536.
+    Drop-in fused replacement for engine._stage_values + _stage_argmin:
+    2 value limbs for k <= 32, 4 for 33 <= k <= 56. R must be a multiple
+    of 8; L a multiple of 128 and <= 65536.
     """
-    if k > 32:
-        raise ValueError("pallas fused path supports k <= 32 only")
+    if k > 56:
+        raise ValueError("pallas fused path supports k <= 56 only")
     R, L = codes.shape
     TR = _ROW_BLOCK
     assert R % TR == 0 and L % 128 == 0 and L <= 65536
+    nl = 2 if k <= 32 else 4
 
-    def kernel(codes_ref, mlen_ref, lo_ref, hi_ref, wp_ref):
+    def kernel(codes_ref, mlen_ref, *out_refs):
         c = codes_ref[:].astype(U32)  # cast once at entry (u8 tiling)
-        lo, hi, wp = _values_kernel_body(c, mlen_ref[:], k=k, w=w)
-        lo_ref[:] = lo
-        hi_ref[:] = hi
-        wp_ref[:] = wp
+        limbs, wp = _values_kernel_body(c, mlen_ref[:], k=k, w=w)
+        for ref, limb in zip(out_refs[:nl], limbs):
+            ref[:] = limb
+        out_refs[nl][:] = wp
 
     grid = (R // TR,)
     row_block = lambda i: (i, 0)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM)
+            for _ in range(nl + 1)
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((R, L), jnp.uint32),
-            jax.ShapeDtypeStruct((R, L), jnp.uint32),
-            jax.ShapeDtypeStruct((R, L), jnp.int32),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((R, L), jnp.uint32) for _ in range(nl)]
+            + [jax.ShapeDtypeStruct((R, L), jnp.int32)]
         ),
         interpret=interpret,
     )(codes, mlen.reshape(R, 1))
+    return tuple(out[:nl]), out[nl]

@@ -18,7 +18,12 @@ from deacon_tpu.ops.pallas_kernels import values_argmin_fused  # noqa: E402
 
 
 @pytest.mark.parametrize(
-    "k,w", [(31, 15), (32, 15), (21, 7), (5, 3), (16, 16), (31, 2), (2, 15)]
+    "k,w",
+    [
+        (31, 15), (32, 15), (21, 7), (5, 3), (16, 16), (31, 2), (2, 15),
+        # wide path: 4 value limbs (the reference's u128 k-mers)
+        (41, 15), (33, 15), (48, 7), (56, 9),
+    ],
 )
 def test_fused_matches_xla_stages(k, w):
     rng = np.random.default_rng(k * 100 + w)
@@ -32,11 +37,12 @@ def test_fused_matches_xla_stages(k, w):
     out = eng._stage_values(jnp.asarray(codes), jnp.asarray(mlen), k=k)
     *limbs, keys = out
     wp = eng._stage_argmin(keys, w=w)
-    lo, hi, wp2 = values_argmin_fused(
+    limbs2, wp2 = values_argmin_fused(
         jnp.asarray(codes), jnp.asarray(mlen), k=k, w=w, interpret=True
     )
-    np.testing.assert_array_equal(np.asarray(limbs[0]), np.asarray(lo))
-    np.testing.assert_array_equal(np.asarray(limbs[1]), np.asarray(hi))
+    assert len(limbs) == len(limbs2)
+    for a, b in zip(limbs, limbs2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(wp), np.asarray(wp2))
 
 
