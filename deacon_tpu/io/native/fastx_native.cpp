@@ -1748,12 +1748,46 @@ struct FilterJob {
   }
 };
 
-// distinct index hits among `hashes` (seen-set semantics,
-// ref: src/filter_common.rs:129-155): collect matches, sort, count unique.
+// required distinct hits (ref: src/filter_common.rs:84-96; Rust f64::round
+// is half-away-from-zero and rel >= 0, so floor(x + 0.5))
+static inline int64_t required_hits(const FilterJob& J, int64_t total) {
+  int64_t rel_req =
+      total == 0
+          ? 0
+          : std::max<int64_t>(
+                1, (int64_t)std::floor(J.rel_threshold * (double)total + 0.5));
+  return std::max(J.abs_threshold, rel_req);
+}
+
+// Distinct index hits among `hashes` (seen-set semantics,
+// ref: src/filter_common.rs:129-155), saturating at `req`: the keep
+// decision only compares hits against the precomputed requirement, and
+// distinct hits grow monotonically, so probing can stop the moment the
+// requirement is met — a matching read costs ~req probes instead of one
+// per minimizer. For small req (the common -a 2 case) dedup is a linear
+// scan of the <=req seen hits; large requirements (high -r) keep the
+// sort-based exact count.
 static int64_t count_distinct_hits(const FilterJob& J, const uint64_t* hashes,
-                                   int64_t n, std::vector<uint64_t>& scratch) {
+                                   int64_t n, int64_t req,
+                                   std::vector<uint64_t>& scratch) {
   scratch.clear();
   const ProbeTable& t = *J.probe;
+  if (req > 0 && req <= 64) {
+    for (int64_t i = 0; i < n; i++) {
+      if (i + kProbeAhead < n)
+        __builtin_prefetch(
+            &t.slots[(hashes[i + kProbeAhead] * t.mix) >> t.shift]);
+      uint64_t h = hashes[i];
+      if (!probe_lookup(t, h)) continue;
+      bool seen = false;
+      for (uint64_t s : scratch)
+        if (s == h) { seen = true; break; }
+      if (seen) continue;
+      scratch.push_back(h);
+      if ((int64_t)scratch.size() >= req) return req;  // decision fixed
+    }
+    return (int64_t)scratch.size();
+  }
   for (int64_t i = 0; i < n; i++) {
     if (i + kProbeAhead < n)
       __builtin_prefetch(&t.slots[(hashes[i + kProbeAhead] * t.mix) >> t.shift]);
@@ -1767,16 +1801,9 @@ static int64_t count_distinct_hits(const FilterJob& J, const uint64_t* hashes,
   return distinct;
 }
 
-// keep decision (ref: src/filter_common.rs:84-112; Rust f64::round is
-// half-away-from-zero and rel >= 0, so floor(x + 0.5))
+// keep decision (ref: src/filter_common.rs:99-112)
 static inline bool keep_decision(const FilterJob& J, int64_t hits,
-                                 int64_t total) {
-  int64_t rel_req =
-      total == 0
-          ? 0
-          : std::max<int64_t>(
-                1, (int64_t)std::floor(J.rel_threshold * (double)total + 0.5));
-  int64_t required = std::max(J.abs_threshold, rel_req);
+                                 int64_t required) {
   return J.deplete ? hits < required : hits >= required;
 }
 
@@ -1809,9 +1836,10 @@ static void filter_worker(FilterJob& J) {
         hashes.resize(base + (c > 0 ? c : 0));
       }
       int64_t total = (int64_t)hashes.size();
+      int64_t req = required_hits(J, total);
       int64_t hits =
-          count_distinct_hits(J, hashes.data(), total, scratch);
-      b->keep[u] = keep_decision(J, hits, total) ? 1 : 0;
+          count_distinct_hits(J, hashes.data(), total, req, scratch);
+      b->keep[u] = keep_decision(J, hits, req) ? 1 : 0;
     }
     {
       std::lock_guard<std::mutex> lk(J.done_mu);
