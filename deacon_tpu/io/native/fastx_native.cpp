@@ -1150,10 +1150,10 @@ static void window_argmin_avx512(const uint32_t* keys, int64_t m, int w,
                                  std::vector<uint64_t>& sfx64) {
   const int64_t full_blocks = m / w;
   const int64_t groups = full_blocks / 16;
-  int64_t last = -1;
+  uint32_t prev_last = 0xFFFFFFFFu;  // sentinel: first window always emits
   size_t out0 = pos.size();
-  pos.resize(out0 + (size_t)m - w + 1);
-  uint32_t* out = pos.data() + out0;
+  pos.resize(out0 + (size_t)m - w + 1 + 16);  // +16: compress writes a
+  uint32_t* out = pos.data() + out0;          // full vector's worth
   int64_t nout = 0;
   __m512i sfx_prev[17];
   for (int f = 0; f < 17; f++) sfx_prev[f] = _mm512_set1_epi32(-1);
@@ -1190,18 +1190,28 @@ static void window_argmin_avx512(const uint32_t* keys, int64_t m, int w,
     for (int f = w; f < 16; f++) win[f] = win[w - 1];  // tr16 padding
     for (int f = 0; f <= w; f++) sfx_prev[f] = sfx[f];
     tr16(win);  // -> per-lane rows of w consecutive window results
-    for (int i = 0; i < 16; i++) {
+    // Vectorized adjacent-dedup emit: a window result only appends when it
+    // differs from the previous window's (positions are non-decreasing, so
+    // duplicates are always adjacent). Each row holds w real results then
+    // copies of result w-1 (the tr16 padding), which the same compare
+    // drops for free. The previous scalar per-candidate loop was the
+    // hottest code in extraction (branchy, ~1 op per window).
+    int i0 = 0;
+    if (g == 0) {
+      // block 0: windows before phase w-1 are incomplete; emit only f=w-1
       alignas(64) uint32_t cand[16];
-      _mm512_store_si512((void*)cand, win[i]);
-      // group 0, block 0: windows before phase w-1 are incomplete
-      int f0 = (g == 0 && i == 0) ? w - 1 : 0;
-      for (int f = f0; f < w; f++) {
-        int64_t p = cand[f];
-        if (p != last) {
-          last = p;
-          out[nout++] = (uint32_t)p;
-        }
-      }
+      _mm512_store_si512((void*)cand, win[0]);
+      prev_last = cand[w - 1];
+      out[nout++] = prev_last;
+      i0 = 1;
+    }
+    for (int i = i0; i < 16; i++) {
+      __m512i v = win[i];
+      __m512i shifted = _mm512_alignr_epi32(v, _mm512_set1_epi32((int)prev_last), 15);
+      __mmask16 keep = _mm512_cmpneq_epu32_mask(v, shifted);
+      _mm512_mask_compressstoreu_epi32((void*)(out + nout), keep, v);
+      nout += _mm_popcnt_u32((unsigned)keep);
+      prev_last = (uint32_t)_mm_extract_epi32(_mm512_extracti32x4_epi32(v, 3), 3);
     }
   }
   // scalar tail over the remaining blocks, seeded with the suffix minima of
@@ -1228,10 +1238,10 @@ static void window_argmin_avx512(const uint32_t* keys, int64_t m, int w,
         if (j >= w - 1) {
           uint64_t s = j - w + 1 >= p0 ? sfx64[j - w + 1] : ~0ULL;
           uint64_t win = s < pfx ? s : pfx;
-          int64_t p = (uint32_t)win;
-          if (p != last) {
-            last = p;
-            out[nout++] = (uint32_t)p;
+          uint32_t p = (uint32_t)win;
+          if (p != prev_last) {
+            prev_last = p;
+            out[nout++] = p;
           }
         }
       }
