@@ -250,57 +250,19 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     selected flag.
     """
     R, L = codes.shape
-    M = L - k + 1  # number of real k-mer positions per full row
 
     # IMPORTANT: every (R, *) array stays at width L (a multiple of 128) —
     # width-M arrays are lane-misaligned and force relayouts on this TPU
     # (measured 100x slowdowns + minute-long compiles). Tail columns
-    # [M, L) are masked instead of sliced away.
+    # [L-k+1, L) are masked instead of sliced away.
 
-    # escape uint8 tiling once; everything downstream is u32/i32
-    codes_u32 = codes.astype(jnp.uint32)
-    limbs = _windowed_value_limbs(codes_u32, k)  # (R, L) each, valid p <= L-k
-    fold = limbs[0]
-    for x in limbs[1:]:
-        fold = fold ^ x
-    keys = _fmix32(fold) & U32(0xFFFF0000)
-
-    # invalidate positions beyond the row's k-mer count (and the tail) by
-    # giving them the maximum priority (leftmost-pos tie-break keeps real
-    # k-mers ahead); the barrier keeps the mask out of the argmin fusion
-    # (an axon compile bomb: 206 s -> 1 s, measured)
-    p_idx = jnp.arange(L, dtype=jnp.int32)
-    in_row = p_idx[None, :] < mlen[:, None]
-    keys = lax.optimization_barrier(jnp.where(in_row, keys, U32(0xFFFF0000)))
-
-    wp_i = lax.optimization_barrier(_window_argmin(keys, w))
-    # window validity: full windows q <= mlen - w, plus q == 0 for whole
-    # short reads (k <= n < l)
-    q = p_idx[None, :]
-    win_valid = (q <= (mlen[:, None] - w)) | (
-        (q == 0) & allow_short[:, None] & (mlen[:, None] >= 1)
+    # S1+S2(+flag mask): fused Pallas kernel on TPU backends, XLA stages
+    # elsewhere — shared with the staged single-chip pipeline so the
+    # sharded multi-chip path gets the same kernel.
+    limbs, wp_i, flag = _values_flags(
+        codes, validb, mlen, allow_short, k=k, w=w
     )
-
-    # k-mer ACGT validity via windowed sum of invalid bases, width L
-    inv = (~validb).astype(jnp.int32)
-    cs = jnp.cumsum(inv, axis=1)
-    cs_end = _shift_cols(cs, k - 1)  # cs[p + k - 1] (garbage in tail, masked)
-    cs_start = jnp.concatenate(
-        [jnp.zeros((R, 1), dtype=jnp.int32), cs[:, :-1]], axis=1
-    )
-    kmer_valid = lax.optimization_barrier(((cs_end - cs_start) == 0) & in_row)
-
-    # a window introduces a new minimizer exactly when its (monotone)
-    # leftmost argmin differs from the previous valid window's argmin
-    prev_wp = jnp.concatenate(
-        [jnp.full((R, 1), -1, dtype=jnp.int32), wp_i[:, :-1]], axis=1
-    )
-    new_min = win_valid & ((q == 0) | (wp_i != prev_wp))
-    row_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, L))
-    # 1D gather (2D gathers and small-table gathers are slow on this TPU)
-    kv_flat = kmer_valid.astype(jnp.int32).reshape(-1)
-    pos_ok = kv_flat[(row_ids * L + wp_i).reshape(-1)].reshape(R, L) == 1
-    flag = lax.optimization_barrier(new_min & pos_ok)
+    flag = lax.optimization_barrier(flag)
 
     # sort-free compaction: the i-th selected window's flat id is the first
     # position where the inclusive flag-cumsum reaches i+1 (cumsum is
