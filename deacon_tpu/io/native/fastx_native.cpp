@@ -709,8 +709,13 @@ namespace {
 struct ProbeTable {
   uint64_t* slots = nullptr;
   size_t map_bytes = 0;  // mmap length (n_slots + spill tail)
-  int64_t n_slots = 0;   // power of two, load factor <= kProbeLoad
-  int shift = 0;         // 64 - log2(n_slots)
+  int64_t n_slots = 0;   // exact ceil(n / kProbeLoad) — NOT a power of two:
+                         // the home mapping is fastrange (mulhi), which is
+                         // monotone in the key just like top-bits, so the
+                         // sorted single-pass fill and the value>v lookup
+                         // cutoff both still hold, and a panhuman-scale
+                         // table costs 8/kProbeLoad bytes/key instead of
+                         // up to 2.67x that from pow2 rounding
   bool has_zero = false; // 0 is the empty sentinel; a real 0 key is tracked
                          // out of band
   uint64_t mix = 1;  // 1 = identity; kProbeMix when keys were scrambled
@@ -719,7 +724,14 @@ struct ProbeTable {
   }
 };
 
-constexpr double kProbeLoad = 0.75;
+// Expected lookup cost stays ~1 cache line at this load: stored values are
+// globally sorted, so a miss stops at the first value > v, after the mean
+// displacement (~(1/(1-a)-1)/2 ~ 2.8 slots), not the full cluster.
+constexpr double kProbeLoad = 0.80;
+
+static inline int64_t probe_home(uint64_t v, int64_t n_slots) {
+  return (int64_t)((unsigned __int128)v * (uint64_t)n_slots >> 64);
+}
 constexpr int64_t kProbeSpill = 1 << 16;  // top-of-range clusters overflow
                                           // past n_slots into this zero tail
 constexpr int64_t kProbeMaxDisp = kProbeSpill / 2;  // displacement beyond
@@ -731,7 +743,7 @@ constexpr uint64_t kProbeMix = 0x9E3779B97F4A7C15ULL;  // odd => bijective
 inline bool probe_lookup(const ProbeTable& t, uint64_t v) {
   if (v == 0) return t.has_zero;
   v *= t.mix;  // identity (mix=1) for real xxh3-uniform indexes
-  int64_t pos = (int64_t)(v >> t.shift);
+  int64_t pos = probe_home(v, t.n_slots);
   for (;;) {
     uint64_t e = t.slots[pos];
     if (e == v) return true;
@@ -753,7 +765,7 @@ static bool probe_fill(ProbeTable* t, const uint64_t* keys, int64_t n) {
       t->has_zero = true;
       continue;
     }
-    int64_t home = (int64_t)(v >> t->shift);
+    int64_t home = probe_home(v, t->n_slots);
     int64_t pos = home > cursor ? home : cursor;
     if (pos - home > kProbeMaxDisp) return false;
     t->slots[pos] = v;
@@ -777,11 +789,7 @@ extern "C" {
 // is preserved) and re-sorted, which redistributes any input uniformly.
 void* dx_probe_build(const uint64_t* keys, int64_t n) {
   auto* t = new ProbeTable();
-  int bits = 10;
-  while (bits < 40 && (double)((int64_t)1 << bits) * kProbeLoad < (double)n)
-    bits++;
-  t->n_slots = (int64_t)1 << bits;
-  t->shift = 64 - bits;
+  t->n_slots = (int64_t)((double)(n < 1024 ? 1024 : n) / kProbeLoad) + 1;
   t->map_bytes = (size_t)(t->n_slots + kProbeSpill) * 8;
   t->slots = (uint64_t*)mmap(nullptr, t->map_bytes, PROT_READ | PROT_WRITE,
                              MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
@@ -825,7 +833,7 @@ void dx_probe_query(void* handle, const uint64_t* keys, const uint64_t* q,
   const ProbeTable& t = *static_cast<ProbeTable*>(handle);
   for (int64_t i = 0; i < nq; i++) {
     if (i + kProbeAhead < nq)
-      __builtin_prefetch(&t.slots[(q[i + kProbeAhead] * t.mix) >> t.shift]);
+      __builtin_prefetch(&t.slots[(size_t)probe_home(q[i + kProbeAhead] * t.mix, t.n_slots)]);
     out[i] = probe_lookup(t, q[i]) ? 1 : 0;
   }
 }
@@ -1786,7 +1794,7 @@ static int64_t count_distinct_hits(const FilterJob& J, const uint64_t* hashes,
     for (int64_t i = 0; i < n; i++) {
       if (i + kProbeAhead < n)
         __builtin_prefetch(
-            &t.slots[(hashes[i + kProbeAhead] * t.mix) >> t.shift]);
+            &t.slots[(size_t)probe_home(hashes[i + kProbeAhead] * t.mix, t.n_slots)]);
       uint64_t h = hashes[i];
       if (!probe_lookup(t, h)) continue;
       bool seen = false;
@@ -1800,7 +1808,7 @@ static int64_t count_distinct_hits(const FilterJob& J, const uint64_t* hashes,
   }
   for (int64_t i = 0; i < n; i++) {
     if (i + kProbeAhead < n)
-      __builtin_prefetch(&t.slots[(hashes[i + kProbeAhead] * t.mix) >> t.shift]);
+      __builtin_prefetch(&t.slots[(size_t)probe_home(hashes[i + kProbeAhead] * t.mix, t.n_slots)]);
     if (probe_lookup(t, hashes[i])) scratch.push_back(hashes[i]);
   }
   if (scratch.empty()) return 0;
