@@ -284,6 +284,10 @@ def _run_native_pipeline(
             return False
     except Exception:
         return False
+    # The probe table owns its copy of the keys; dropping the decoded hash
+    # array here halves steady-state memory at panhuman scale (the run
+    # finishes through _finish_run without touching the index again).
+    object.__setattr__(index, "hashes", None)
 
     import threading
 
