@@ -132,3 +132,36 @@ def test_chunked_megabase_record_matches_oracle(k, w):
     (hi,) = host_extract.extract_index_batch([s], k, w, 0.5)
     ohi = mnp.compute_minimizer_hashes(s, k, w, 0.5)
     np.testing.assert_array_equal(hi, ohi)
+
+
+@pytest.mark.parametrize("mode", ["filter", "index"])
+def test_thread_count_invariance_fuzz(mode):
+    # outputs must be identical for any worker count: window-range units
+    # partition records arbitrarily and the merger drops seam duplicates,
+    # including on homopolymer runs (every window picks the same argmin)
+    rng = np.random.default_rng(99 if mode == "filter" else 100)
+    a = np.frombuffer(b"ACGTACGTNn\n", dtype=np.uint8)
+    seqs = []
+    for _ in range(6):
+        n = int(rng.integers(0, 700_000))
+        seqs.append(rng.choice(a, n).astype(np.uint8))
+    seqs.append(np.full(600_000, ord("A"), np.uint8))  # homopolymer megarun
+    seqs.append(np.zeros(0, np.uint8))
+    arena = np.concatenate(seqs)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    starts = np.zeros(len(seqs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    kw = dict(index_mode=(mode == "index"))
+    if mode == "index":
+        kw["entropy_threshold"] = 0.3
+    base = native_extract_batch(arena, starts, lens, 31, 15, n_threads=1, **kw)
+    for nt in (2, 3, 7):
+        got = native_extract_batch(arena, starts, lens, 31, 15, n_threads=nt, **kw)
+        np.testing.assert_array_equal(got[0], base[0])
+        np.testing.assert_array_equal(got[1], base[1])
+        np.testing.assert_array_equal(got[2], base[2])
+    # spot-check one sequence against the oracle
+    if mode == "filter":
+        oh, op, _ = mnp.get_minimizer_hashes_and_positions(seqs[0].tobytes(), 0, 31, 15)
+        c0 = base[2][0]
+        np.testing.assert_array_equal(base[0][:c0], oh)
