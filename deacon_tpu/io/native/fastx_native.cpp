@@ -1189,8 +1189,13 @@ static void window_argmin_avx512(const uint32_t* keys, int64_t m, int w,
     for (int f = 0; f < w; f++) {
       if (f) pfx = _mm512_min_epu32(pfx, pk[f]);
       __m512i s = _mm512_alignr_epi32(sfx[f + 1], sfx_prev[f + 1], 15);
+      // key tie prefers the suffix side (earlier positions) — unless s is
+      // the 0xFFFFFFFF "no suffix" sentinel, whose key field 0xFFFF is
+      // reachable by real keys (fmix32 is a bijection): taking the
+      // sentinel would emit position base+0xFFFF, off the end of the row
       __mmask16 take_p = _mm512_cmplt_epu32_mask(
-          _mm512_srli_epi32(pfx, 16), _mm512_srli_epi32(s, 16));
+          _mm512_srli_epi32(pfx, 16), _mm512_srli_epi32(s, 16)) |
+          _mm512_cmpeq_epi32_mask(s, _mm512_set1_epi32(-1));
       __m512i chosen = _mm512_mask_mov_epi32(s, take_p, pfx);
       __m512i cb = _mm512_mask_mov_epi32(bs_prev, take_p, bs_v);
       win[f] = _mm512_add_epi32(cb, _mm512_and_si512(chosen, low16));
@@ -1296,13 +1301,7 @@ static inline void keys_from_vals(const uint64_t* vals, int64_t m,
                                   uint32_t* keys) {
   for (int64_t p = 0; p < m; p++) {
     uint64_t v = vals[p];
-    uint32_t x = (uint32_t)v ^ (uint32_t)(v >> 32);
-    x ^= x >> 16;
-    x *= 0x85EBCA6BU;
-    x ^= x >> 13;
-    x *= 0xC2B2AE35U;
-    x ^= x >> 16;
-    keys[p] = x & 0xFFFF0000U;
+    keys[p] = fmix32((uint32_t)v ^ (uint32_t)(v >> 32)) & 0xFFFF0000U;
   }
 }
 
@@ -1415,12 +1414,7 @@ static int64_t extract_range(const uint8_t* seq, int64_t n, int k, int w,
         uint64_t lo = (uint64_t)v, hi = (uint64_t)(v >> 64);
         uint32_t x = (uint32_t)lo ^ (uint32_t)(lo >> 32) ^ (uint32_t)hi ^
                      (uint32_t)(hi >> 32);
-        x ^= x >> 16;
-        x *= 0x85EBCA6BU;
-        x ^= x >> 13;
-        x *= 0xC2B2AE35U;
-        x ^= x >> 16;
-        scr.keys[p] = x & 0xFFFF0000U;
+        scr.keys[p] = fmix32(x) & 0xFFFF0000U;
       }
     }
     const uint32_t* keys_buf = scr.keys.data();

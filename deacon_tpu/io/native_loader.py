@@ -214,18 +214,18 @@ def native_encode_u64_varint(vals: np.ndarray):
 
 
 class NativeProbe:
-    """Bucketed membership probe over a sorted unique uint64 array.
+    """Single-miss linear-probing membership table over a sorted unique
+    uint64 array (~100x faster than np.searchsorted for large indexes).
 
-    ~100x faster than np.searchsorted for large indexes (a 2^16-bucket
-    offset table keeps each lookup inside a few cache lines). Keeps a
-    reference to the keys array (the C side reads it on every query).
-    """
+    dx_probe_build copies the keys into its own slot table, so no reference
+    to the keys array is retained — callers may free it after construction
+    (panhuman-scale arrays are multi-GB)."""
 
     def __init__(self, keys: np.ndarray, lib):
         self._lib = lib
-        self._keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
         self._h = lib.dx_probe_build(
-            self._keys.ctypes.data_as(ctypes.c_void_p), self._keys.size
+            keys.ctypes.data_as(ctypes.c_void_p), keys.size
         )
 
     def query(self, q: np.ndarray) -> np.ndarray:
@@ -233,7 +233,7 @@ class NativeProbe:
         out = np.empty(q.size, dtype=np.uint8)
         self._lib.dx_probe_query(
             self._h,
-            self._keys.ctypes.data_as(ctypes.c_void_p),
+            None,  # keys unused (ABI slot retained)
             q.ctypes.data_as(ctypes.c_void_p),
             q.size,
             out.ctypes.data_as(ctypes.c_void_p),
@@ -285,7 +285,7 @@ def native_filter_run(
         output_path.encode(),
         None if output2_path is None else output2_path.encode(),
         out_codec, out_level, out2_codec, out2_level,
-        probe._keys.ctypes.data_as(ctypes.c_void_p),
+        None,  # index_keys unused by the pipeline (ABI slot retained)
         probe._h,
         k, w, prefix_length, abs_threshold, rel_threshold,
         1 if deplete else 0, 1 if rename else 0, n_threads,

@@ -581,7 +581,13 @@ def _values_flags(codes, validb, mlen, allow_short, *, k: int, w: int):
         return limbs, wp_i, flag
     out = _stage_values(codes, mlen, k=k)
     limbs, keys = out[:-1], out[-1]
-    wp_i, flag = _stage_flags(keys, validb, mlen, allow_short, k=k, w=w)
+    # barriers around the masked keys and the argmin: in the staged pipeline
+    # these are separate dispatches, but when inlined into one jit (e.g.
+    # engine_core under shard_map) the where-mask fused into the doubling
+    # argmin is an axon compile bomb (206 s -> 1 s, measured)
+    keys = lax.optimization_barrier(keys)
+    wp_i = lax.optimization_barrier(_stage_argmin(keys, w=w))
+    flag = _stage_flag_mask(wp_i, validb, mlen, allow_short, k=k, w=w)
     return limbs, wp_i, flag
 
 

@@ -32,7 +32,6 @@ import tempfile
 import numpy as np
 
 BASES = np.frombuffer(b"ACGT", np.uint8)
-COMP = dict(zip(b"ACGT", b"TGCA"))
 
 
 def write_fasta(path: str, seqs: dict[str, bytes]) -> None:
@@ -151,7 +150,6 @@ def main() -> None:
         check=True,
     )
 
-    results = {}
     for platform, ref_sens, ref_spec in (
         ("ill", 0.9999889, 0.9999883),
         ("ont", 0.9999581, 0.9999559),
@@ -175,15 +173,12 @@ def main() -> None:
             check=True,
         )
         kept = read_ids(f"{td}/{platform}.out.fq")
-        host_ids = {name for name, _ in host_reads}
-        other_ids = {f"x{name}" for name, _ in other_reads}
         host_bp = {name: len(s) for name, s in host_reads}
         other_bp = {f"x{name}": len(s) for name, s in other_reads}
         removed_host_bp = sum(bp for i, bp in host_bp.items() if i not in kept)
         kept_other_bp = sum(bp for i, bp in other_bp.items() if i in kept)
         sens = removed_host_bp / max(1, sum(host_bp.values()))
         spec = kept_other_bp / max(1, sum(other_bp.values()))
-        results[platform] = (sens, spec)
         print(
             json.dumps(
                 {
