@@ -240,6 +240,109 @@ struct DxReader {
     }
   }
 
+  // Appends the next line's bytes (no \n, \r stripped) to dst.
+  // Returns the appended length, or -1 at EOF with nothing read.
+  int64_t getline_append(std::vector<uint8_t>& dst) {
+    if (has_pending) {
+      dst.insert(dst.end(), pending.begin(), pending.end());
+      has_pending = false;
+      return (int64_t)pending.size();
+    }
+    const size_t start_size = dst.size();
+    bool any = false;
+    while (true) {
+      if (pos >= len && !refill()) {
+        int64_t n = (int64_t)(dst.size() - start_size);
+        return (any || n > 0) ? n : -1;
+      }
+      any = true;
+      uint8_t* start = buf.data() + pos;
+      uint8_t* nl = (uint8_t*)memchr(start, '\n', len - pos);
+      if (nl) {
+        dst.insert(dst.end(), start, nl);
+        pos = (size_t)(nl - buf.data()) + 1;
+        if (dst.size() > start_size && dst.back() == '\r') dst.pop_back();
+        return (int64_t)(dst.size() - start_size);
+      }
+      dst.insert(dst.end(), start, buf.data() + len);
+      pos = len;
+    }
+  }
+
+  // Zero-copy record parse: bytes land directly in `arena` (the pipeline
+  // batch buffer), m = {id_off,id_len,seq_off,seq_len,qual_off,qual_len}
+  // with qual_off = -1 for FASTA — the same layout append_record produced
+  // from a Record, minus two full copies of every byte. Returns 1 ok,
+  // 0 eof, -1 error.
+  int parse_record_into(std::vector<uint8_t>& arena, int64_t* m) {
+    int64_t hlen;
+    while (true) {  // skip blank lines before the header
+      hlen = getline_append(arena);
+      if (hlen < 0) return 0;
+      if (hlen > 0) break;
+    }
+    const size_t hoff = arena.size() - (size_t)hlen;
+    uint8_t marker = arena[hoff];
+    if (is_fastq == -1) {
+      if (marker == '>') is_fastq = 0;
+      else if (marker == '@') is_fastq = 1;
+      else {
+        error = "Unrecognized FASTX record start";
+        return -1;
+      }
+    }
+    if ((is_fastq == 1 && marker != '@') || (is_fastq == 0 && marker != '>')) {
+      error = "Record marker mismatch";
+      return -1;
+    }
+    m[0] = (int64_t)hoff + 1;  // id excludes the marker byte
+    m[1] = hlen - 1;
+    if (is_fastq == 1) {
+      int64_t slen = getline_append(arena);
+      if (slen < 0) {
+        error = "Truncated FASTQ record";
+        return -1;
+      }
+      m[2] = (int64_t)arena.size() - slen;
+      m[3] = slen;
+      size_t save = arena.size();
+      int64_t plen = getline_append(arena);
+      if (plen <= 0 || arena[save] != '+') {
+        error = "Expected '+' separator";
+        return -1;
+      }
+      arena.resize(save);  // separator line is not part of the record
+      int64_t qlen = getline_append(arena);
+      if (qlen < 0) {
+        error = "Truncated FASTQ record (missing quality)";
+        return -1;
+      }
+      m[4] = (int64_t)arena.size() - qlen;
+      m[5] = qlen;
+      if (qlen != slen) {
+        error = "Quality length != sequence length";
+        return -1;
+      }
+    } else {
+      m[2] = (int64_t)arena.size();
+      while (true) {  // multi-line FASTA: lines concatenate in place
+        size_t save = arena.size();
+        int64_t l = getline_append(arena);
+        if (l < 0) break;
+        if (l > 0 && arena[save] == '>') {  // next record: push back
+          pending.assign(arena.begin() + save, arena.end());
+          has_pending = true;
+          arena.resize(save);
+          break;
+        }
+      }
+      m[3] = (int64_t)arena.size() - m[2];
+      m[4] = -1;
+      m[5] = 0;
+    }
+    return 1;
+  }
+
   // Parse one record into rec; returns 1 ok, 0 eof, -1 error.
   int parse_record(Record& rec) {
     rec.id.clear();
@@ -1967,27 +2070,6 @@ static void filter_writer(FilterJob& J) {
 constexpr int64_t kBatchRecords = 10000;  // ref: src/remote_filter.rs:727
 constexpr int64_t kBatchArena = 8 << 20;
 
-static bool append_record(FBatch* b, const Record& rec, bool is_fastq) {
-  int64_t used = (int64_t)b->arena.size();
-  b->meta.push_back(used);
-  b->meta.push_back((int64_t)rec.id.size());
-  b->arena.insert(b->arena.end(), rec.id.begin(), rec.id.end());
-  used += (int64_t)rec.id.size();
-  b->meta.push_back(used);
-  b->meta.push_back((int64_t)rec.seq.size());
-  b->arena.insert(b->arena.end(), rec.seq.begin(), rec.seq.end());
-  used += (int64_t)rec.seq.size();
-  if (is_fastq) {
-    b->meta.push_back(used);
-    b->meta.push_back((int64_t)rec.qual.size());
-    b->arena.insert(b->arena.end(), rec.qual.begin(), rec.qual.end());
-  } else {
-    b->meta.push_back(-1);
-    b->meta.push_back(0);
-  }
-  return (int64_t)b->arena.size() >= kBatchArena;
-}
-
 // reader thread body; mode: 0 single, 1 paired (two readers), 2 interleaved
 static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
   int64_t seq_no = 0;
@@ -1998,9 +2080,10 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
     b->seq_no = seq_no;
     b->paired = mode != 0;
     b->arena.reserve(kBatchArena + 65536);
-    Record rec1, rec2;
+    int64_t m1[6], m2[6];
     while (b->n_units < kBatchRecords) {
-      int rc = r1->parse_record(rec1);
+      const size_t arena_save = b->arena.size();
+      int rc = r1->parse_record_into(b->arena, m1);
       if (rc < 0) {
         J.fail(r1->error);
         delete b;
@@ -2011,12 +2094,13 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
         break;
       }
       if (mode == 0) {
+        b->meta.insert(b->meta.end(), m1, m1 + 6);
         b->n_units++;
-        if (append_record(b, rec1, r1->is_fastq == 1)) break;
+        if ((int64_t)b->arena.size() >= kBatchArena) break;
       } else {
         if (mode == 2) interleaved_count++;
         DxReader* rr = mode == 1 ? r2 : r1;
-        int rc2 = rr->parse_record(rec2);
+        int rc2 = rr->parse_record_into(b->arena, m2);
         if (rc2 < 0) {
           J.fail(rr->error);
           delete b;
@@ -2033,16 +2117,17 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
             delete b;
             return;
           }
-          // paired files: stop at the shorter input
-          // (ref: src/remote_filter.rs:931-955)
+          // paired files: stop at the shorter input, dropping the
+          // unpaired mate's bytes (ref: src/remote_filter.rs:931-955)
+          b->arena.resize(arena_save);
           eof = true;
           break;
         }
         if (mode == 2) interleaved_count++;
+        b->meta.insert(b->meta.end(), m1, m1 + 6);
+        b->meta.insert(b->meta.end(), m2, m2 + 6);
         b->n_units++;
-        bool full = append_record(b, rec1, r1->is_fastq == 1);
-        full |= append_record(b, rec2, rr->is_fastq == 1);
-        if (full) break;
+        if ((int64_t)b->arena.size() >= kBatchArena) break;
       }
     }
     if (b->n_units == 0) {
