@@ -1845,6 +1845,8 @@ struct FilterJob {
   int64_t next_write = 0;
   std::atomic<int64_t> total_batches{-1};
   std::atomic<bool> failed{false};
+  int n_workers = 1;                  // worker-pool size
+  std::atomic<int> busy_workers{0};   // workers currently inside a batch
   std::mutex err_mu;
   std::string err;
   // stats (writer-thread-owned; mirrored into `progress` for live polling)
@@ -1922,6 +1924,11 @@ static inline bool keep_decision(const FilterJob& J, int64_t hits,
   return J.deplete ? hits < required : hits >= required;
 }
 
+// Records at least this long borrow idle workers' cores for extraction
+// (a single-contig FASTA otherwise pins one worker at ~1 core while the
+// rest wait on the queue).
+constexpr int64_t kHugeRecord = 8'000'000;
+
 static void filter_worker(FilterJob& J) {
   ExtractScratch scr;
   std::vector<uint64_t> hashes, scratch;
@@ -1932,6 +1939,7 @@ static void filter_worker(FilterJob& J) {
       delete b;
       continue;
     }
+    J.busy_workers.fetch_add(1);
     b->keep.resize(b->n_units);
     const int recs_per_unit = b->paired ? 2 : 1;
     for (int64_t u = 0; u < b->n_units; u++) {
@@ -1943,11 +1951,37 @@ static void filter_worker(FilterJob& J) {
         int64_t max_m = len >= J.k ? len - J.k + 1 : 0;
         if (max_m <= 0) continue;
         size_t base = hashes.size();
-        hashes.resize(base + max_m);
-        posv.resize(max_m);
-        int64_t c = extract_one(b->arena.data() + m[2], len, J.k, J.w,
-                                /*index_mode=*/false, 0.0f, scr,
-                                hashes.data() + base, posv.data(), max_m);
+        int64_t c;
+        if (len >= kHugeRecord) {
+          // chromosome-scale record: split its window ranges across the
+          // currently idle workers via the batch extractor (outputs are
+          // identical for any thread count). Buffers are sized to the
+          // expected ~2m/(w+1) density, not one-per-position — a 100 Mbp
+          // record would otherwise value-initialize 1.2 GB per batch
+          // (measured as a multi-second page-fault storm) — and regrown
+          // on the rare overflow (dx_extract_batch returns -1).
+          int idle = J.n_workers - J.busy_workers.load();
+          int nthreads = 1 + (idle > 0 ? idle : 0);
+          int64_t cap = max_m * 2 / (J.w + 1) + 4096;
+          for (;;) {
+            if (cap > max_m) cap = max_m;
+            hashes.resize(base + cap);
+            posv.resize(cap);
+            int64_t st0 = 0, cnt1 = 0;
+            c = dx_extract_batch(b->arena.data() + m[2], &st0, &len, 1,
+                                 J.k, J.w, /*index_mode=*/0, 0.0f,
+                                 hashes.data() + base, posv.data(), &cnt1,
+                                 cap, nthreads);
+            if (c >= 0 || cap == max_m) break;
+            cap *= 2;
+          }
+        } else {
+          hashes.resize(base + max_m);
+          posv.resize(max_m);
+          c = extract_one(b->arena.data() + m[2], len, J.k, J.w,
+                          /*index_mode=*/false, 0.0f, scr,
+                          hashes.data() + base, posv.data(), max_m);
+        }
         hashes.resize(base + (c > 0 ? c : 0));
       }
       int64_t total = (int64_t)hashes.size();
@@ -1956,6 +1990,7 @@ static void filter_worker(FilterJob& J) {
           count_distinct_hits(J, hashes.data(), total, req, scratch);
       b->keep[u] = keep_decision(J, hits, req) ? 1 : 0;
     }
+    J.busy_workers.fetch_sub(1);
     {
       std::lock_guard<std::mutex> lk(J.done_mu);
       J.done[b->seq_no] = b;
@@ -2216,6 +2251,7 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
     int hw = (int)std::thread::hardware_concurrency();
     n_threads = hw > 0 ? hw : 1;
   }
+  J.n_workers = n_threads;
 
   std::vector<std::thread> workers;
   for (int t = 0; t < n_threads; t++)
