@@ -139,6 +139,14 @@ def _sorted_unique(hashes: np.ndarray) -> np.ndarray:
         is_sorted = bool(np.all(hashes[1:] > hashes[:-1]))
     if is_sorted:
         return hashes
+    try:
+        from ..io.native_loader import native_u64_sort_unique
+
+        out = native_u64_sort_unique(np.ascontiguousarray(hashes))
+        if out is not None:
+            return out
+    except Exception:
+        pass
     hashes = np.sort(hashes)
     keep = np.empty(hashes.size, dtype=bool)
     keep[0] = True

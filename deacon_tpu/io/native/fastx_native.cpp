@@ -8,6 +8,7 @@
 // deacon_tpu/io/fastx.py is the pure-Python fallback and correctness oracle.
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -787,6 +788,72 @@ int dx_u64_sorted_unique(const uint64_t* vals, int64_t count) {
   for (int64_t i = 1; i < count; i++)
     if (vals[i] <= vals[i - 1]) return 0;
   return 1;
+}
+
+// In-place parallel sort + dedup; returns the unique count. Used by the
+// index-build merge (the reference accumulates into an FxHashSet,
+// ref: src/index.rs:266-284; our sorted-array representation makes the
+// merge a sort): MSB-byte partition (xxh3 keys are uniform, so buckets
+// balance), per-bucket std::sort across threads, one dedup pass.
+int64_t dx_u64_sort_unique(uint64_t* vals, int64_t n, int32_t n_threads) {
+  if (n <= 1) return n;
+  if (n_threads < 1) n_threads = 1;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && n_threads > hw) n_threads = hw;
+  if (n < (1 << 16) || n_threads == 1) {
+    std::sort(vals, vals + n);
+  } else {
+    const int T = n_threads;
+    std::vector<uint64_t> tmp(n);
+    std::vector<std::array<int64_t, 256>> th_counts(T);
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; t++)
+      th.emplace_back([&, t] {
+        auto& c = th_counts[t];
+        c.fill(0);
+        int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        for (int64_t i = lo; i < hi; i++) c[vals[i] >> 56]++;
+      });
+    for (auto& x : th) x.join();
+    th.clear();
+    // bucket starts, then per-thread scatter cursors within each bucket
+    std::array<int64_t, 257> starts{};
+    for (int b = 0; b < 256; b++) {
+      starts[b + 1] = starts[b];
+      for (int t = 0; t < T; t++) starts[b + 1] += th_counts[t][b];
+    }
+    std::vector<std::array<int64_t, 256>> cur(T);
+    for (int b = 0; b < 256; b++) {
+      int64_t off = starts[b];
+      for (int t = 0; t < T; t++) {
+        cur[t][b] = off;
+        off += th_counts[t][b];
+      }
+    }
+    for (int t = 0; t < T; t++)
+      th.emplace_back([&, t] {
+        auto& c = cur[t];
+        int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        for (int64_t i = lo; i < hi; i++) tmp[c[vals[i] >> 56]++] = vals[i];
+      });
+    for (auto& x : th) x.join();
+    th.clear();
+    std::atomic<int> next{0};
+    for (int t = 0; t < T; t++)
+      th.emplace_back([&] {
+        for (;;) {
+          int b = next.fetch_add(1);
+          if (b >= 256) return;
+          std::sort(tmp.data() + starts[b], tmp.data() + starts[b + 1]);
+        }
+      });
+    for (auto& x : th) x.join();
+    memcpy(vals, tmp.data(), (size_t)n * 8);
+  }
+  int64_t out = 1;
+  for (int64_t i = 1; i < n; i++)
+    if (vals[i] != vals[out - 1]) vals[out++] = vals[i];
+  return out;
 }
 
 // ---------------------------------------------------------------------------

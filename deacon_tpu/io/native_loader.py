@@ -97,6 +97,9 @@ def get_lib():
         ]
         lib.dx_u64_sorted_unique.restype = ctypes.c_int
         lib.dx_u64_sorted_unique.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.dx_u64_sort_unique.restype = ctypes.c_int64
+        lib.dx_u64_sort_unique.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
         lib.dx_probe_build.restype = ctypes.c_void_p
         lib.dx_probe_build.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.dx_probe_free.argtypes = [ctypes.c_void_p]
@@ -302,6 +305,21 @@ def native_probe(keys: np.ndarray):
     if lib is None:
         return None
     return NativeProbe(keys, lib)
+
+
+def native_u64_sort_unique(vals: np.ndarray, n_threads: int = 0):
+    """Parallel in-place sort + dedup of a uint64 array; returns the sorted
+    unique view (a slice of `vals`), or None if the native lib is
+    unavailable. `vals` must be contiguous and owned by the caller."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert vals.dtype == np.uint64 and vals.flags.c_contiguous
+    cnt = lib.dx_u64_sort_unique(
+        vals.ctypes.data_as(ctypes.c_void_p), vals.size,
+        n_threads if n_threads > 0 else (os.cpu_count() or 1),
+    )
+    return vals[:cnt]
 
 
 def native_u64_sorted_unique(vals: np.ndarray):
