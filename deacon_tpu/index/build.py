@@ -106,7 +106,12 @@ def build(config: IndexConfig) -> None:
                 out = native_u64_sort_unique(np.ascontiguousarray(merged))
             except Exception:
                 out = None
-            accumulated = np.unique(merged) if out is None else out.copy()
+            if out is None:
+                accumulated = np.unique(merged)
+            else:
+                # out is a view of `merged`; copy only when dedup shrank it
+                # enough that freeing the backing buffer pays for the memcpy
+                accumulated = out.copy() if out.size < merged.size // 2 else out
             pending = []
             pending_size = 0
 
