@@ -1857,6 +1857,13 @@ struct FBatch {
   std::vector<uint8_t> arena;
   std::vector<int64_t> meta;  // 6 per record: id_off,id_len,seq_off,seq_len,qual_off,qual_len
   std::vector<uint8_t> keep;  // per unit (worker output)
+  // worker-side formatted (and compressed) output bytes: gzip members /
+  // zstd frames / xz streams concatenate into valid files, so each batch
+  // compresses independently in its worker (pigz-style) and the writer
+  // thread only sequences raw byte writes. Disabled under --rename, whose
+  // numbering is writer-order.
+  bool formatted = false;
+  std::vector<uint8_t> cout1, cout2;
 };
 
 struct FQueue {
@@ -1914,6 +1921,10 @@ struct FilterJob {
   std::atomic<bool> failed{false};
   int n_workers = 1;                  // worker-pool size
   std::atomic<int> busy_workers{0};   // workers currently inside a batch
+  // worker-side output formatting/compression (-1 = off, else codec)
+  int precompress1 = -1, precompress2 = -1;
+  int level1 = 0, level2 = 0;
+  int64_t bytes1 = 0, bytes2 = 0;  // writer-thread owned
   std::mutex err_mu;
   std::string err;
   // stats (writer-thread-owned; mirrored into `progress` for live polling)
@@ -1996,10 +2007,17 @@ static inline bool keep_decision(const FilterJob& J, int64_t hits,
 // rest wait on the queue).
 constexpr int64_t kHugeRecord = 8'000'000;
 
+static void format_kept(const FBatch& b, bool split2,
+                        std::vector<uint8_t>& o1, std::vector<uint8_t>& o2);
+static bool compress_member(int codec, int level, std::vector<uint8_t>& in,
+                            std::vector<uint8_t>& out,
+                            bool emit_empty = false);
+
 static void filter_worker(FilterJob& J) {
   ExtractScratch scr;
   std::vector<uint64_t> hashes, scratch;
   std::vector<uint32_t> posv;
+  std::vector<uint8_t> fmt1, fmt2;
   FBatch* b;
   while (J.work.pop(b)) {
     if (J.failed.load()) {
@@ -2057,6 +2075,21 @@ static void filter_worker(FilterJob& J) {
           count_distinct_hits(J, hashes.data(), total, req, scratch);
       b->keep[u] = keep_decision(J, hits, req) ? 1 : 0;
     }
+    if (J.precompress1 >= 0) {
+      fmt1.clear();
+      fmt2.clear();
+      format_kept(*b, J.w2 != nullptr, fmt1, fmt2);
+      bool ok = compress_member(J.precompress1, J.level1, fmt1, b->cout1);
+      if (ok && J.w2)
+        ok = compress_member(J.precompress2, J.level2, fmt2, b->cout2);
+      if (!ok) {
+        J.fail("output compression failed");
+        delete b;
+        J.busy_workers.fetch_sub(1);
+        continue;
+      }
+      b->formatted = true;
+    }
     J.busy_workers.fetch_sub(1);
     {
       std::lock_guard<std::mutex> lk(J.done_mu);
@@ -2095,6 +2128,67 @@ static void emit_record(std::vector<uint8_t>& dst, const FBatch& b,
   dst.push_back('\n');
 }
 
+// format the kept records of a batch exactly as the writer would
+// (rename off): pairs interleave unless a second output splits mates
+static void format_kept(const FBatch& b, bool split2,
+                        std::vector<uint8_t>& o1, std::vector<uint8_t>& o2) {
+  const int rpu = b.paired ? 2 : 1;
+  for (int64_t u = 0; u < b.n_units; u++) {
+    if (!b.keep[u]) continue;
+    const int64_t* m1 = b.meta.data() + 6 * u * rpu;
+    emit_record(o1, b, m1, /*rename=*/false, 0);
+    if (b.paired) emit_record(split2 ? o2 : o1, b, m1 + 6, false, 0);
+  }
+}
+
+// One self-contained compressed member/frame/stream from `in` (codec 0:
+// plain bytes move across). Returns false on codec failure.
+static bool compress_member(int codec, int level,
+                            std::vector<uint8_t>& in,
+                            std::vector<uint8_t>& out, bool emit_empty) {
+  if (codec == 0) {
+    out.swap(in);
+    return true;
+  }
+  out.clear();
+  if (in.empty() && !emit_empty) return true;
+  if (codec == 1) {  // gzip member
+    z_stream zs{};
+    if (deflateInit2(&zs, level, Z_DEFLATED, 16 + MAX_WBITS, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+      return false;
+    out.resize(deflateBound(&zs, in.size()) + 32);
+    zs.next_in = in.data();
+    zs.avail_in = (uInt)in.size();
+    zs.next_out = out.data();
+    zs.avail_out = (uInt)out.size();
+    int r = deflate(&zs, Z_FINISH);
+    bool ok = (r == Z_STREAM_END);
+    out.resize(ok ? zs.total_out : 0);
+    deflateEnd(&zs);
+    return ok;
+  }
+  if (codec == 2) {  // zstd frame
+    out.resize(ZSTD_compressBound(in.size()));
+    size_t r = ZSTD_compress(out.data(), out.size(), in.data(), in.size(),
+                             level);
+    if (ZSTD_isError(r)) return false;
+    out.resize(r);
+    return true;
+  }
+  if (codec == 3) {  // xz stream
+    out.resize(lzma_stream_buffer_bound(in.size()));
+    size_t out_pos = 0;
+    lzma_ret r = lzma_easy_buffer_encode(
+        (uint32_t)level, LZMA_CHECK_CRC64, nullptr, in.data(), in.size(),
+        out.data(), &out_pos, out.size());
+    if (r != LZMA_OK) return false;
+    out.resize(out_pos);
+    return true;
+  }
+  return false;
+}
+
 static void filter_writer(FilterJob& J) {
   std::vector<uint8_t> buf, buf2;
   while (true) {
@@ -2129,8 +2223,10 @@ static void filter_writer(FilterJob& J) {
         if (b->keep[u]) {
           J.output_bp += pair_bp;
           J.out_counter += 2;
-          emit_record(buf, *b, m1, J.rename, J.out_counter - 1);
-          emit_record(J.w2 ? buf2 : buf, *b, m2, J.rename, J.out_counter);
+          if (!b->formatted) {
+            emit_record(buf, *b, m1, J.rename, J.out_counter - 1);
+            emit_record(J.w2 ? buf2 : buf, *b, m2, J.rename, J.out_counter);
+          }
         } else {
           J.filtered_seqs += 2;
           J.filtered_bp += pair_bp;
@@ -2141,23 +2237,29 @@ static void filter_writer(FilterJob& J) {
         if (b->keep[u]) {
           J.output_bp += m1[3];
           J.out_counter += 1;
-          emit_record(buf, *b, m1, J.rename, J.out_counter);
+          if (!b->formatted) emit_record(buf, *b, m1, J.rename, J.out_counter);
         } else {
           J.filtered_seqs += 1;
           J.filtered_bp += m1[3];
         }
       }
     }
+    if (b->formatted) {
+      buf.swap(b->cout1);
+      buf2.swap(b->cout2);
+    }
     delete b;
     if (!buf.empty() && dx_writer_write(J.w1, buf.data(), buf.size()) != 0) {
       J.fail("write failed");
       return;
     }
+    J.bytes1 += (int64_t)buf.size();
     if (J.w2 && !buf2.empty() &&
         dx_writer_write(J.w2, buf2.data(), buf2.size()) != 0) {
       J.fail("write failed");
       return;
     }
+    J.bytes2 += (int64_t)buf2.size();
     if (J.progress) {
       __atomic_store_n(&J.progress[0], J.total_seqs, __ATOMIC_RELAXED);
       __atomic_store_n(&J.progress[1], J.filtered_seqs, __ATOMIC_RELAXED);
@@ -2296,7 +2398,19 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
   J.deplete = deplete != 0;
   J.rename = rename != 0;
   J.progress = progress;
-  J.w1 = dx_writer_open(output, out_codec, out_level);
+  // Workers format+compress their own batches (independent gzip members /
+  // zstd frames / xz streams concatenate into valid files), so the writer
+  // thread only sequences raw writes and output compression parallelizes
+  // across the pool. --rename numbering is writer-order, so it keeps the
+  // single-stream writer-side path.
+  const bool precompress = !J.rename;
+  if (precompress) {
+    J.precompress1 = out_codec;
+    J.precompress2 = out2_codec;
+    J.level1 = out_level;
+    J.level2 = out2_level;
+  }
+  J.w1 = dx_writer_open(output, precompress ? 0 : out_codec, out_level);
   if (!J.w1) {
     dx_close(r1);
     if (r2) dx_close(r2);
@@ -2304,7 +2418,7 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
     return -1;
   }
   if (output2) {
-    J.w2 = dx_writer_open(output2, out2_codec, out2_level);
+    J.w2 = dx_writer_open(output2, precompress ? 0 : out2_codec, out2_level);
     if (!J.w2) {
       dx_writer_close(J.w1);
       dx_close(r1);
@@ -2337,6 +2451,19 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
 
   dx_close(r1);
   if (r2) dx_close(r2);
+  // a compressed output with zero members must still be a valid stream
+  // (the single-stream writer emits header+trailer even when empty)
+  if (precompress && !J.failed.load()) {
+    std::vector<uint8_t> empty_in, member;
+    if (J.bytes1 == 0 && out_codec != 0 &&
+        compress_member(out_codec, out_level, empty_in, member, true) &&
+        !member.empty())
+      dx_writer_write(J.w1, member.data(), member.size());
+    if (J.w2 && J.bytes2 == 0 && out2_codec != 0 &&
+        compress_member(out2_codec, out2_level, empty_in, member, true) &&
+        !member.empty())
+      dx_writer_write(J.w2, member.data(), member.size());
+  }
   int rc1 = dx_writer_close(J.w1);
   int rc2 = J.w2 ? dx_writer_close(J.w2) : 0;
 
