@@ -28,6 +28,13 @@ class _Extractor:
         self.k, self.w, self.entropy = k, w, entropy
         self._pipe = None
         self._overflow = Exception
+        if device == "auto":
+            # tunneled accelerators: per-batch materializations run ~100x
+            # below chip speed; the C++ host engine is strictly faster
+            from ..jaxenv import default_backend_is_tunneled
+
+            if default_backend_is_tunneled():
+                device = "numpy"
         if device != "numpy":
             try:
                 import jax
@@ -125,14 +132,7 @@ def build(config: IndexConfig) -> None:
                 device = "numpy"
         except OSError:
             pass
-        if device == "auto":
-            # tunneled accelerators: per-batch materializations run ~100x
-            # below chip speed, so the C++ host engine is strictly faster
-            # end-to-end (same routing as filter; --device tpu forces)
-            from ..jaxenv import default_backend_is_tunneled
-
-            if default_backend_is_tunneled():
-                device = "numpy"
+        # (tunneled-accelerator routing happens inside _Extractor)
     extractor = _Extractor(
         config.kmer_length,
         config.window_size,
