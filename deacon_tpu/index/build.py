@@ -139,27 +139,74 @@ def build(config: IndexConfig) -> None:
         config.entropy_threshold,
         device,
     )
-    while True:
-        batch = read_batch(reader, INDEX_BUILD_BATCH)
-        if not batch:
-            break
-        results = extractor([r.seq for r in batch])
-        for rec, hashes in zip(batch, results):
-            seq_count += 1
-            total_bp += len(rec.seq)
-            if hashes.size:
-                pending.append(hashes)
-                pending_size += hashes.size
-            if not config.quiet:
-                # Per-seq running count requires a merge; do it lazily only
-                # when reporting (small inputs) to keep big builds fast.
-                merge_pending()
-                _eprint(
-                    f"  {rec.id.decode('utf-8', 'replace')} ({len(rec.seq)}bp), "
-                    f"total minimizers: {accumulated.size}"
-                )
-        if pending_size > merge_watermark:
+    use_raw = False
+    if extractor._pipe is None:
+        # host route + native reader: feed the parser's raw record arena
+        # straight to the C++ extractor — no Python Record objects, no
+        # per-sequence byte copies (the reference's needletail -> rayon
+        # pipeline shape, ref: src/index.rs:225-290)
+        try:
+            from ..io.native_loader import (
+                NativeFastxReader,
+                native_extract_batch,
+            )
+
+            use_raw = isinstance(reader, NativeFastxReader)
+        except Exception:
+            use_raw = False
+
+    def handle_seq(seq_id_bytes, blen: int, hashes: np.ndarray):
+        nonlocal seq_count, total_bp, pending_size
+        seq_count += 1
+        total_bp += blen
+        if hashes.size:
+            pending.append(hashes)
+            pending_size += hashes.size
+        if not config.quiet:
+            # Per-seq running count requires a merge; do it lazily only
+            # when reporting (small inputs) to keep big builds fast.
             merge_pending()
+            _eprint(
+                f"  {seq_id_bytes.decode('utf-8', 'replace')} ({blen}bp), "
+                f"total minimizers: {accumulated.size}"
+            )
+
+    if use_raw:
+        while True:
+            meta, arena, _fq = reader.read_batch_raw(INDEX_BUILD_BATCH)
+            n = meta.shape[0]
+            if n == 0:
+                break
+            starts = np.ascontiguousarray(meta[:, 2])
+            lens = np.ascontiguousarray(meta[:, 3])
+            hashes_all, _pos, counts = native_extract_batch(
+                arena, starts, lens, config.kmer_length, config.window_size,
+                index_mode=True,
+                entropy_threshold=config.entropy_threshold,
+                n_threads=config.threads,
+            )
+            off = 0
+            for i in range(n):
+                c = int(counts[i])
+                rid = (
+                    bytes(arena[int(meta[i, 0]):int(meta[i, 0]) + int(meta[i, 1])])
+                    if not config.quiet
+                    else b""
+                )
+                handle_seq(rid, int(lens[i]), hashes_all[off:off + c])
+                off += c
+            if pending_size > merge_watermark:
+                merge_pending()
+    else:
+        while True:
+            batch = read_batch(reader, INDEX_BUILD_BATCH)
+            if not batch:
+                break
+            results = extractor([r.seq for r in batch])
+            for rec, hashes in zip(batch, results):
+                handle_seq(rec.id, len(rec.seq), hashes)
+            if pending_size > merge_watermark:
+                merge_pending()
 
     merge_pending()
     total_unique = int(accumulated.size)
