@@ -1,0 +1,128 @@
+"""Randomized differential test: native C++ pipeline == pure-Python path.
+
+Runs the real CLI twice per scenario — once with the native library, once
+with DEACON_TPU_NO_NATIVE=1 (pure-Python parser/extractor/writers, i.e. the
+NumPy oracle end to end) — over randomized dirty inputs and flag
+combinations, and requires byte-identical outputs and summaries (modulo
+timing fields). Breadth complement to the fixed-case parity tests in
+test_native_pipeline.py.
+"""
+
+import gzip
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ALPHABET = np.frombuffer(b"ACGTACGTacgtNnRYX-", dtype=np.uint8)
+
+
+def _run(args, env_extra=None, stdin: bytes | None = None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", *args],
+        capture_output=True, env=env, cwd=REPO, input=stdin,
+    )
+
+
+def _write_reads(rng, path, n, genome, fmt, maxlen=400):
+    recs = []
+    for i in range(n):
+        if rng.random() < 0.5 and len(genome) > 50:
+            s = int(rng.integers(0, max(1, len(genome) - maxlen)))
+            seq = bytes(genome[s : s + int(rng.integers(30, maxlen))])
+        else:
+            seq = rng.choice(ALPHABET, int(rng.integers(0, maxlen))).astype(np.uint8).tobytes()
+        recs.append((f"r{i} extra".encode(), seq))
+    with open(path, "wb") as f:
+        for rid, seq in recs:
+            if fmt == "fastq":
+                f.write(b"@" + rid + b"\n" + seq + b"\n+\n" + b"I" * len(seq) + b"\n")
+            else:
+                f.write(b">" + rid + b"\n")
+                for j in range(0, max(len(seq), 1), 61):
+                    f.write(seq[j : j + 61] + b"\n")
+    return recs
+
+
+def _summary_key(path):
+    s = json.loads(open(path).read())
+    for k in ("time", "seqs_per_second", "bp_per_second", "version"):
+        s.pop(k, None)
+    return s
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_native_vs_python_differential(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    k = int(rng.choice([31, 21, 41, 15]))
+    w = int(rng.choice([15, 11, 7]))
+    if (k + w - 1) % 2 == 0:
+        w += 1
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 20_000).astype(np.uint8)
+    gpath = tmp_path / "g.fa"
+    with open(gpath, "wb") as f:
+        f.write(b">g\n" + genome.tobytes() + b"\n")
+    idx = tmp_path / "g.idx"
+    r = _run(["index", "build", str(gpath), "-o", str(idx), "-k", str(k), "-w", str(w), "--quiet"])
+    assert r.returncode == 0, r.stderr.decode()
+    # index build parity too
+    idx2 = tmp_path / "g2.idx"
+    r = _run(
+        ["index", "build", str(gpath), "-o", str(idx2), "-k", str(k), "-w", str(w), "--quiet"],
+        env_extra={"DEACON_TPU_NO_NATIVE": "1"},
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    assert idx.read_bytes() == idx2.read_bytes()
+
+    fmt = "fastq" if rng.random() < 0.7 else "fasta"
+    paired = bool(rng.random() < 0.5)
+    reads1 = tmp_path / "r1.fq"
+    _write_reads(rng, reads1, 40, genome, fmt)
+    args = ["filter", str(idx), str(reads1)]
+    if paired:
+        reads2 = tmp_path / "r2.fq"
+        _write_reads(rng, reads2, 40, genome, fmt)
+        args.append(str(reads2))
+    ext = "" if rng.random() < 0.6 else ".gz"
+    out_a = tmp_path / f"a.out{ext}"
+    out_b = tmp_path / f"b.out{ext}"
+    flags = []
+    if rng.random() < 0.5:
+        flags.append("--deplete")
+    flags += ["-a", str(int(rng.integers(1, 4)))]
+    flags += ["-r", str(float(rng.choice([0.0, 0.01, 0.3, 1.0])))]
+    if rng.random() < 0.3:
+        flags += ["-p", str(int(rng.integers(10, 200)))]
+    if paired and rng.random() < 0.5:
+        flags += ["-O", str(tmp_path / f"a2.out{ext}")]
+    sum_a, sum_b = tmp_path / "sa.json", tmp_path / "sb.json"
+
+    ra = _run(args + ["-o", str(out_a), "-s", str(sum_a), "--quiet"] + flags)
+    assert ra.returncode == 0, ra.stderr.decode()
+    argb = [a.replace("a2.out", "b2.out") if isinstance(a, str) else a for a in flags]
+    rb = _run(
+        args + ["-o", str(out_b), "-s", str(sum_b), "--quiet"] + argb,
+        env_extra={"DEACON_TPU_NO_NATIVE": "1"},
+    )
+    assert rb.returncode == 0, rb.stderr.decode()
+
+    def content(p):
+        data = open(p, "rb").read()
+        return gzip.decompress(data) if str(p).endswith(".gz") else data
+
+    assert content(out_a) == content(out_b)
+    if ("-O" in flags):
+        assert content(tmp_path / f"a2.out{ext}") == content(tmp_path / f"b2.out{ext}")
+    sa, sb = _summary_key(sum_a), _summary_key(sum_b)
+    for key in ("output", "output2"):
+        sa.pop(key, None)
+        sb.pop(key, None)
+    assert sa == sb
