@@ -1921,6 +1921,42 @@ struct FilterJob {
   std::atomic<bool> failed{false};
   int n_workers = 1;                  // worker-pool size
   std::atomic<int> busy_workers{0};   // workers currently inside a batch
+  // recycled batch buffers: arenas/meta/outputs keep their capacity, so
+  // steady state allocates nothing per batch (glibc returns multi-MB frees
+  // to the kernel, making fresh batches a page-fault storm at GB scale)
+  std::mutex free_mu;
+  std::vector<FBatch*> free_list;
+  FBatch* get_batch() {
+    {
+      std::lock_guard<std::mutex> lk(free_mu);
+      if (!free_list.empty()) {
+        FBatch* b = free_list.back();
+        free_list.pop_back();
+        return b;
+      }
+    }
+    return new FBatch();
+  }
+  void put_batch(FBatch* b) {
+    b->n_units = 0;
+    b->formatted = false;
+    b->arena.clear();
+    b->meta.clear();
+    b->keep.clear();
+    b->cout1.clear();
+    b->cout2.clear();
+    std::lock_guard<std::mutex> lk(free_mu);
+    if (free_list.size() < 8) {
+      free_list.push_back(b);
+      return;
+    }
+    delete b;
+  }
+  void drain_free() {
+    std::lock_guard<std::mutex> lk(free_mu);
+    for (FBatch* b : free_list) delete b;
+    free_list.clear();
+  }
   // worker-side output formatting/compression (-1 = off, else codec)
   int precompress1 = -1, precompress2 = -1;
   int level1 = 0, level2 = 0;
@@ -2248,7 +2284,7 @@ static void filter_writer(FilterJob& J) {
       buf.swap(b->cout1);
       buf2.swap(b->cout2);
     }
-    delete b;
+    J.put_batch(b);
     if (!buf.empty() && dx_writer_write(J.w1, buf.data(), buf.size()) != 0) {
       J.fail("write failed");
       return;
@@ -2280,7 +2316,7 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
   int64_t interleaved_count = 0;
   bool eof = false;
   while (!eof && !J.failed.load()) {
-    FBatch* b = new FBatch();
+    FBatch* b = J.get_batch();
     b->seq_no = seq_no;
     b->paired = mode != 0;
     b->arena.reserve(kBatchArena + 65536);
@@ -2445,9 +2481,10 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
   J.done_cv.notify_all();
   writer_th.join();
 
-  // free any batches stranded by a failure
+  // free any batches stranded by a failure, then the recycling pool
   for (auto& kv : J.done) delete kv.second;
   J.done.clear();
+  J.drain_free();
 
   dx_close(r1);
   if (r2) dx_close(r2);
