@@ -1,0 +1,102 @@
+"""On-chip validation: compiled TPU kernels == XLA stages == NumPy oracle.
+
+Runs on the real TPU backend (do NOT set JAX_PLATFORMS=cpu): validates the
+fused Pallas S1+S2 kernel bit-exactly against the XLA stages across k/w
+classes including the wide 4-limb path, then the full DevicePipeline and the
+ShardedPipeline (1x1 mesh) against the NumPy oracle on random dirty reads.
+
+The CI suite runs everything on a virtual CPU mesh (tests/conftest.py);
+this script is the complement that exercises the Mosaic-compiled kernels
+and the real-chip engine end to end. Exits nonzero on any mismatch.
+
+Usage: python tools/validate_tpu.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from deacon_tpu import jaxenv
+
+jaxenv.ensure()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from deacon_tpu.ops import engine as eng  # noqa: E402
+from deacon_tpu.ops import minimizers_np as mnp  # noqa: E402
+from deacon_tpu.ops.pallas_kernels import values_argmin_fused  # noqa: E402
+
+
+def check_kernels() -> None:
+    rng = np.random.default_rng(0)
+    for k, w in [(31, 15), (32, 15), (21, 7), (41, 15), (33, 15), (56, 9)]:
+        R, L = 8, 512
+        codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+        mlen = rng.integers(0, L - k + 2, (R,)).astype(np.int32)
+        mlen[-1] = L - k + 1
+        out = eng._stage_values(jnp.asarray(codes), jnp.asarray(mlen), k=k)
+        *limbs, keys = out
+        wp = eng._stage_argmin(keys, w=w)
+        limbs2, wp2 = values_argmin_fused(
+            jnp.asarray(codes), jnp.asarray(mlen), k=k, w=w
+        )
+        assert len(limbs) == len(limbs2)
+        for a, b in zip(limbs, limbs2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(wp), np.asarray(wp2))
+        print(f"  pallas k={k} w={w}: compiled == XLA stages")
+
+
+def check_pipeline() -> None:
+    rng = np.random.default_rng(1)
+    k, w = 31, 15
+    index = np.sort(rng.integers(0, 2**64, 100_000, dtype=np.uint64))
+    a = np.frombuffer(b"ACGTACGTNn", dtype=np.uint8)
+    seqs = [
+        rng.choice(a, int(rng.integers(0, 2000))).astype(np.uint8).tobytes()
+        for _ in range(32)
+    ]
+
+    def oracle(seq):
+        h, p, _ = mnp.get_minimizer_hashes_and_positions(seq, 0, k, w)
+        hits = len(set(h[np.isin(h, index)].tolist()))
+        total = len(set(zip(h.tolist(), p.tolist())))
+        return hits, total
+
+    pipe = eng.DevicePipeline(index, k, w)
+    got = pipe.counts_single(seqs, 0)
+    for s, (gh, gt) in zip(seqs, zip(*got)):
+        oh, ot = oracle(s)
+        assert (gh, gt) == (oh, ot), (s[:40], gh, gt, oh, ot)
+    print(f"  DevicePipeline: {len(seqs)} reads == oracle")
+
+    from deacon_tpu.parallel.sharded import ShardedPipeline, make_mesh
+
+    spipe = ShardedPipeline(index, k, w, make_mesh(1, 1))
+    sh, st = spipe.counts_single(seqs)
+
+    for s, gh, gt in zip(seqs, sh, st):
+        oh, ot = oracle(s)
+        assert (gh, gt) == (oh, ot)
+    print(f"  ShardedPipeline 1x1: {len(seqs)} reads == oracle")
+
+
+def main() -> int:
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})")
+    if dev.platform != "tpu":
+        print("WARNING: not a TPU backend; this validates the fallback path")
+    check_kernels()
+    check_pipeline()
+    print("ALL ON-CHIP CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
