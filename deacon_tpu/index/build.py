@@ -110,7 +110,10 @@ def build(config: IndexConfig) -> None:
 
                 # parallel C++ sort+dedup: ~2x np.unique on 2 cores, scales
                 # with cores (the chm13-scale endgame merge is ~390M keys)
-                out = native_u64_sort_unique(np.ascontiguousarray(merged))
+                out = native_u64_sort_unique(
+                    np.ascontiguousarray(merged),
+                    n_threads=max(0, config.threads),
+                )
             except Exception:
                 out = None
             if out is None:

@@ -142,7 +142,9 @@ def _sorted_unique(hashes: np.ndarray) -> np.ndarray:
     try:
         from ..io.native_loader import native_u64_sort_unique
 
-        out = native_u64_sort_unique(np.ascontiguousarray(hashes))
+        # copy: the native sort works in place, and `hashes` belongs to the
+        # caller (np.unique on this path would have copied anyway)
+        out = native_u64_sort_unique(np.array(hashes, dtype=np.uint64))
         if out is not None:
             return out
     except Exception:

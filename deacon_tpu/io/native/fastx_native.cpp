@@ -1945,6 +1945,12 @@ struct FilterJob {
     b->keep.clear();
     b->cout1.clear();
     b->cout2.clear();
+    // don't pool chromosome-scale buffers: batches grown by >=8 MB records
+    // would otherwise pin up to 8x their peak size for the whole run
+    constexpr size_t kPoolCap = (size_t)(8 << 20) * 4;
+    if (b->arena.capacity() > kPoolCap) std::vector<uint8_t>().swap(b->arena);
+    if (b->cout1.capacity() > kPoolCap) std::vector<uint8_t>().swap(b->cout1);
+    if (b->cout2.capacity() > kPoolCap) std::vector<uint8_t>().swap(b->cout2);
     std::lock_guard<std::mutex> lk(free_mu);
     if (free_list.size() < 8) {
       free_list.push_back(b);
@@ -2194,15 +2200,31 @@ static bool compress_member(int codec, int level,
                      Z_DEFAULT_STRATEGY) != Z_OK)
       return false;
     out.resize(deflateBound(&zs, in.size()) + 32);
-    zs.next_in = in.data();
-    zs.avail_in = (uInt)in.size();
-    zs.next_out = out.data();
-    zs.avail_out = (uInt)out.size();
-    int r = deflate(&zs, Z_FINISH);
-    bool ok = (r == Z_STREAM_END);
-    out.resize(ok ? zs.total_out : 0);
+    // zlib's avail_in/avail_out are 32-bit; feed <=1 GiB slices so a
+    // single record >4 GiB is not silently truncated
+    const size_t kChunk = (size_t)1 << 30;
+    size_t in_off = 0, out_off = 0;
+    while (true) {
+      const size_t in_take = std::min(kChunk, in.size() - in_off);
+      const size_t out_room = std::min(kChunk, out.size() - out_off);
+      zs.next_in = in.data() + in_off;
+      zs.avail_in = (uInt)in_take;
+      zs.next_out = out.data() + out_off;
+      zs.avail_out = (uInt)out_room;
+      int r = deflate(&zs, in_off + in_take == in.size() ? Z_FINISH
+                                                         : Z_NO_FLUSH);
+      in_off += in_take - zs.avail_in;
+      out_off += out_room - zs.avail_out;
+      if (r == Z_STREAM_END) break;
+      if (r != Z_OK) {
+        deflateEnd(&zs);
+        out.clear();
+        return false;
+      }
+    }
+    out.resize(out_off);
     deflateEnd(&zs);
-    return ok;
+    return true;
   }
   if (codec == 2) {  // zstd frame
     out.resize(ZSTD_compressBound(in.size()));

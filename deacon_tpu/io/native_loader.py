@@ -315,6 +315,7 @@ def native_u64_sort_unique(vals: np.ndarray, n_threads: int = 0):
     if lib is None:
         return None
     assert vals.dtype == np.uint64 and vals.flags.c_contiguous
+    assert vals.flags.writeable, "in-place sort needs a writeable array"
     cnt = lib.dx_u64_sort_unique(
         vals.ctypes.data_as(ctypes.c_void_p), vals.size,
         n_threads if n_threads > 0 else (os.cpu_count() or 1),

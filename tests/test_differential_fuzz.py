@@ -83,20 +83,48 @@ def test_native_vs_python_differential(tmp_path, seed):
     assert idx.read_bytes() == idx2.read_bytes()
 
     fmt = "fastq" if rng.random() < 0.7 else "fasta"
-    paired = bool(rng.random() < 0.5)
+    mode = str(rng.choice(["single", "paired", "interleaved"], p=[0.4, 0.4, 0.2]))
+    stdin = None
     reads1 = tmp_path / "r1.fq"
     _write_reads(rng, reads1, 40, genome, fmt)
-    args = ["filter", str(idx), str(reads1)]
-    if paired:
+    if mode == "interleaved":
         reads2 = tmp_path / "r2.fq"
         _write_reads(rng, reads2, 40, genome, fmt)
-        args.append(str(reads2))
-    ext = "" if rng.random() < 0.6 else ".gz"
+        # interleave the two mate files record-by-record onto stdin
+        def _records(p):
+            raw = open(p, "rb").read().split(b"\n")
+            per = 4 if fmt == "fastq" else None
+            if per:
+                return [b"\n".join(raw[i : i + 4]) + b"\n" for i in range(0, len(raw) - 1, 4)]
+            recs, cur = [], []
+            for line in raw:
+                if line.startswith(b">") and cur:
+                    recs.append(b"\n".join(cur) + b"\n")
+                    cur = []
+                if line:
+                    cur.append(line)
+            if cur:
+                recs.append(b"\n".join(cur) + b"\n")
+            return recs
+        stdin = b"".join(
+            r1 + r2 for r1, r2 in zip(_records(reads1), _records(reads2))
+        )
+        args = ["filter", str(idx), "-", "-"]
+    else:
+        args = ["filter", str(idx), str(reads1)]
+        if mode == "paired":
+            reads2 = tmp_path / "r2.fq"
+            _write_reads(rng, reads2, 40, genome, fmt)
+            args.append(str(reads2))
+    paired = mode != "single"
+    ext = str(rng.choice(["", ".gz", ".zst", ".xz"], p=[0.4, 0.3, 0.15, 0.15]))
     out_a = tmp_path / f"a.out{ext}"
     out_b = tmp_path / f"b.out{ext}"
     flags = []
     if rng.random() < 0.5:
         flags.append("--deplete")
+    if rng.random() < 0.3:
+        flags.append("--rename")
     flags += ["-a", str(int(rng.integers(1, 4)))]
     flags += ["-r", str(float(rng.choice([0.0, 0.01, 0.3, 1.0])))]
     if rng.random() < 0.3:
@@ -105,18 +133,36 @@ def test_native_vs_python_differential(tmp_path, seed):
         flags += ["-O", str(tmp_path / f"a2.out{ext}")]
     sum_a, sum_b = tmp_path / "sa.json", tmp_path / "sb.json"
 
-    ra = _run(args + ["-o", str(out_a), "-s", str(sum_a), "--quiet"] + flags)
+    ra = _run(args + ["-o", str(out_a), "-s", str(sum_a), "--quiet"] + flags,
+              stdin=stdin)
     assert ra.returncode == 0, ra.stderr.decode()
     argb = [a.replace("a2.out", "b2.out") if isinstance(a, str) else a for a in flags]
     rb = _run(
         args + ["-o", str(out_b), "-s", str(sum_b), "--quiet"] + argb,
         env_extra={"DEACON_TPU_NO_NATIVE": "1"},
+        stdin=stdin,
     )
     assert rb.returncode == 0, rb.stderr.decode()
 
     def content(p):
         data = open(p, "rb").read()
-        return gzip.decompress(data) if str(p).endswith(".gz") else data
+        p = str(p)
+        if p.endswith(".gz"):
+            return gzip.decompress(data)
+        if p.endswith(".zst"):
+            import io as _io
+
+            import zstandard
+
+            # read_across_frames: workers emit one frame per batch
+            return zstandard.ZstdDecompressor().stream_reader(
+                _io.BytesIO(data), read_across_frames=True
+            ).read()
+        if p.endswith(".xz"):
+            import lzma
+
+            return lzma.decompress(data)
+        return data
 
     assert content(out_a) == content(out_b)
     if ("-O" in flags):
