@@ -148,6 +148,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_server.add_argument("index", help="path to minimizer index file")
     p_server.add_argument("-p", "--port", type=int, default=8888)
     p_server.add_argument("--host", default="0.0.0.0")
+    p_server.add_argument("--device", default="host", choices=["host", "jax"],
+                          help="run membership decisions on the host probe "
+                               "(default) or the accelerator")
+    p_server.add_argument("--mesh", default=None, metavar="DATAxSHARD",
+                          help="shard the index across a device mesh (e.g. 1x4); "
+                               "implies --device jax")
 
     p_client = sub.add_parser(
         "client", help="filter by streaming pre-hashed minimizers to a server"
@@ -229,7 +235,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "server":
             from .server.app import run_server
 
-            run_server(args.index, args.port, host=args.host)
+            run_server(args.index, args.port, host=args.host,
+                       device=args.device, mesh=args.mesh)
     except BrokenPipeError:
         return 0
     except (ValueError, OSError, RuntimeError) as e:

@@ -161,15 +161,10 @@ class ShardedDecider:
 
     def __init__(self, index, k: int, w: int, mesh_spec: str, fallback):
         from ..parallel.multihost import maybe_init_distributed
-        from ..parallel.sharded import ShardedPipeline, make_mesh
+        from ..parallel.sharded import ShardedPipeline, make_mesh, parse_mesh_spec
 
         maybe_init_distributed()
-        try:
-            n_data, n_shard = (int(x) for x in mesh_spec.lower().split("x"))
-        except ValueError as e:
-            raise ValueError(
-                f"--mesh must be DATAxSHARD (e.g. 2x4), got {mesh_spec!r}"
-            ) from e
+        n_data, n_shard = parse_mesh_spec(mesh_spec)
         self.pipe = ShardedPipeline(index.hashes, k, w, make_mesh(n_data, n_shard))
         self.fallback = fallback
         from ..ops.engine import BudgetOverflow

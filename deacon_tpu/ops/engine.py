@@ -237,6 +237,104 @@ def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int):
     return member, pos
 
 
+class DeviceHashProbe:
+    """u64 hash-batch membership against the device-resident index.
+
+    Serves the hash-only decision path (server mode): clients send
+    pre-hashed minimizers (ref: src/server_common.rs:8-27), so there is
+    nothing to extract — each request is one searchsorted probe of the
+    HBM-resident u32 planes. With a mesh, the index is range-partitioned
+    across the ``shard`` axis, queries split across ``data``, and
+    per-shard membership merges with one psum over ICI (SURVEY §5.8).
+
+    Thread-safe (the HTTP server dispatches from a thread pool).
+    ``index_hashes`` must be sorted ascending (MinimizerIndex.hashes is).
+    """
+
+    def __init__(self, index_hashes: np.ndarray, mesh=None):
+        import threading
+
+        self.mesh = mesh
+        self.n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        n_shard = int(mesh.shape["shard"]) if mesh is not None else 1
+        arr = np.asarray(index_hashes, dtype=np.uint64)
+        if n_shard > 1 and arr.size:
+            # pad by repeating the max element: keeps the array sorted and
+            # membership exact (duplicates cannot create new members)
+            pad = (-arr.size) % n_shard
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad)])
+        hi, lo, self.max_run = build_probe_planes(arr)
+        if mesh is None:
+            dev = jax.devices()[0]
+            self.index_hi = jax.device_put(jnp.asarray(hi), dev)
+            self.index_lo = jax.device_put(jnp.asarray(lo), dev)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("shard"))
+            self.index_hi = jax.device_put(jnp.asarray(hi), shard)
+            self.index_lo = jax.device_put(jnp.asarray(lo), shard)
+        self._fns: dict[int, object] = {}
+        self._lock = threading.Lock()
+
+    def _fn(self, n_pad: int):
+        f = self._fns.get(n_pad)
+        if f is not None:
+            return f
+        max_run = self.max_run
+        if self.mesh is None:
+
+            @jax.jit
+            def run(ihi, ilo, qlo, qhi):
+                member, _ = probe_split_u32_pos(
+                    ihi, ilo, (qlo, qhi), max_run=max_run
+                )
+                return member
+
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            try:  # jax >= 0.8
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+            @jax.jit
+            @functools.partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=(P("shard"), P("shard"), P("data"), P("data")),
+                out_specs=P("data"),
+            )
+            def run(ihi, ilo, qlo, qhi):
+                member_l, _ = probe_split_u32_pos(
+                    ihi, ilo, (qlo, qhi), max_run=max_run
+                )
+                return lax.psum(member_l.astype(jnp.int32), "shard") >= 1
+
+        self._fns[n_pad] = run
+        return run
+
+    def __call__(self, hashes: np.ndarray) -> np.ndarray:
+        n = int(np.asarray(hashes).size)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        # pow2-of-base buckets bound the number of compiled variants
+        n_pad = 1024 * self.n_data
+        while n_pad < n:
+            n_pad *= 2
+        q = np.zeros(n_pad, dtype=np.uint64)
+        q[:n] = np.asarray(hashes, dtype=np.uint64)
+        qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+        with self._lock:
+            member = np.asarray(
+                self._fn(n_pad)(self.index_hi, self.index_lo, qlo, qhi)
+            )
+        return member[:n]
+
+
 def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     """Selection + window argmin + compaction shared by the filter and
     index-build paths. Returns (slot_row, slot_pos, slot_valid, total, h)

@@ -36,6 +36,19 @@ from ..ops import engine as eng
 from ..ops import minimizers_np as mnp
 
 
+def parse_mesh_spec(mesh_spec: str) -> tuple[int, int]:
+    """Parse a DATAxSHARD mesh spec like "2x4" into (n_data, n_shard)."""
+    try:
+        n_data, n_shard = (int(x) for x in mesh_spec.lower().split("x"))
+        if n_data < 1 or n_shard < 1:
+            raise ValueError
+    except ValueError:
+        raise ValueError(
+            f"--mesh must be DATAxSHARD (e.g. 2x4), got {mesh_spec!r}"
+        ) from None
+    return n_data, n_shard
+
+
 def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     need = n_data * n_shard

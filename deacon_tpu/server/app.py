@@ -29,13 +29,31 @@ MAX_BODY = 2_147_483_648  # 2 GiB, ref: src/server.rs:58
 
 
 class ServerState:
-    def __init__(self, index_path: str):
+    def __init__(self, index_path: str, device: str = "host", mesh: str | None = None):
         with open(index_path, "rb") as f:
             data = f.read()
         self.version = f"{index_path}@{hashlib.sha256(data).hexdigest()}"
         print(f"Loading index from: {index_path}", file=sys.stderr)
         self.index: MinimizerIndex = load_index(index_path)
-        self.backend = LocalBackend(self.index)
+        probe = None
+        if device == "jax" or mesh:
+            # pod-backed decisions: membership probes run on the accelerator
+            # mesh (index range-partitioned across `shard`, queries across
+            # `data`, per-shard bits psum-merged) instead of the host probe
+            from ..ops.engine import DeviceHashProbe
+
+            m = None
+            if mesh:
+                from ..parallel.sharded import make_mesh, parse_mesh_spec
+
+                n_data, n_shard = parse_mesh_spec(mesh)
+                m = make_mesh(n_data, n_shard)
+                print(
+                    f"Index sharded on device mesh data={n_data} x shard={n_shard}",
+                    file=sys.stderr,
+                )
+            probe = DeviceHashProbe(self.index.hashes, mesh=m)
+        self.backend = LocalBackend(self.index, probe=probe)
         print("Loaded index!", file=sys.stderr)
 
 
@@ -101,15 +119,17 @@ def make_handler(state: ServerState):
     return Handler
 
 
-def make_server(index_path: str, port: int, host: str = "0.0.0.0"):
-    state = ServerState(index_path)
+def make_server(index_path: str, port: int, host: str = "0.0.0.0",
+                device: str = "host", mesh: str | None = None):
+    state = ServerState(index_path, device=device, mesh=mesh)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     return httpd
 
 
-def run_server(index_path: str, port: int, host: str = "0.0.0.0") -> None:
+def run_server(index_path: str, port: int, host: str = "0.0.0.0",
+               device: str = "host", mesh: str | None = None) -> None:
     print("Loading server!", file=sys.stderr)
-    httpd = make_server(index_path, port, host)
+    httpd = make_server(index_path, port, host, device=device, mesh=mesh)
     print(f"Serving on {host}:{port}", file=sys.stderr)
     try:
         httpd.serve_forever()

@@ -151,3 +151,52 @@ def test_bad_request_rejected(server):
         raise AssertionError("expected HTTP 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_mesh_backed_server_matches_host_probe(server, tmp_path):
+    """A server running decisions on a sharded device mesh (--mesh, config 5
+    "pod-backed filter service") must answer identically to the host probe."""
+    import threading
+    import urllib.request as _url
+
+    from deacon_tpu.server.app import make_server
+
+    httpd = make_server(str(server["idx"]), 0, host="127.0.0.1",
+                        device="jax", mesh="2x2")
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    addr = f"http://127.0.0.1:{port}"
+    try:
+        for _ in range(20):
+            try:
+                _url.urlopen(addr + "/", timeout=1)
+                break
+            except Exception:
+                time.sleep(0.1)
+        reads = tmp_path / "mesh_reads.fq"
+        write_fastq(
+            reads,
+            [
+                ("m_fwd", FRAGMENT_60),
+                ("m_rev", revcomp(FRAGMENT_60)),
+                ("r1", random_dna(60)),
+                ("r2", random_dna(60)),
+            ],
+        )
+        out_host = tmp_path / "host.fq"
+        run_cli(["client", server["addr"], reads, "-o", out_host, "-a", "1", "-q"])
+        out_mesh = tmp_path / "mesh.fq"
+        run_cli(["client", addr, reads, "-o", out_mesh, "-a", "1", "-q"])
+        assert read_output(out_mesh) == read_output(out_host)
+        assert fastq_ids(read_output(out_mesh)) == ["m_fwd", "m_rev"]
+        # paired decisions through the mesh probe too
+        r1, r2 = tmp_path / "m_r1.fq", tmp_path / "m_r2.fq"
+        write_fastq(r1, [("p1/1", FRAGMENT_60), ("p2/1", random_dna(60))])
+        write_fastq(r2, [("p1/2", random_dna(60)), ("p2/2", random_dna(60))])
+        out_p = tmp_path / "mesh_p.fq"
+        run_cli(["client", addr, r1, r2, "-o", out_p, "-a", "1", "-d", "-q"])
+        assert fastq_ids(read_output(out_p)) == ["p2/1", "p2/2"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
