@@ -212,12 +212,17 @@ def build_probe_planes(index_hashes: np.ndarray):
     return hi, lo, q
 
 
-def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int):
+def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int, n_valid=None):
     """Membership + first matching index position (-1 for non-members).
 
     ``h`` is a hash pair (lo, hi u32). The position doubles as a compact
     per-hash unique id for distinct-hit counting (two equal hashes share a
     position; distinct member hashes never do).
+
+    ``n_valid`` (optional i32 scalar) masks positions >= n_valid as
+    non-members: presharded planes (ShardedPipeline.from_shards) pad each
+    shard to a common length with sort-preserving filler that must never
+    report membership. max_run need only cover runs in the valid region.
     """
     qlo, qhi = h
     n = index_hi.shape[0]
@@ -230,8 +235,11 @@ def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int):
     member = jnp.zeros(qlo.shape, dtype=bool)
     pos = jnp.full(qlo.shape, -1, dtype=jnp.int32)
     for j in range(max_run):
-        p = jnp.minimum(left + j, n - 1)
+        praw = left + j
+        p = jnp.minimum(praw, n - 1)
         m = (index_hi[p] == qhi) & (index_lo[p] == qlo)
+        if n_valid is not None:
+            m = m & (praw.astype(jnp.int32) < n_valid)
         pos = jnp.where(m & ~member, p.astype(jnp.int32), pos)
         member = member | m
     return member, pos

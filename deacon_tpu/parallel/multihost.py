@@ -41,6 +41,48 @@ def maybe_init_distributed() -> bool:
     return True
 
 
+def make_pod_pipeline_from_file(index_path: str, **kwargs):
+    """Memory-lean pod pipeline straight from an index file (config 4).
+
+    Each process stream-decodes ONLY the value-range shards of its own
+    addressable devices (store.load_index_shard) and contributes them via
+    ShardedPipeline.from_shards — no host ever materializes the full index
+    (vs the reference's full-set-per-process model, src/index.rs:96-107).
+
+    pad_to and max_run are derived from the file's header count, identical
+    on every process, so all processes compile the same program.
+    """
+    import jax
+
+    from ..index.store import load_header_and_count, load_index_shard
+    from .sharded import ShardedPipeline, make_mesh
+
+    n_total = len(jax.devices())
+    n_local = len(jax.local_devices())
+    n_data = max(1, n_local)
+    n_shard = max(1, n_total // n_data)
+    mesh = make_mesh(n_data, n_shard)
+
+    header, count = load_header_and_count(index_path)
+    # uniform-hash shard sizes concentrate tightly around count/n_shard;
+    # 2% + 1024 margin is astronomically safe at any real index size and
+    # raw `count` (pre-dedup) only overestimates
+    pad_to = count // n_shard + max(1024, (2 * count) // (100 * n_shard))
+
+    pid = jax.process_index()
+    owned = sorted(
+        {j for (_, j), d in np.ndenumerate(mesh.devices)
+         if d.process_index == pid}
+    )
+    shards: list = [None] * n_shard
+    for j in owned:
+        _, shards[j], _ = load_index_shard(index_path, j, n_shard)
+    return ShardedPipeline.from_shards(
+        shards, header.kmer_length, header.window_size, mesh,
+        pad_to=pad_to, max_run=16, **kwargs,
+    )
+
+
 def make_pod_pipeline(index_hashes: np.ndarray, k: int, w: int, **kwargs):
     """ShardedPipeline over every device in the pod slice: index sharded
     across all chips ("shard" axis), rows data-parallel on the local host's

@@ -60,7 +60,7 @@ def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
 
 def _sharded_step(
     codes_p, valid_p, mlen, allow_short, rid, mate, chunk_start,
-    index_hi, index_lo,
+    index_hi, index_lo, n_valid,
     *, k, w, budget, num_segments, max_run,
 ):
     """Runs per-device under shard_map: local rows x local index shard.
@@ -77,7 +77,7 @@ def _sharded_step(
 
     def probe(h):
         member_l, pos_l = eng.probe_split_u32_pos(
-            index_hi, index_lo, h, max_run=max_run
+            index_hi, index_lo, h, max_run=max_run, n_valid=n_valid[0]
         )
         shard_size = index_hi.shape[0]
         offset = jax.lax.axis_index("shard").astype(jnp.int32) * shard_size
@@ -112,16 +112,7 @@ class ShardedPipeline:
         rows_per_shard: int = 128,
         budget_frac: float = 0.35,
     ):
-        self.k, self.w = int(k), int(w)
-        self.l = self.k + self.w - 1
-        self.mesh = mesh
-        self.n_data = mesh.shape["data"]
-        self.n_shard = mesh.shape["shard"]
-        self.L = max(int(row_len), self.l)
-        self.Rs = int(rows_per_shard)  # rows per data shard
-        self.R = self.Rs * self.n_data
-        self.budget_per_shard = (int(budget_frac * self.L * self.Rs) + 191) // 128 * 128
-        self._stride = self.L - self.l + 1
+        self._init_geometry(k, w, mesh, row_len, rows_per_shard, budget_frac)
 
         arr = np.sort(np.asarray(index_hashes, dtype=np.uint64))
         pad = (-arr.size) % self.n_shard
@@ -139,7 +130,137 @@ class ShardedPipeline:
         idx_sharding = NamedSharding(mesh, P("shard"))
         self.index_hi = jax.device_put(jnp.asarray(hi), idx_sharding)
         self.index_lo = jax.device_put(jnp.asarray(lo), idx_sharding)
+        # the global pads above ARE members (duplicates): every slot valid
+        shard_size = arr.size // self.n_shard
+        self._n_valid = jax.device_put(
+            jnp.full((self.n_shard,), shard_size, jnp.int32), idx_sharding
+        )
+        self._compile(max_run, idx_sharding)
 
+    @classmethod
+    def from_shards(
+        cls,
+        shards: list,
+        k: int,
+        w: int,
+        mesh: Mesh,
+        pad_to: int | None = None,
+        max_run: int | None = None,
+        row_len: int = 8192,
+        rows_per_shard: int = 128,
+        budget_frac: float = 0.35,
+    ) -> "ShardedPipeline":
+        """Build from per-shard hash arrays instead of one global array.
+
+        ``shards[j]`` is the sorted-unique u64 slice for mesh shard ``j``
+        under value-range partitioning (store.load_index_shard), or None
+        when shard ``j`` has no device addressable from this process — the
+        memory-lean multi-host path: each host decodes and holds only its
+        1/N of the index, and the global probe planes are assembled with
+        jax.make_array_from_single_device_arrays (no host ever materializes
+        the whole index).
+
+        Multi-host callers MUST pass identical ``pad_to`` (common padded
+        shard length, >= every shard's size) and ``max_run`` (static probe
+        unroll; 16 covers any hash-uniform index — the chance of a 16-run
+        of equal hi-words among even 5.5e8 uniform u64 keys is ~1e-5) on
+        every process, so all processes compile the same program. The
+        defaults (local max size / locally-observed runs) are only safe
+        single-process.
+        """
+        self = cls.__new__(cls)
+        self._init_geometry(k, w, mesh, row_len, rows_per_shard, budget_frac)
+        if len(shards) != self.n_shard:
+            raise ValueError(
+                f"need {self.n_shard} shards for this mesh, got {len(shards)}"
+            )
+        local = [np.asarray(s, dtype=np.uint64) for s in shards if s is not None]
+        if not local:
+            raise ValueError("no shard provided for any addressable device")
+        sizes = [int(s.size) for s in local]
+        if pad_to is None:
+            pad_to = max(max(sizes), 1)
+        pad_to = int(pad_to)
+        if max(sizes) > pad_to:
+            raise ValueError(
+                f"largest shard ({max(sizes)}) exceeds pad_to={pad_to}; "
+                "value-range skew — raise pad_to"
+            )
+        # per-shard n_valid masks the pad region exactly (incl. empty shards)
+        self._empty_index = False
+
+        run_bound = 8
+        planes: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+        for j, s in enumerate(shards):
+            if s is None:
+                continue
+            s = np.asarray(s, dtype=np.uint64)
+            hi, lo, mr = eng.build_probe_planes(s)
+            run_bound = max(run_bound, mr)
+            pad_len = pad_to - s.size
+            if pad_len:
+                # sort-preserving filler with DISTINCT hi words: keeps the
+                # plane searchsorted-valid without inflating equal-hi runs
+                # (a duplicated-member pad of length P would force
+                # max_run >= P). n_valid masks it, so it never matches.
+                last_hi = np.uint64(hi[-1]) if s.size else np.uint64(0)
+                pad_hi = np.minimum(
+                    last_hi + np.uint64(1) + np.arange(pad_len, dtype=np.uint64),
+                    np.uint64(0xFFFFFFFF),
+                ).astype(np.uint32)
+                hi = np.concatenate([hi, pad_hi])
+                lo = np.concatenate([lo, np.zeros(pad_len, dtype=np.uint32)])
+            planes[j] = (hi, lo, s.size)
+        if max_run is None:
+            max_run = run_bound
+        elif max_run < run_bound:
+            raise ValueError(
+                f"max_run={max_run} < locally observed run bound {run_bound}"
+            )
+
+        idx_sharding = NamedSharding(mesh, P("shard"))
+        pid = jax.process_index()
+        pieces_hi, pieces_lo, pieces_nv = [], [], []
+        for (_, j), dev in np.ndenumerate(mesh.devices):
+            if dev.process_index != pid:
+                continue
+            if j not in planes:
+                raise ValueError(
+                    f"shard {j} is addressable from this process but was None"
+                )
+            hi, lo, nv = planes[j]
+            pieces_hi.append(jax.device_put(jnp.asarray(hi), dev))
+            pieces_lo.append(jax.device_put(jnp.asarray(lo), dev))
+            pieces_nv.append(
+                jax.device_put(jnp.asarray([nv], dtype=jnp.int32), dev)
+            )
+        gshape = (self.n_shard * pad_to,)
+        self.index_hi = jax.make_array_from_single_device_arrays(
+            gshape, idx_sharding, pieces_hi
+        )
+        self.index_lo = jax.make_array_from_single_device_arrays(
+            gshape, idx_sharding, pieces_lo
+        )
+        self._n_valid = jax.make_array_from_single_device_arrays(
+            (self.n_shard,), idx_sharding, pieces_nv
+        )
+        self._compile(max_run, idx_sharding)
+        return self
+
+    def _init_geometry(self, k, w, mesh, row_len, rows_per_shard, budget_frac):
+        self.k, self.w = int(k), int(w)
+        self.l = self.k + self.w - 1
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.n_shard = mesh.shape["shard"]
+        self.L = max(int(row_len), self.l)
+        self.Rs = int(rows_per_shard)  # rows per data shard
+        self.R = self.Rs * self.n_data
+        self.budget_per_shard = (int(budget_frac * self.L * self.Rs) + 191) // 128 * 128
+        self._stride = self.L - self.l + 1
+
+    def _compile(self, max_run: int, idx_sharding):
+        mesh = self.mesh
         row_sharding = NamedSharding(mesh, P("data"))
         self._in_shardings = (
             row_sharding,  # codes (R, L)
@@ -151,6 +272,7 @@ class ShardedPipeline:
             row_sharding,  # chunk_start
             idx_sharding,  # index hi plane
             idx_sharding,  # index lo plane
+            idx_sharding,  # per-shard valid lengths
         )
 
         fn = functools.partial(
@@ -165,7 +287,8 @@ class ShardedPipeline:
             mesh=mesh,
             in_specs=(
                 P("data"), P("data"), P("data"), P("data"),
-                P("data"), P("data"), P("data"), P("shard"), P("shard"),
+                P("data"), P("data"), P("data"),
+                P("shard"), P("shard"), P("shard"),
             ),
             out_specs=(P("data"), P("data"), P(("data",))),
         )
@@ -262,7 +385,7 @@ class ShardedPipeline:
         hits, totals, used = self._fn(
             jnp.asarray(codes_p), jnp.asarray(valid_p), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
-            jnp.asarray(cstart), self.index_hi, self.index_lo,
+            jnp.asarray(cstart), self.index_hi, self.index_lo, self._n_valid,
         )
         used = np.asarray(used)
         if int(used.max()) > self.budget_per_shard:
