@@ -41,7 +41,29 @@ def maybe_init_distributed() -> bool:
     return True
 
 
-def make_pod_pipeline_from_file(index_path: str, **kwargs):
+def make_pod_mesh():
+    """(data, shard) mesh with the SHARD axis running across processes.
+
+    Column j of the device grid holds process j's devices, so each host's
+    HBM (and host RAM via load_index_shard) holds exactly one index shard —
+    the geometry that makes index sharding save memory per host. Data rows
+    span processes: every host feeds the same global read batch (SPMD) and
+    each row block is probed cooperatively. Single-process: (n_local, 1).
+    """
+    import jax
+
+    from jax.sharding import Mesh
+
+    procs: dict[int, list] = {}
+    for d in jax.devices():
+        procs.setdefault(d.process_index, []).append(d)
+    per = min(len(v) for v in procs.values())
+    cols = [procs[p][:per] for p in sorted(procs)]
+    dev_arr = np.stack([np.asarray(c, dtype=object) for c in cols], axis=1)
+    return Mesh(dev_arr, ("data", "shard"))
+
+
+def make_pod_pipeline_from_file(index_path: str, mesh=None, **kwargs):
     """Memory-lean pod pipeline straight from an index file (config 4).
 
     Each process stream-decodes ONLY the value-range shards of its own
@@ -55,13 +77,11 @@ def make_pod_pipeline_from_file(index_path: str, **kwargs):
     import jax
 
     from ..index.store import load_header_and_count, load_index_shard
-    from .sharded import ShardedPipeline, make_mesh
+    from .sharded import ShardedPipeline
 
-    n_total = len(jax.devices())
-    n_local = len(jax.local_devices())
-    n_data = max(1, n_local)
-    n_shard = max(1, n_total // n_data)
-    mesh = make_mesh(n_data, n_shard)
+    if mesh is None:
+        mesh = make_pod_mesh()
+    n_shard = int(mesh.shape["shard"])
 
     header, count = load_header_and_count(index_path)
     # uniform-hash shard sizes concentrate tightly around count/n_shard;

@@ -61,7 +61,7 @@ def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
 def _sharded_step(
     codes_p, valid_p, mlen, allow_short, rid, mate, chunk_start,
     index_hi, index_lo, n_valid,
-    *, k, w, budget, num_segments, max_run,
+    *, k, w, budget, num_segments, max_run, gather_out=False,
 ):
     """Runs per-device under shard_map: local rows x local index shard.
 
@@ -91,7 +91,14 @@ def _sharded_step(
         k=k, w=w, budget=budget, num_segments=num_segments,
         dedup_positions=True,
     )
-    return hits, totals, jnp.reshape(used, (1,))
+    used = jnp.reshape(used, (1,))
+    if gather_out:
+        # multi-process: replicate outputs so every host can read the whole
+        # result (a P("data") output is only partially addressable per host)
+        hits = jax.lax.all_gather(hits, "data", tiled=True)
+        totals = jax.lax.all_gather(totals, "data", tiled=True)
+        used = jax.lax.all_gather(used, "data", tiled=True)
+    return hits, totals, used
 
 
 class ShardedPipeline:
@@ -261,6 +268,7 @@ class ShardedPipeline:
 
     def _compile(self, max_run: int, idx_sharding):
         mesh = self.mesh
+        gather_out = jax.process_count() > 1
         row_sharding = NamedSharding(mesh, P("data"))
         self._in_shardings = (
             row_sharding,  # codes (R, L)
@@ -282,6 +290,11 @@ class ShardedPipeline:
             budget=self.budget_per_shard,
             num_segments=self.Rs,
             max_run=max_run,
+            gather_out=gather_out,
+        )
+        out_specs = (
+            (P(), P(), P()) if gather_out
+            else (P("data"), P("data"), P(("data",)))
         )
         smap_kwargs = dict(
             mesh=mesh,
@@ -290,7 +303,7 @@ class ShardedPipeline:
                 P("data"), P("data"), P("data"),
                 P("shard"), P("shard"), P("shard"),
             ),
-            out_specs=(P("data"), P("data"), P(("data",))),
+            out_specs=out_specs,
         )
         try:  # jax >= 0.8 renamed check_rep -> check_vma
             mapped = shard_map(fn, check_vma=False, **smap_kwargs)

@@ -1,0 +1,59 @@
+"""True multi-process pod test: two jax.distributed processes (Gloo over
+localhost), index value-range-sharded so each process decodes and holds only
+its half, reads probed cooperatively, results identical on both processes
+and equal to the oracle (asserted inside tools/pod_worker.py)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "pod_worker.py")
+
+
+def test_two_process_pod(tmp_path):
+    rng = np.random.default_rng(99)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 3000).astype(np.uint8)
+    gpath = tmp_path / "g.fa"
+    with open(gpath, "wb") as f:
+        f.write(b">g\n" + genome.tobytes() + b"\n")
+
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(genome.tobytes(), 31, 15),
+        IndexHeader.new(31, 15),
+        idx,
+    )
+
+    port = str(20000 + (os.getpid() % 10000))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker forces cpu itself
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", port, str(idx), str(gpath)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"POD_OK pid={i}" in out, f"proc {i} output:\n{out}"
+    # both processes saw the same replicated result
+    line0 = [l for l in outs[0].splitlines() if l.startswith("POD_OK")][0]
+    line1 = [l for l in outs[1].splitlines() if l.startswith("POD_OK")][0]
+    assert line0.split("hits=")[1] == line1.split("hits=")[1]
