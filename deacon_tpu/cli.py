@@ -78,10 +78,13 @@ def _add_filter_like_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--device", default="auto",
                    choices=["auto", "tpu", "cpu", "numpy"],
                    help="compute backend (TPU-native extension flag)")
-    p.add_argument("--mesh", default=None, metavar="DATAxSHARD",
+    p.add_argument("--mesh", default=None, metavar="DATAxSHARD|pod",
                    help="device mesh, e.g. 2x4: reads data-parallel over "
-                        "DATA chips, index range-sharded over SHARD chips "
-                        "(TPU-native extension flag)")
+                        "DATA chips, index range-sharded over SHARD chips. "
+                        "'pod': jax.distributed multi-host mode (DEACON_COORD/"
+                        "DEACON_NUM_PROC/DEACON_PROC_ID env) — every host "
+                        "holds only its index slice and must be fed the same "
+                        "input (TPU-native extension flag)")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -157,15 +157,31 @@ class DeviceDecider:
 class ShardedDecider:
     """Multi-chip decider: rows data-parallel, index range-sharded across the
     mesh's shard axis, per-shard membership psum-merged (SURVEY §2.3;
-    parallel/sharded.py). Falls back to the host decider on overflow."""
+    parallel/sharded.py). Falls back to the host decider on overflow.
 
-    def __init__(self, index, k: int, w: int, mesh_spec: str, fallback):
-        from ..parallel.multihost import maybe_init_distributed
-        from ..parallel.sharded import ShardedPipeline, make_mesh, parse_mesh_spec
+    mesh_spec "pod": jax.distributed pod mode — the index is stream-decoded
+    per value-range shard straight from the file (each host holds only its
+    slice; parallel/multihost.py), shards run across hosts, and every rank
+    must be fed the same input (outputs replicate across ranks).
+    """
 
+    def __init__(self, index, k: int, w: int, mesh_spec: str, fallback,
+                 index_path=None):
+        from ..parallel.multihost import (
+            make_pod_pipeline_from_file,
+            maybe_init_distributed,
+        )
+
+        # must run before the sharded/engine import chain touches jax
         maybe_init_distributed()
-        n_data, n_shard = parse_mesh_spec(mesh_spec)
-        self.pipe = ShardedPipeline(index.hashes, k, w, make_mesh(n_data, n_shard))
+        from ..parallel.sharded import ShardedPipeline, make_mesh, parse_mesh_spec
+        if mesh_spec == "pod":
+            self.pipe = make_pod_pipeline_from_file(str(index_path))
+        else:
+            n_data, n_shard = parse_mesh_spec(mesh_spec)
+            self.pipe = ShardedPipeline(
+                index.hashes, k, w, make_mesh(n_data, n_shard)
+            )
         self.fallback = fallback
         from ..ops.engine import BudgetOverflow
 
@@ -186,6 +202,8 @@ class ShardedDecider:
         try:
             hits, totals = self.pipe.counts_single(seqs, prefix_length)
         except self._overflow:
+            if self.fallback is None:
+                raise
             return self.fallback.decide_unpaired(seqs, prefix_length, cfg)
         return self._decide(hits, totals, cfg)
 
@@ -193,6 +211,8 @@ class ShardedDecider:
         try:
             hits, totals = self.pipe.counts_paired(pairs, prefix_length)
         except self._overflow:
+            if self.fallback is None:
+                raise
             return self.fallback.decide_paired(pairs, prefix_length, cfg)
         return self._decide(hits, totals, cfg)
 
@@ -216,6 +236,11 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     speed (PERFNOTES.md "cassette" notes), so the C++ host engine is
     strictly faster end-to-end there. Force with --device tpu.
     """
+    if getattr(cfg, "mesh", None) == "pod":
+        if cfg.debug:
+            raise ValueError("--debug is not supported with --mesh pod")
+        return ShardedDecider(None, k, w, "pod", None,
+                              index_path=cfg.minimizers_path)
     host = HostDecider(backend, k, w)
     if index is None or cfg.debug or cfg.device == "numpy":
         return host
@@ -367,9 +392,18 @@ def run(config: FilterConfig) -> None:
     # Index / backend
     # ------------------------------------------------------------------
     if config.minimizers_path is not None:
-        index = load_index(config.minimizers_path)
-        header = index.header
-        backend = LocalBackend(index)
+        if getattr(config, "mesh", None) == "pod":
+            # pod mode never materializes the full index on any host —
+            # the decider stream-decodes per-shard slices from the file
+            from ..index.store import load_header_and_count
+
+            header, _ = load_header_and_count(config.minimizers_path)
+            index = None
+            backend = None
+        else:
+            index = load_index(config.minimizers_path)
+            header = index.header
+            backend = LocalBackend(index)
         summary_index = str(config.minimizers_path)
     elif config.server_address is not None:
         from ..server.client import RemoteBackend

@@ -53,7 +53,9 @@ from . import u64pair as u64
 # true 64-bit math (k-mer values, XXH3) runs on u32 pairs via ops/u64pair.
 
 U32 = jnp.uint32
-_MAXU32 = jnp.uint32(0xFFFFFFFF)
+# np scalar, not jnp: a jnp constant at module scope initializes the XLA
+# backend at import time, which breaks jax.distributed.initialize ordering
+_MAXU32 = np.uint32(0xFFFFFFFF)
 
 
 def _window_argmin(keys_masked, w: int):

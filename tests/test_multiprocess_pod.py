@@ -57,3 +57,78 @@ def test_two_process_pod(tmp_path):
     line0 = [l for l in outs[0].splitlines() if l.startswith("POD_OK")][0]
     line1 = [l for l in outs[1].splitlines() if l.startswith("POD_OK")][0]
     assert line0.split("hits=")[1] == line1.split("hits=")[1]
+
+
+def test_two_process_pod_cli(tmp_path):
+    """Full `filter --mesh pod` CLI across two jax.distributed ranks: both
+    ranks stream the same reads, each holds half the index, and both write
+    byte-identical output equal to a single-process filter run."""
+    rng = np.random.default_rng(5)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4000).astype(np.uint8)
+    gpath = tmp_path / "g.fa"
+    with open(gpath, "wb") as f:
+        f.write(b">g\n" + genome.tobytes() + b"\n")
+
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(genome.tobytes(), 31, 15),
+        IndexHeader.new(31, 15),
+        idx,
+    )
+    g = genome.tobytes()
+    reads = tmp_path / "reads.fq"
+    with open(reads, "wb") as f:
+        for i in range(30):
+            s = i * 113
+            seq = g[s : s + 150]
+            f.write(b"@m%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+        for i in range(30):
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 150))
+            f.write(b"@x%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+
+    # single-process truth
+    out_ref = tmp_path / "ref.fq"
+    env1 = dict(os.environ)
+    env1["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "filter", str(idx), str(reads),
+         "-o", str(out_ref), "--deplete", "-q"],
+        capture_output=True, env=env1, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+
+    port = str(21000 + (os.getpid() % 9000))
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "DEACON_COORD": f"127.0.0.1:{port}",
+            "DEACON_NUM_PROC": "2",
+            "DEACON_PROC_ID": str(i),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "deacon_tpu", "filter", str(idx),
+             str(reads), "-o", str(tmp_path / f"pod{i}.fq"),
+             "--deplete", "-q", "--mesh", "pod"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out}"
+    ref = out_ref.read_bytes()
+    assert (tmp_path / "pod0.fq").read_bytes() == ref
+    assert (tmp_path / "pod1.fq").read_bytes() == ref
+    assert ref.count(b"@x") == 30 and ref.count(b"@m") == 0
