@@ -198,9 +198,32 @@ class ShardedDecider:
             for kp, h, t in zip(keep, hits, totals)
         ]
 
+    _MAX_ROWS_PER_SHARD = 8192  # ~67 Mbp/unit at the default row length
+
+    def _counts_with_regrow(self, fn_name, units, prefix_length):
+        """Run a counts call, growing the batch geometry on overflow.
+
+        Chromosome-scale records can need more rows than the current Rs;
+        without a host fallback (pod mode) the exact recovery is to
+        recompile the step at doubled rows-per-shard — the device-resident
+        index planes are shared, so a regrow costs one compile, and all
+        jax.distributed ranks hit the same deterministic overflow together.
+        """
+        while True:
+            try:
+                return getattr(self.pipe, fn_name)(units, prefix_length)
+            except self._overflow:
+                if self.pipe.Rs >= self._MAX_ROWS_PER_SHARD:
+                    raise
+                self.pipe = self.pipe.regeometry(
+                    rows_per_shard=self.pipe.Rs * 2
+                )
+
     def decide_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
         try:
-            hits, totals = self.pipe.counts_single(seqs, prefix_length)
+            hits, totals = self._counts_with_regrow(
+                "counts_single", seqs, prefix_length
+            )
         except self._overflow:
             if self.fallback is None:
                 raise
@@ -209,7 +232,9 @@ class ShardedDecider:
 
     def decide_paired(self, pairs, prefix_length, cfg: FilterConfig):
         try:
-            hits, totals = self.pipe.counts_paired(pairs, prefix_length)
+            hits, totals = self._counts_with_regrow(
+                "counts_paired", pairs, prefix_length
+            )
         except self._overflow:
             if self.fallback is None:
                 raise
@@ -236,11 +261,17 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     speed (PERFNOTES.md "cassette" notes), so the C++ host engine is
     strictly faster end-to-end there. Force with --device tpu.
     """
-    if getattr(cfg, "mesh", None) == "pod":
+    if getattr(cfg, "mesh", None) == "pod" and cfg.minimizers_path is not None:
         if cfg.debug:
             raise ValueError("--debug is not supported with --mesh pod")
         return ShardedDecider(None, k, w, "pod", None,
                               index_path=cfg.minimizers_path)
+    if getattr(cfg, "mesh", None) and cfg.minimizers_path is None:
+        print(
+            "Warning: --mesh is ignored in client mode (decisions run on "
+            "the server).",
+            file=sys.stderr,
+        )
     host = HostDecider(backend, k, w)
     if index is None or cfg.debug or cfg.device == "numpy":
         return host

@@ -52,10 +52,9 @@ from . import u64pair as u64
 # measured 100-1000x slower (and minutes-long compiles) on v5e. The only
 # true 64-bit math (k-mer values, XXH3) runs on u32 pairs via ops/u64pair.
 
+# NOTE: no jnp constants at module scope — they initialize the XLA backend
+# at import time, which breaks jax.distributed.initialize ordering.
 U32 = jnp.uint32
-# np scalar, not jnp: a jnp constant at module scope initializes the XLA
-# backend at import time, which breaks jax.distributed.initialize ordering
-_MAXU32 = np.uint32(0xFFFFFFFF)
 
 
 def _window_argmin(keys_masked, w: int):
@@ -338,10 +337,11 @@ class DeviceHashProbe:
         q[:n] = np.asarray(hashes, dtype=np.uint64)
         qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
         qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+        # lock only the compile-cache dict; jitted execution is thread-safe
+        # and serializing it would bottleneck the threaded HTTP server
         with self._lock:
-            member = np.asarray(
-                self._fn(n_pad)(self.index_hi, self.index_lo, qlo, qhi)
-            )
+            fn = self._fn(n_pad)
+        member = np.asarray(fn(self.index_hi, self.index_lo, qlo, qhi))
         return member[:n]
 
 

@@ -193,6 +193,14 @@ class ShardedPipeline:
                 f"largest shard ({max(sizes)}) exceeds pad_to={pad_to}; "
                 "value-range skew — raise pad_to"
             )
+        if self.n_shard * pad_to >= (1 << 30):
+            # global positions (shard offset + local pos) double as
+            # distinct-count keys packed below 2^30 (engine._stage_count);
+            # beyond that, upper-shard hits would silently read as filler
+            raise ValueError(
+                f"global padded index size {self.n_shard * pad_to} >= 2^30 "
+                "exceeds the position-keyed probe's limit (~1.07e9 entries)"
+            )
         # per-shard n_valid masks the pad region exactly (incl. empty shards)
         self._empty_index = False
 
@@ -254,7 +262,27 @@ class ShardedPipeline:
         self._compile(max_run, idx_sharding)
         return self
 
+    def regeometry(self, rows_per_shard: int | None = None,
+                   row_len: int | None = None) -> "ShardedPipeline":
+        """Clone with a different batch geometry, sharing the device-resident
+        index planes (no reload/re-device_put). Used to retry units whose
+        row count overflows the current Rs (e.g. chromosome-scale records)."""
+        clone = type(self).__new__(type(self))
+        clone._init_geometry(
+            self.k, self.w, self.mesh,
+            self.L if row_len is None else row_len,
+            self.Rs if rows_per_shard is None else rows_per_shard,
+            self._budget_frac,
+        )
+        clone._empty_index = self._empty_index
+        clone.index_hi = self.index_hi
+        clone.index_lo = self.index_lo
+        clone._n_valid = self._n_valid
+        clone._compile(self._max_run, NamedSharding(self.mesh, P("shard")))
+        return clone
+
     def _init_geometry(self, k, w, mesh, row_len, rows_per_shard, budget_frac):
+        self._budget_frac = budget_frac
         self.k, self.w = int(k), int(w)
         self.l = self.k + self.w - 1
         self.mesh = mesh
@@ -267,6 +295,7 @@ class ShardedPipeline:
         self._stride = self.L - self.l + 1
 
     def _compile(self, max_run: int, idx_sharding):
+        self._max_run = max_run
         mesh = self.mesh
         gather_out = jax.process_count() > 1
         row_sharding = NamedSharding(mesh, P("data"))

@@ -200,3 +200,15 @@ def test_mesh_backed_server_matches_host_probe(server, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_client_mesh_pod_is_ignored_with_warning(server, tmp_path):
+    """--mesh pod without a local index (client mode) must not crash; the
+    flag is ignored with a warning (decisions run on the server)."""
+    reads = tmp_path / "mp.fq"
+    write_fastq(reads, [("m", FRAGMENT_60), ("x", random_dna(60))])
+    out = tmp_path / "mp_out.fq"
+    proc = run_cli(["client", server["addr"], reads, "-o", out, "-a", "1",
+                    "-q", "--mesh", "pod"])
+    assert b"--mesh is ignored in client mode" in proc.stderr
+    assert fastq_ids(read_output(out)) == ["m"]

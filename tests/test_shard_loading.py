@@ -163,3 +163,44 @@ def test_from_shards_loaded_from_file_matches_full(tmp_path):
     hp, tp = pre.counts_single(seqs, 0)
     hc, tc = classic.counts_single(seqs, 0)
     assert np.array_equal(hp, hc) and np.array_equal(tp, tc)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_from_shards_rejects_position_key_overflow():
+    """Global padded size >= 2^30 would silently misclassify upper-shard
+    hits as filler (position-keyed distinct counting); must refuse."""
+    from deacon_tpu.parallel.sharded import ShardedPipeline, make_mesh
+
+    mesh = make_mesh(2, 4)
+    shards = [np.arange(10, dtype=np.uint64) + j * 1000 for j in range(4)]
+    with pytest.raises(ValueError, match="2\\^30"):
+        ShardedPipeline.from_shards(shards, 31, 15, mesh, pad_to=1 << 28)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_regeometry_and_overflow_regrow():
+    """A unit bigger than the batch geometry must regrow the geometry (pod
+    mode has no host fallback) and still produce oracle-exact counts."""
+    from deacon_tpu.filter.engine import ShardedDecider
+    from deacon_tpu.ops.engine import BudgetOverflow
+    from deacon_tpu.parallel.sharded import ShardedPipeline, make_mesh
+
+    genome = rs(6000)
+    idx_hashes = np.unique(mnp.compute_minimizer_hashes(genome, 31, 15))
+    index = MinimizerIndex(IndexHeader.new(31, 15), idx_hashes)
+    mesh = make_mesh(2, 4)
+    pipe = ShardedPipeline(idx_hashes, 31, 15, mesh,
+                           row_len=256, rows_per_shard=2)
+    long_read = genome[:2500]  # needs ~12 rows at L=256 > Rs=2
+    with pytest.raises(BudgetOverflow):
+        pipe.counts_single([long_read], 0)
+
+    dec = ShardedDecider.__new__(ShardedDecider)
+    dec.pipe = pipe
+    dec.fallback = None
+    dec._overflow = BudgetOverflow
+    hits, totals = dec._counts_with_regrow("counts_single", [long_read], 0)
+    assert dec.pipe.Rs > 2
+    h, _, _ = mnp.get_minimizer_hashes_and_positions(long_read, 0, 31, 15)
+    oh = int(np.unique(h[index.contains(h)]).size)
+    assert (hits[0], totals[0]) == (oh, h.size)
