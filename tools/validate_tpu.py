@@ -87,6 +87,25 @@ def check_pipeline() -> None:
     print(f"  ShardedPipeline 1x1: {len(seqs)} reads == oracle")
 
 
+def check_index_build() -> None:
+    rng = np.random.default_rng(2)
+    k, w = 31, 15
+    a = np.frombuffer(b"ACGTacgtRYN", dtype=np.uint8)
+    seqs = [
+        rng.choice(a, int(rng.integers(0, 3000))).astype(np.uint8).tobytes()
+        for _ in range(16)
+    ]
+    for ent in (0.0, 0.5):
+        pipe = eng.IndexBuildPipeline(k, w, entropy_threshold=ent)
+        got = pipe.extract_batch(seqs)
+        for i, s in enumerate(seqs):
+            want = mnp.compute_minimizer_hashes(s, k, w, entropy_threshold=ent)
+            assert np.array_equal(np.sort(got[i]), np.sort(want)), (
+                f"seq {i} e={ent}"
+            )
+        print(f"  IndexBuildPipeline e={ent}: {len(seqs)} records == oracle")
+
+
 def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})")
@@ -94,6 +113,7 @@ def main() -> int:
         print("WARNING: not a TPU backend; this validates the fallback path")
     check_kernels()
     check_pipeline()
+    check_index_build()
     print("ALL ON-CHIP CHECKS PASSED")
     return 0
 
