@@ -63,6 +63,18 @@ def default_backend_is_tunneled() -> bool:
     run ~100x below chip speed (PERFNOTES.md "cassette" notes). Auto device
     selection routes real workloads to the C++ host engine in that case;
     --device tpu still forces the device path."""
+    import sys
+
+    env = os.environ.get("JAX_PLATFORMS", "")
+    if "axon" in env.lower():
+        # env-first: answering via jax.devices() would import jax (~2 s of
+        # CLI wall time) and initialize the tunneled backend just to learn
+        # we should not use it
+        return True
+    if "jax" not in sys.modules:
+        # jax not yet imported and no tunnel pinned in the env: don't pay
+        # the import+backend init for a heuristic — assume not tunneled
+        return False
     try:
         import jax
 
