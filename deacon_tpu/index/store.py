@@ -110,12 +110,21 @@ def load_header_and_count(path: str | Path) -> tuple[IndexHeader, int]:
 
 def load_index(path: str | Path, sort: bool = True) -> MinimizerIndex:
     """Load a full index file into a sorted uint64 array
-    (ref: src/index.rs:80-107)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    buf = np.frombuffer(data, dtype=np.uint8)
+    (ref: src/index.rs:80-107).
+
+    mmap, not read(): skips a file-size heap copy and lets the parallel
+    decoder overlap page-in with decoding (multi-GB panhuman-scale files).
+    Falls back to read() for non-mmappable inputs (pipes)."""
+    try:
+        buf = np.memmap(path, dtype=np.uint8, mode="r")
+        head = bytes(buf[:32].tobytes())
+    except (OSError, ValueError):
+        with open(path, "rb") as f:
+            data = f.read()
+        buf = np.frombuffer(data, dtype=np.uint8)
+        head = data[:32]
     header, pos = _read_header(buf, 0)
-    count, pos = bincode.decode_uint(memoryview(data), pos)
+    count, pos = bincode.decode_uint(memoryview(head), pos)
     hashes, _ = bincode.decode_u64_array(buf, pos, count)
     if sort:
         hashes = _sorted_unique(hashes)  # set semantics

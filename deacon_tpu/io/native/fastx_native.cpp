@@ -755,6 +755,44 @@ int64_t dx_decode_u64_varint(const uint8_t* buf, int64_t len, int64_t count,
   return pos;
 }
 
+// Parallel fast path for the dominant real-index layout: every record is
+// 0xFD + u64LE (9 bytes — xxh3 hashes < 2^32 occur with p ~ 2e-10). Each
+// thread verifies markers and decodes a contiguous slice, so output page
+// faults (the real cost at GB scale: ~35 ns/value single-threaded on this
+// VM vs 3 ns warm) are taken concurrently. Returns bytes consumed
+// (9*count), or -1 when any record is not 9 bytes — caller falls back to
+// the scalar decoder.
+int64_t dx_decode_u64_fixed9(const uint8_t* buf, int64_t len, int64_t count,
+                             uint64_t* out, int32_t n_threads) {
+  if (count < 0 || len < 9 * count) return -1;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 16) n_threads = 16;
+  std::atomic<bool> ok{true};
+  auto work = [&](int64_t lo, int64_t hi) {
+    const uint8_t* p = buf + 9 * lo;
+    for (int64_t i = lo; i < hi; i++, p += 9) {
+      if (*p != 253) {
+        ok.store(false, std::memory_order_relaxed);
+        return;
+      }
+      memcpy(&out[i], p + 1, 8);
+    }
+  };
+  if (n_threads == 1 || count < 1'000'000) {
+    work(0, count);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (count + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * per, hi = std::min<int64_t>(count, lo + per);
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+  return ok.load() ? 9 * count : -1;
+}
+
 // Encode `count` u64s into out (caller allocates >= 9*count). Returns bytes
 // written.
 int64_t dx_encode_u64_varint(const uint64_t* vals, int64_t count,
@@ -970,9 +1008,13 @@ void* dx_probe_build(const uint64_t* keys, int64_t n) {
   }
 #ifdef MADV_HUGEPAGE
   // THP cuts TLB misses ~12% on multi-GB tables but (with defrag=madvise)
-  // costs seconds of synchronous compaction at first touch — only worth it
-  // for panhuman-scale indexes whose runs amortize it.
-  if (n >= 100'000'000) madvise(t->slots, t->map_bytes, MADV_HUGEPAGE);
+  // costs up to ~13 s of synchronous direct compaction at first touch on a
+  // fragmented host — worth it only for long-lived processes (the server
+  // sets DEACON_PROBE_THP=1); a one-shot CLI run breaks even only past
+  // ~3e9 probes.
+  const char* thp = getenv("DEACON_PROBE_THP");
+  if (thp && thp[0] == '1' && n >= 100'000'000)
+    madvise(t->slots, t->map_bytes, MADV_HUGEPAGE);
 #endif
   if (probe_fill(t, keys, n)) return t;
   // non-uniform keys: scramble, re-sort, rebuild

@@ -91,6 +91,11 @@ def get_lib():
         lib.dx_decode_u64_varint.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.dx_decode_u64_fixed9.restype = ctypes.c_int64
+        lib.dx_decode_u64_fixed9.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
         lib.dx_encode_u64_varint.restype = ctypes.c_int64
         lib.dx_encode_u64_varint.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -193,6 +198,17 @@ def native_decode_u64_varint(buf: np.ndarray, offset: int, count: int):
         return None
     out = np.empty(count, dtype=np.uint64)
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if count >= 1_000_000:
+        # real hash indexes are ~100% 9-byte records: parallel fixed-stride
+        # decode (threads fault their output pages concurrently — the
+        # dominant cost at GB scale). -1 = mixed record sizes; fall through.
+        consumed = lib.dx_decode_u64_fixed9(
+            ctypes.c_void_p(buf.ctypes.data + offset),
+            buf.size - offset, count, out.ctypes.data_as(ctypes.c_void_p),
+            os.cpu_count() or 1,
+        )
+        if consumed >= 0:
+            return out, offset + int(consumed)
     consumed = lib.dx_decode_u64_varint(
         ctypes.c_void_p(buf.ctypes.data + offset),
         buf.size - offset, count, out.ctypes.data_as(ctypes.c_void_p),

@@ -30,6 +30,10 @@ MAX_BODY = 2_147_483_648  # 2 GiB, ref: src/server.rs:58
 
 class ServerState:
     def __init__(self, index_path: str, device: str = "host", mesh: str | None = None):
+        import os
+
+        # long-lived process: huge pages on the probe table pay off
+        os.environ.setdefault("DEACON_PROBE_THP", "1")
         with open(index_path, "rb") as f:
             data = f.read()
         self.version = f"{index_path}@{hashlib.sha256(data).hexdigest()}"
