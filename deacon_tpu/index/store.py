@@ -11,7 +11,6 @@ onto the device-side sorted-array probe in HBM (SURVEY §2.2 "rustc-hash" row).
 
 from __future__ import annotations
 
-import io
 import os
 import sys
 from dataclasses import dataclass
@@ -239,18 +238,18 @@ def write_index(
     ``output_path`` of None or "-" writes to stdout.
     """
     uniq = _sorted_unique(np.asarray(hashes, dtype=np.uint64))
-    payload = io.BytesIO()
-    payload.write(
+    head = (
         bytes([header.format_version, header.kmer_length, header.window_size])
+        + bincode.encode_uint(int(uniq.size))
     )
-    payload.write(bincode.encode_uint(int(uniq.size)))
-    payload.write(bincode.encode_u64_array(uniq))
-    data = payload.getvalue()
+    payload = bincode.encode_u64_array(uniq)  # bytes-like; may be GBs
     if output_path is None or str(output_path) == "-":
-        sys.stdout.buffer.write(data)
+        sys.stdout.buffer.write(head)
+        sys.stdout.buffer.write(payload)
         sys.stdout.buffer.flush()
     else:
         tmp = str(output_path) + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            f.write(data)
+            f.write(head)
+            f.write(payload)
         os.replace(tmp, output_path)

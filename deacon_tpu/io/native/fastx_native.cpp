@@ -793,6 +793,36 @@ int64_t dx_decode_u64_fixed9(const uint8_t* buf, int64_t len, int64_t count,
   return ok.load() ? 9 * count : -1;
 }
 
+// Parallel encode for values that are ALL > 0xFFFFFFFF (every record is
+// 0xFD + u64LE; the caller checks the precondition — real xxh3 hashes
+// virtually always satisfy it). Threads write disjoint 9-byte slices, so
+// output page faults are taken concurrently. Returns bytes written.
+int64_t dx_encode_u64_fixed9(const uint64_t* vals, int64_t count,
+                             uint8_t* out, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 16) n_threads = 16;
+  auto work = [&](int64_t lo, int64_t hi) {
+    uint8_t* p = out + 9 * lo;
+    for (int64_t i = lo; i < hi; i++, p += 9) {
+      *p = 253;
+      memcpy(p + 1, &vals[i], 8);
+    }
+  };
+  if (n_threads == 1 || count < 1'000'000) {
+    work(0, count);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (count + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * per, hi = std::min<int64_t>(count, lo + per);
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+  return 9 * count;
+}
+
 // Encode `count` u64s into out (caller allocates >= 9*count). Returns bytes
 // written.
 int64_t dx_encode_u64_varint(const uint64_t* vals, int64_t count,

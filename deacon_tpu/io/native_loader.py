@@ -96,6 +96,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int32,
         ]
+        lib.dx_encode_u64_fixed9.restype = ctypes.c_int64
+        lib.dx_encode_u64_fixed9.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ]
         lib.dx_encode_u64_varint.restype = ctypes.c_int64
         lib.dx_encode_u64_varint.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -225,11 +229,21 @@ def native_encode_u64_varint(vals: np.ndarray):
         return None
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     out = np.empty(vals.size * 9, dtype=np.uint8)
-    n = lib.dx_encode_u64_varint(
-        vals.ctypes.data_as(ctypes.c_void_p), vals.size,
-        out.ctypes.data_as(ctypes.c_void_p),
-    )
-    return out[:n].tobytes()
+    if vals.size >= 1_000_000 and int(vals.min()) > 0xFFFFFFFF:
+        # all records are 9 bytes (real hash data): parallel encode — page
+        # faults on the 9n-byte output dominate and are taken concurrently
+        n = lib.dx_encode_u64_fixed9(
+            vals.ctypes.data_as(ctypes.c_void_p), vals.size,
+            out.ctypes.data_as(ctypes.c_void_p), os.cpu_count() or 1,
+        )
+    else:
+        n = lib.dx_encode_u64_varint(
+            vals.ctypes.data_as(ctypes.c_void_p), vals.size,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+    # buffer-protocol view, not tobytes(): callers stream it to a file and
+    # a GB-scale copy would cost more than the encode itself
+    return out[:n]
 
 
 class NativeProbe:

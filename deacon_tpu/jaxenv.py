@@ -49,6 +49,16 @@ def ensure(cache_dir: str | None = None) -> None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        try:
+            # honor JAX_PLATFORMS even under site hooks that force their
+            # own platform (the axon deployment registers its plugin in
+            # sitecustomize and wins over the env var unless the config
+            # knob is set explicitly — cf. tests/conftest.py)
+            env_platforms = os.environ.get("JAX_PLATFORMS")
+            if env_platforms:
+                jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
         # persist everything, even sub-second compiles: the poisoned-regime
         # risk makes every avoided compile worth a disk entry
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -53,8 +53,11 @@ def decode_uint(buf: memoryview, offset: int) -> tuple[int, int]:
     raise ValueError(f"Unsupported bincode varint marker {first} at offset {offset}")
 
 
-def encode_u64_array(values: np.ndarray) -> bytes:
-    """Vectorized bincode-standard encoding of a uint64 array."""
+def encode_u64_array(values: np.ndarray) -> "bytes | np.ndarray":
+    """Vectorized bincode-standard encoding of a uint64 array.
+
+    Returns a bytes-like object (bytes or a uint8 array view — both support
+    the buffer protocol for file writes/concatenation)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
@@ -104,7 +107,7 @@ def encode_u64_array(values: np.ndarray) -> bytes:
         for j in range(8):
             out[idx + 1 + j] = le_bytes[big, j]
 
-    return out.tobytes()
+    return out
 
 
 def decode_u64_array(buf: np.ndarray, offset: int, count: int) -> tuple[np.ndarray, int]:
