@@ -77,3 +77,44 @@ def test_bad_format_version(tmp_path):
         raise AssertionError("expected IndexFormatError")
     except store.IndexFormatError:
         pass
+
+
+def test_large_array_fixed9_fast_path(rng):
+    """>=1M all-big values take the parallel fixed-9 native path; must be
+    byte-identical to the scalar wire format and roundtrip exactly."""
+    vals = rng.integers(2**32, 2**64, 1_200_000, dtype=np.uint64)
+    enc = bytes(bincode.encode_u64_array(vals))
+    assert len(enc) == 9 * vals.size
+    assert enc[0] == 253 and enc[9] == 253
+    # element 0 wire check against the scalar encoder
+    assert enc[:9] == bytes(bincode.encode_uint(int(vals[0])))
+    dec, off = bincode.decode_u64_array(np.frombuffer(enc, np.uint8), 0, vals.size)
+    assert off == len(enc)
+    assert np.array_equal(dec, vals)
+
+
+def test_large_array_mixed_fallback(rng):
+    """One small value among >=1M forces the scalar fallback on both sides;
+    results must stay exact."""
+    vals = rng.integers(2**32, 2**64, 1_100_000, dtype=np.uint64)
+    vals[517_123] = np.uint64(7)          # 1-byte record
+    vals[900_001] = np.uint64(70_000)     # u32 record
+    enc = bytes(bincode.encode_u64_array(vals))
+    assert len(enc) == 9 * (vals.size - 2) + 1 + 5
+    dec, off = bincode.decode_u64_array(np.frombuffer(enc, np.uint8), 0, vals.size)
+    assert off == len(enc)
+    assert np.array_equal(dec, vals)
+
+
+def test_large_sort_unique_native(rng):
+    """>=65536 values engage the bucketed radix path; must equal np.unique."""
+    from deacon_tpu.io.native_loader import native_u64_sort_unique
+
+    vals = rng.integers(0, 2**64, 300_000, dtype=np.uint64)
+    vals[::5] = vals[1::5][: vals[::5].size]  # force duplicates
+    out = native_u64_sort_unique(vals.copy())
+    if out is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    assert np.array_equal(out, np.unique(vals))
