@@ -1953,6 +1953,29 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
 
 namespace {
 
+// Opt-in stage profiler (DEACON_NATIVE_PROFILE=1): per-stage CPU-time
+// accumulators across all pipeline threads, reported on stderr at the end
+// of dx_filter_run. Zero overhead when off (single branch per section).
+struct StageProf {
+  bool on = false;
+  std::atomic<int64_t> parse{0};          // reader: record parsing
+  std::atomic<int64_t> reader_stall{0};   // reader: waiting to hand off
+  std::atomic<int64_t> extract{0};        // workers: minimizer extraction
+  std::atomic<int64_t> probe{0};          // workers: membership + distinct
+  std::atomic<int64_t> format{0};         // workers: record formatting
+  std::atomic<int64_t> compress{0};       // workers: output compression
+  std::atomic<int64_t> worker_stall{0};   // workers: waiting for batches
+  std::atomic<int64_t> emit{0};           // writer: formatting (rename path)
+  std::atomic<int64_t> write{0};          // writer: fwrite/encoder
+  std::atomic<int64_t> writer_stall{0};   // writer: waiting for next batch
+};
+
+static inline int64_t now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+
 struct FBatch {
   int64_t seq_no = 0;
   int64_t n_units = 0;  // records (single) or pairs (paired)
@@ -2076,6 +2099,7 @@ struct FilterJob {
   int64_t total_seqs = 0, filtered_seqs = 0, total_bp = 0;
   int64_t output_bp = 0, filtered_bp = 0, out_counter = 0;
   int64_t* progress = nullptr;  // [6]
+  StageProf prof;
 
   void fail(const std::string& m) {
     {
@@ -2164,7 +2188,10 @@ static void filter_worker(FilterJob& J) {
   std::vector<uint32_t> posv;
   std::vector<uint8_t> fmt1, fmt2;
   FBatch* b;
-  while (J.work.pop(b)) {
+  while (true) {
+    const int64_t t_pop0 = J.prof.on ? now_ns() : 0;
+    if (!J.work.pop(b)) break;
+    if (J.prof.on) J.prof.worker_stall.fetch_add(now_ns() - t_pop0);
     if (J.failed.load()) {
       delete b;
       continue;
@@ -2172,7 +2199,9 @@ static void filter_worker(FilterJob& J) {
     J.busy_workers.fetch_add(1);
     b->keep.resize(b->n_units);
     const int recs_per_unit = b->paired ? 2 : 1;
+    int64_t extract_ns = 0, probe_ns = 0, t_u0 = 0;
     for (int64_t u = 0; u < b->n_units; u++) {
+      if (J.prof.on) t_u0 = now_ns();
       hashes.clear();
       for (int r = 0; r < recs_per_unit; r++) {
         const int64_t* m = b->meta.data() + 6 * (u * recs_per_unit + r);
@@ -2214,19 +2243,33 @@ static void filter_worker(FilterJob& J) {
         }
         hashes.resize(base + (c > 0 ? c : 0));
       }
+      int64_t t_u1 = 0;
+      if (J.prof.on) {
+        t_u1 = now_ns();
+        extract_ns += t_u1 - t_u0;
+      }
       int64_t total = (int64_t)hashes.size();
       int64_t req = required_hits(J, total);
       int64_t hits =
           count_distinct_hits(J, hashes.data(), total, req, scratch);
       b->keep[u] = keep_decision(J, hits, req) ? 1 : 0;
+      if (J.prof.on) probe_ns += now_ns() - t_u1;
+    }
+    if (J.prof.on) {
+      J.prof.extract.fetch_add(extract_ns);
+      J.prof.probe.fetch_add(probe_ns);
     }
     if (J.precompress1 >= 0) {
+      const int64_t t_f0 = J.prof.on ? now_ns() : 0;
       fmt1.clear();
       fmt2.clear();
       format_kept(*b, J.w2 != nullptr, fmt1, fmt2);
+      const int64_t t_f1 = J.prof.on ? now_ns() : 0;
+      if (J.prof.on) J.prof.format.fetch_add(t_f1 - t_f0);
       bool ok = compress_member(J.precompress1, J.level1, fmt1, b->cout1);
       if (ok && J.w2)
         ok = compress_member(J.precompress2, J.level2, fmt2, b->cout2);
+      if (J.prof.on) J.prof.compress.fetch_add(now_ns() - t_f1);
       if (!ok) {
         J.fail("output compression failed");
         delete b;
@@ -2354,6 +2397,7 @@ static void filter_writer(FilterJob& J) {
   std::vector<uint8_t> buf, buf2;
   while (true) {
     FBatch* b = nullptr;
+    const int64_t t_wait0 = J.prof.on ? now_ns() : 0;
     {
       std::unique_lock<std::mutex> lk(J.done_mu);
       J.done_cv.wait(lk, [&] {
@@ -2371,6 +2415,8 @@ static void filter_writer(FilterJob& J) {
       J.done.erase(it);
       J.next_write++;
     }
+    const int64_t t_emit0 = J.prof.on ? now_ns() : 0;
+    if (J.prof.on) J.prof.writer_stall.fetch_add(t_emit0 - t_wait0);
     buf.clear();
     buf2.clear();
     const int recs_per_unit = b->paired ? 2 : 1;
@@ -2410,6 +2456,8 @@ static void filter_writer(FilterJob& J) {
       buf2.swap(b->cout2);
     }
     J.put_batch(b);
+    const int64_t t_write0 = J.prof.on ? now_ns() : 0;
+    if (J.prof.on) J.prof.emit.fetch_add(t_write0 - t_emit0);
     if (!buf.empty() && dx_writer_write(J.w1, buf.data(), buf.size()) != 0) {
       J.fail("write failed");
       return;
@@ -2421,6 +2469,7 @@ static void filter_writer(FilterJob& J) {
       return;
     }
     J.bytes2 += (int64_t)buf2.size();
+    if (J.prof.on) J.prof.write.fetch_add(now_ns() - t_write0);
     if (J.progress) {
       __atomic_store_n(&J.progress[0], J.total_seqs, __ATOMIC_RELAXED);
       __atomic_store_n(&J.progress[1], J.filtered_seqs, __ATOMIC_RELAXED);
@@ -2446,6 +2495,7 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
     b->paired = mode != 0;
     b->arena.reserve(kBatchArena + 65536);
     int64_t m1[6], m2[6];
+    const int64_t t_parse0 = J.prof.on ? now_ns() : 0;
     while (b->n_units < kBatchRecords) {
       const size_t arena_save = b->arena.size();
       int rc = r1->parse_record_into(b->arena, m1);
@@ -2495,15 +2545,18 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
         if ((int64_t)b->arena.size() >= kBatchArena) break;
       }
     }
+    if (J.prof.on) J.prof.parse.fetch_add(now_ns() - t_parse0);
     if (b->n_units == 0) {
       delete b;
       break;
     }
     seq_no++;
+    const int64_t t_push0 = J.prof.on ? now_ns() : 0;
     if (!J.work.push(b)) {
       delete b;
       return;
     }
+    if (J.prof.on) J.prof.reader_stall.fetch_add(now_ns() - t_push0);
   }
   J.total_batches.store(seq_no);
   J.work.close();
@@ -2549,6 +2602,10 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
     }
   }
   FilterJob J;
+  {
+    const char* p = getenv("DEACON_NATIVE_PROFILE");
+    J.prof.on = p != nullptr && p[0] != '\0' && p[0] != '0';
+  }
   J.keys = index_keys;
   J.probe = static_cast<ProbeTable*>(probe_handle);
   J.k = k;
@@ -2628,6 +2685,22 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
   }
   int rc1 = dx_writer_close(J.w1);
   int rc2 = J.w2 ? dx_writer_close(J.w2) : 0;
+
+  if (J.prof.on) {
+    auto ms = [](const std::atomic<int64_t>& v) {
+      return (double)v.load() / 1e6;
+    };
+    fprintf(stderr,
+            "DEACON_NATIVE_PROFILE (ms of thread time; %d workers)\n"
+            "  reader: parse=%.1f stall=%.1f\n"
+            "  workers: extract=%.1f probe=%.1f format=%.1f compress=%.1f "
+            "stall=%.1f\n"
+            "  writer: emit=%.1f write=%.1f stall=%.1f\n",
+            J.n_workers, ms(J.prof.parse), ms(J.prof.reader_stall),
+            ms(J.prof.extract), ms(J.prof.probe), ms(J.prof.format),
+            ms(J.prof.compress), ms(J.prof.worker_stall), ms(J.prof.emit),
+            ms(J.prof.write), ms(J.prof.writer_stall));
+  }
 
   if (J.failed.load()) {
     std::lock_guard<std::mutex> lk(J.err_mu);
