@@ -199,6 +199,10 @@ struct DxReader {
   std::vector<uint8_t> pending;  // pushed-back header line
   bool has_pending = false;
   Record overflow;  // record parsed but not yet delivered (arena full)
+  // reader-owned batch buffers for dx_next_batch_view (zero extra copies:
+  // bytes go decompression buffer -> here, and the caller reads in place)
+  std::vector<uint8_t> batch_arena;
+  std::vector<int64_t> batch_meta;
 
   bool refill() {
     if (eof) return false;
@@ -488,6 +492,32 @@ int64_t dx_next_batch(DxReader* r, int64_t max_rec, uint8_t* arena,
     }
     n++;
   }
+  return n;
+}
+
+// Zero-copy batch parse: records land in reader-owned buffers via
+// parse_record_into (one copy per byte total: decompression buffer ->
+// arena); the caller reads the returned views in place. Views are valid
+// until the next dx_* call on this reader or dx_close. Parses until
+// max_rec records or the arena reaches max_bytes. Returns #records
+// (0 = EOF), -1 = parse error.
+int64_t dx_next_batch_view(DxReader* r, int64_t max_rec, int64_t max_bytes,
+                           const uint8_t** arena_out, int64_t* arena_len,
+                           const int64_t** meta_out) {
+  r->batch_arena.clear();
+  r->batch_meta.clear();
+  int64_t n = 0;
+  int64_t m[6];
+  while (n < max_rec && (int64_t)r->batch_arena.size() < max_bytes) {
+    int rc = r->parse_record_into(r->batch_arena, m);
+    if (rc < 0) return -1;
+    if (rc == 0) break;
+    r->batch_meta.insert(r->batch_meta.end(), m, m + 6);
+    n++;
+  }
+  *arena_out = r->batch_arena.data();
+  *arena_len = (int64_t)r->batch_arena.size();
+  *meta_out = r->batch_meta.data();
   return n;
 }
 
@@ -852,6 +882,39 @@ int64_t dx_encode_u64_varint(const uint64_t* vals, int64_t count,
 }
 
 // 1 if strictly increasing (sorted + unique), else 0.
+// Merge two sorted-unique u64 arrays into `out` (caller-allocated,
+// capacity >= na + nb), dropping cross-duplicates. Returns merged count.
+// Single linear pass: this is memory-bandwidth bound, and the index-build
+// staging merges it serves are far below the radix-sort crossover.
+int64_t dx_u64_merge_sorted_unique(const uint64_t* a, int64_t na,
+                                   const uint64_t* b, int64_t nb,
+                                   uint64_t* out) {
+  int64_t i = 0, j = 0, o = 0;
+  while (i < na && j < nb) {
+    uint64_t va = a[i], vb = b[j];
+    if (va < vb) {
+      out[o++] = va;
+      i++;
+    } else if (vb < va) {
+      out[o++] = vb;
+      j++;
+    } else {
+      out[o++] = va;
+      i++;
+      j++;
+    }
+  }
+  if (i < na) {
+    memcpy(out + o, a + i, (size_t)(na - i) * 8);
+    o += na - i;
+  }
+  if (j < nb) {
+    memcpy(out + o, b + j, (size_t)(nb - j) * 8);
+    o += nb - j;
+  }
+  return o;
+}
+
 int dx_u64_sorted_unique(const uint64_t* vals, int64_t count) {
   for (int64_t i = 1; i < count; i++)
     if (vals[i] <= vals[i - 1]) return 0;

@@ -104,6 +104,16 @@ def get_lib():
         lib.dx_encode_u64_varint.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.dx_next_batch_view.restype = ctypes.c_int64
+        lib.dx_next_batch_view.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.dx_u64_merge_sorted_unique.restype = ctypes.c_int64
+        lib.dx_u64_merge_sorted_unique.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.dx_u64_sorted_unique.restype = ctypes.c_int
         lib.dx_u64_sorted_unique.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.dx_u64_sort_unique.restype = ctypes.c_int64
@@ -353,6 +363,25 @@ def native_u64_sort_unique(vals: np.ndarray, n_threads: int = 0):
     return vals[:cnt]
 
 
+def native_u64_merge_sorted_unique(a: np.ndarray, b: np.ndarray):
+    """Merge two sorted-unique uint64 arrays, dropping cross-duplicates.
+    Returns a fresh array, or None if the native lib is unavailable.
+    Linear pass — far cheaper than re-sorting the concatenation when both
+    sides are already sorted (the index-build staging merge)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty(a.size + b.size, dtype=np.uint64)
+    cnt = lib.dx_u64_merge_sorted_unique(
+        a.ctypes.data_as(ctypes.c_void_p), a.size,
+        b.ctypes.data_as(ctypes.c_void_p), b.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:cnt]
+
+
 def native_u64_sorted_unique(vals: np.ndarray):
     """True/False, or None if the native lib is unavailable."""
     lib = get_lib()
@@ -380,8 +409,7 @@ class NativeFastxReader:
         self._h = lib.dx_open(p)
         if not self._h:
             raise OSError(f"Failed to open {path!r}")
-        self._arena = np.empty(arena_mb * 1024 * 1024, dtype=np.uint8)
-        self._meta = np.empty(6 * 100_000, dtype=np.int64)
+        self._max_batch_bytes = arena_mb * 1024 * 1024
         self._queue: list[Record] = []
         self._qi = 0
         self._done = False
@@ -398,34 +426,43 @@ class NativeFastxReader:
             pass
 
     def read_batch_raw(self, max_records: int):
-        """Returns (meta int64[(n,6)], arena view uint8) for up to
-        max_records records; n == 0 at EOF. Raises on parse errors."""
+        """Returns (meta int64[(n,6)], arena view uint8, is_fastq) for up to
+        max_records records; n == 0 at EOF. Raises on parse errors.
+
+        Zero-copy: both views alias reader-owned C++ buffers and are
+        INVALIDATED by the next read_batch_raw call (the previous contract
+        already reused the arena between calls)."""
         if self._done:
             return (
-                self._meta[:0].reshape(0, 6),
-                self._arena[:0],
+                np.empty((0, 6), dtype=np.int64),
+                np.empty(0, dtype=np.uint8),
                 self._lib.dx_is_fastq(self._h) == 1 if self._h else False,
             )
-        max_records = min(max_records, self._meta.size // 6)
-        while True:
-            n = self._lib.dx_next_batch(
-                self._h,
-                max_records,
-                self._arena.ctypes.data_as(ctypes.c_void_p),
-                self._arena.size,
-                self._meta.ctypes.data_as(ctypes.c_void_p),
-            )
-            if n == -2:
-                self._arena = np.empty(self._arena.size * 2, dtype=np.uint8)
-                continue
-            break
+        arena_p = ctypes.POINTER(ctypes.c_uint8)()
+        arena_len = ctypes.c_int64()
+        meta_p = ctypes.POINTER(ctypes.c_int64)()
+        n = self._lib.dx_next_batch_view(
+            self._h,
+            max_records,
+            self._max_batch_bytes,
+            ctypes.byref(arena_p),
+            ctypes.byref(arena_len),
+            ctypes.byref(meta_p),
+        )
         if n < 0:
             err = self._lib.dx_error(self._h).decode("utf-8", "replace")
             raise FastxParseError(err or "native parse error")
         if n == 0:
             self._done = True
+            return (
+                np.empty((0, 6), dtype=np.int64),
+                np.empty(0, dtype=np.uint8),
+                self._lib.dx_is_fastq(self._h) == 1,
+            )
         is_fastq = self._lib.dx_is_fastq(self._h) == 1
-        return self._meta[: 6 * n].reshape(n, 6), self._arena, is_fastq
+        meta = np.ctypeslib.as_array(meta_p, shape=(int(n), 6))
+        arena = np.ctypeslib.as_array(arena_p, shape=(int(arena_len.value),))
+        return meta, arena, is_fastq
 
     # ------------------------------------------------------------------
     # Record-iterator protocol
