@@ -75,16 +75,53 @@ def test_reader_multiline_fasta(tmp_path):
 
 
 def test_reader_arena_growth(tmp_path):
-    # One record larger than the initial arena must force growth, not loss.
+    # One record larger than the batch byte budget must still parse whole
+    # (the batch simply ends after it), and the next record must follow.
     big = rs(600)
     text = f">big\n{big}\n>small\n{rs(50)}\n".encode()
     path = tmp_path / "big.fa"
     path.write_bytes(text)
     r = open_native_reader(str(path))
-    r._arena = np.empty(128, dtype=np.uint8)  # force tiny arena
+    r._max_batch_bytes = 128  # force a tiny per-batch byte budget
     got = parse_all(r)
     assert len(got) == 2
     assert got[0][1].decode() == big
+
+
+def test_batch_view_respects_budget_and_offsets(tmp_path):
+    text = make_fastq(64).encode()
+    path = tmp_path / "r.fq"
+    path.write_bytes(text)
+    r = open_native_reader(str(path))
+    r._max_batch_bytes = 1024  # several small batches
+    oracle = parse_all(fastx.FastxReader(open(path, "rb")))
+    got = []
+    n_batches = 0
+    while True:
+        meta, arena, is_fastq = r.read_batch_raw(1_000_000)
+        if meta.shape[0] == 0:
+            break
+        assert is_fastq
+        n_batches += 1
+        ab = arena.tobytes()
+        for i in range(meta.shape[0]):
+            io_, il, so_, sl, qo_, ql = (int(x) for x in meta[i])
+            got.append((ab[io_:io_ + il], ab[so_:so_ + sl], ab[qo_:qo_ + ql]))
+    assert n_batches > 4  # the budget actually split the stream
+    assert len(got) == len(oracle)
+    for (gid, gseq, gq), (oid, oseq, oq, _) in zip(got, oracle):
+        assert (gid, gseq, gq) == (oid, oseq, oq)
+
+
+def test_merge_sorted_unique_matches_numpy():
+    from deacon_tpu.io.native_loader import native_u64_merge_sorted_unique
+
+    rng = np.random.default_rng(9)
+    for na, nb in [(0, 0), (0, 5), (5, 0), (1000, 1), (1, 1000), (5000, 3000)]:
+        a = np.unique(rng.integers(0, 10_000, size=na).astype(np.uint64))
+        b = np.unique(rng.integers(0, 10_000, size=nb).astype(np.uint64))
+        out = native_u64_merge_sorted_unique(a, b)
+        np.testing.assert_array_equal(out, np.union1d(a, b))
 
 
 def test_native_writer_roundtrip(tmp_path):
