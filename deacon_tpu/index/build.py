@@ -67,6 +67,41 @@ def _extract_batch_hashes(seqs: list[bytes], k: int, w: int, entropy: float):
     return host_extract.extract_index_batch(seqs, k, w, entropy)
 
 
+def _sort_unique_arr(arr: np.ndarray, threads: int = 0) -> np.ndarray:
+    """Sort + dedup a raw u64 array (native parallel radix sort when
+    available, np.unique fallback). `arr` must be caller-owned; it is
+    sorted in place on the native path."""
+    try:
+        from ..io.native_loader import native_u64_sort_unique
+
+        out = native_u64_sort_unique(arr, n_threads=max(0, threads))
+        if out is not None:
+            # out is a view of `arr`; copy only when dedup shrank it enough
+            # that freeing the backing buffer pays for the memcpy
+            return out.copy() if out.size < arr.size // 2 else out
+    except Exception:
+        pass
+    return np.unique(arr)
+
+
+def _merge_sorted_unique(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union of two sorted-unique u64 arrays: one linear pass (native),
+    instead of re-sorting the concatenation."""
+    if not a.size:
+        return b
+    if not b.size:
+        return a
+    try:
+        from ..io.native_loader import native_u64_merge_sorted_unique
+
+        out = native_u64_merge_sorted_unique(a, b)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return np.union1d(a, b)
+
+
 def build(config: IndexConfig) -> None:
     """ref: src/index.rs:167-308."""
     start = time.monotonic()
@@ -107,35 +142,9 @@ def build(config: IndexConfig) -> None:
     staging_watermark = 32_000_000
 
     def _sort_unique(arr: np.ndarray) -> np.ndarray:
-        out = None
-        try:
-            from ..io.native_loader import native_u64_sort_unique
+        return _sort_unique_arr(arr, threads=config.threads)
 
-            # parallel C++ radix sort+dedup: ~2x np.unique on 2 cores,
-            # scales with cores (chm13-scale endgame merge is ~390M keys)
-            out = native_u64_sort_unique(arr, n_threads=max(0, config.threads))
-        except Exception:
-            out = None
-        if out is None:
-            return np.unique(arr)
-        # out is a view of `arr`; copy only when dedup shrank it enough
-        # that freeing the backing buffer pays for the memcpy
-        return out.copy() if out.size < arr.size // 2 else out
-
-    def _merge_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        if not a.size:
-            return b
-        if not b.size:
-            return a
-        try:
-            from ..io.native_loader import native_u64_merge_sorted_unique
-
-            out = native_u64_merge_sorted_unique(a, b)
-            if out is not None:
-                return out
-        except Exception:
-            pass
-        return np.unique(np.concatenate([a, b]))
+    _merge_sorted = _merge_sorted_unique
 
     def stage_seq(hashes: np.ndarray) -> None:
         """Fold one sequence's hashes into staging (reporting path)."""
@@ -341,7 +350,9 @@ def union(inputs: list[str], output: str | None, capacity_millions: int | None) 
     for i, path in enumerate(inputs):
         idx = store.load_index(path)
         before = merged.size
-        merged = np.union1d(merged, idx.hashes)
+        # both sides are sorted-unique: one linear native pass instead of
+        # np.union1d's re-sort of the concatenation
+        merged = _merge_sorted_unique(merged, idx.hashes)
         _eprint(
             f"Index {i + 1}: expected {headers_and_counts[i][1]} minimizers, "
             f"added {merged.size - before} new, total: {merged.size}"
@@ -384,7 +395,7 @@ def _stream_diff_fastx(
         for rec, hashes in zip(batch, results):
             seq_count += 1
             total_bp += len(rec.seq)
-            if hashes.size:
+            if hashes.size and first_hashes.size:
                 pos = np.searchsorted(first_hashes, hashes)
                 pos_c = np.minimum(pos, first_hashes.size - 1)
                 hitmask = first_hashes[pos_c] == hashes
