@@ -75,7 +75,6 @@ def main() -> None:
 
     # synthetic long reads: one read per row (ONT-like long read tile)
     bases = np.frombuffer(b"ACGT", np.uint8)
-    raw = rng.choice(bases, size=(R, L)).astype(np.uint8)
 
     budget = (int(0.35 * R * L) + 191) // 128 * 128
     mlen = np.full(R, L - k + 1, dtype=np.int32)

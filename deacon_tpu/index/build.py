@@ -236,47 +236,72 @@ def build(config: IndexConfig) -> None:
         import threading
 
         batch_q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()  # set when the consumer bails out early
 
         def _producer():
             try:
-                while True:
+                while not stop.is_set():
                     meta, arena, _fq = reader.read_batch_raw(INDEX_BUILD_BATCH)
-                    if meta.shape[0] == 0:
-                        batch_q.put(None)
+                    item = (
+                        None if meta.shape[0] == 0
+                        else (meta.copy(), arena.copy())
+                    )
+                    # bounded put that aborts if the consumer died (a raise
+                    # in extraction/merge would otherwise leave this thread
+                    # blocked forever, leaking the reader fd and two
+                    # detached batch copies)
+                    while not stop.is_set():
+                        try:
+                            batch_q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            pass
+                    if item is None:
                         return
-                    batch_q.put((meta.copy(), arena.copy()))
             except BaseException as exc:  # re-raised on the consumer side
-                batch_q.put(exc)
+                try:
+                    batch_q.put_nowait(exc)
+                except queue.Full:
+                    stop.set()
 
-        threading.Thread(target=_producer, daemon=True).start()
-        while True:
-            item = batch_q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            meta, arena = item
-            n = meta.shape[0]
-            starts = np.ascontiguousarray(meta[:, 2])
-            lens = np.ascontiguousarray(meta[:, 3])
-            hashes_all, _pos, counts = native_extract_batch(
-                arena, starts, lens, config.kmer_length, config.window_size,
-                index_mode=True,
-                entropy_threshold=config.entropy_threshold,
-                n_threads=config.threads,
-            )
-            off = 0
-            for i in range(n):
-                c = int(counts[i])
-                rid = (
-                    bytes(arena[int(meta[i, 0]):int(meta[i, 0]) + int(meta[i, 1])])
-                    if not config.quiet
-                    else b""
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = batch_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                meta, arena = item
+                n = meta.shape[0]
+                starts = np.ascontiguousarray(meta[:, 2])
+                lens = np.ascontiguousarray(meta[:, 3])
+                hashes_all, _pos, counts = native_extract_batch(
+                    arena, starts, lens, config.kmer_length, config.window_size,
+                    index_mode=True,
+                    entropy_threshold=config.entropy_threshold,
+                    n_threads=config.threads,
                 )
-                handle_seq(rid, int(lens[i]), hashes_all[off:off + c])
-                off += c
-            if pending_size > merge_watermark:
-                merge_pending()
+                off = 0
+                for i in range(n):
+                    c = int(counts[i])
+                    rid = (
+                        bytes(arena[int(meta[i, 0]):int(meta[i, 0]) + int(meta[i, 1])])
+                        if not config.quiet
+                        else b""
+                    )
+                    handle_seq(rid, int(lens[i]), hashes_all[off:off + c])
+                    off += c
+                if pending_size > merge_watermark:
+                    merge_pending()
+        finally:
+            stop.set()
+            producer.join(timeout=5.0)
+            if not producer.is_alive():  # never close under a live reader
+                close = getattr(reader, "close", None)
+                if close is not None:
+                    close()
     else:
         while True:
             batch = read_batch(reader, INDEX_BUILD_BATCH)

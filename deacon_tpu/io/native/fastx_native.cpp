@@ -183,10 +183,6 @@ struct Source {
   }
 };
 
-struct Record {
-  std::vector<uint8_t> id, seq, qual;
-  bool valid = false;
-};
 
 struct DxReader {
   Source src;
@@ -195,10 +191,8 @@ struct DxReader {
   bool eof = false;
   int is_fastq = -1;
   std::string error;
-  std::vector<uint8_t> line;
   std::vector<uint8_t> pending;  // pushed-back header line
   bool has_pending = false;
-  Record overflow;  // record parsed but not yet delivered (arena full)
   // reader-owned batch buffers for dx_next_batch_view (zero extra copies:
   // bytes go decompression buffer -> here, and the caller reads in place)
   std::vector<uint8_t> batch_arena;
@@ -221,29 +215,6 @@ struct DxReader {
     return true;
   }
 
-  bool getline() {
-    line.clear();
-    if (has_pending) {
-      line.swap(pending);
-      has_pending = false;
-      return true;
-    }
-    bool any = false;
-    while (true) {
-      if (pos >= len && !refill()) return any || !line.empty();
-      any = true;
-      uint8_t* start = buf.data() + pos;
-      uint8_t* nl = (uint8_t*)memchr(start, '\n', len - pos);
-      if (nl) {
-        line.insert(line.end(), start, nl);
-        pos = (size_t)(nl - buf.data()) + 1;
-        if (!line.empty() && line.back() == '\r') line.pop_back();
-        return true;
-      }
-      line.insert(line.end(), start, buf.data() + len);
-      pos = len;
-    }
-  }
 
   // Appends the next line's bytes (no \n, \r stripped) to dst.
   // Returns the appended length, or -1 at EOF with nothing read.
@@ -348,66 +319,6 @@ struct DxReader {
     return 1;
   }
 
-  // Parse one record into rec; returns 1 ok, 0 eof, -1 error.
-  int parse_record(Record& rec) {
-    rec.id.clear();
-    rec.seq.clear();
-    rec.qual.clear();
-    rec.valid = false;
-    // find non-empty header line
-    while (true) {
-      if (!getline()) return 0;
-      if (!line.empty()) break;
-    }
-    uint8_t marker = line[0];
-    if (is_fastq == -1) {
-      if (marker == '>') is_fastq = 0;
-      else if (marker == '@') is_fastq = 1;
-      else {
-        error = "Unrecognized FASTX record start";
-        return -1;
-      }
-    }
-    if ((is_fastq == 1 && marker != '@') || (is_fastq == 0 && marker != '>')) {
-      error = "Record marker mismatch";
-      return -1;
-    }
-    rec.id.assign(line.begin() + 1, line.end());
-    if (is_fastq == 1) {
-      if (!getline()) {
-        error = "Truncated FASTQ record";
-        return -1;
-      }
-      rec.seq = line;
-      if (!getline() || line.empty() || line[0] != '+') {
-        error = "Expected '+' separator";
-        return -1;
-      }
-      if (!getline()) {
-        error = "Truncated FASTQ record (missing quality)";
-        return -1;
-      }
-      rec.qual = line;
-      if (rec.qual.size() != rec.seq.size()) {
-        error = "Quality length != sequence length";
-        return -1;
-      }
-    } else {
-      while (true) {
-        size_t save_pos = pos;
-        if (!getline()) break;
-        if (!line.empty() && line[0] == '>') {
-          pending = line;
-          has_pending = true;
-          (void)save_pos;
-          break;
-        }
-        rec.seq.insert(rec.seq.end(), line.begin(), line.end());
-      }
-    }
-    rec.valid = true;
-    return 1;
-  }
 };
 
 struct DxWriter {
@@ -448,52 +359,6 @@ void dx_close(DxReader* r) { delete r; }
 int dx_is_fastq(DxReader* r) { return r->is_fastq; }
 const char* dx_error(DxReader* r) { return r->error.c_str(); }
 
-// Parse up to max_rec records into arena + meta (6 int64 per record:
-// id_off,id_len,seq_off,seq_len,qual_off,qual_len; qual_off = -1 for FASTA).
-// Returns #records (0 = EOF), -1 = parse error, -2 = arena too small for
-// even one record (caller must grow and retry; no data lost).
-int64_t dx_next_batch(DxReader* r, int64_t max_rec, uint8_t* arena,
-                      int64_t arena_cap, int64_t* meta) {
-  int64_t n = 0;
-  int64_t used = 0;
-  while (n < max_rec) {
-    Record rec;
-    if (r->overflow.valid) {
-      rec = std::move(r->overflow);
-      r->overflow.valid = false;
-    } else {
-      int rc = r->parse_record(rec);
-      if (rc == 0) break;
-      if (rc < 0) return -1;
-    }
-    int64_t need = (int64_t)(rec.id.size() + rec.seq.size() + rec.qual.size());
-    if (used + need > arena_cap) {
-      r->overflow = std::move(rec);
-      r->overflow.valid = true;
-      return n == 0 ? -2 : n;
-    }
-    int64_t* m = meta + 6 * n;
-    m[0] = used;
-    m[1] = (int64_t)rec.id.size();
-    memcpy(arena + used, rec.id.data(), rec.id.size());
-    used += (int64_t)rec.id.size();
-    m[2] = used;
-    m[3] = (int64_t)rec.seq.size();
-    memcpy(arena + used, rec.seq.data(), rec.seq.size());
-    used += (int64_t)rec.seq.size();
-    if (r->is_fastq == 1) {
-      m[4] = used;
-      m[5] = (int64_t)rec.qual.size();
-      memcpy(arena + used, rec.qual.data(), rec.qual.size());
-      used += (int64_t)rec.qual.size();
-    } else {
-      m[4] = -1;
-      m[5] = 0;
-    }
-    n++;
-  }
-  return n;
-}
 
 // Zero-copy batch parse: records land in reader-owned buffers via
 // parse_record_into (one copy per byte total: decompression buffer ->
@@ -2016,9 +1881,12 @@ int64_t dx_extract_batch(const uint8_t* arena, const int64_t* starts,
 
 namespace {
 
-// Opt-in stage profiler (DEACON_NATIVE_PROFILE=1): per-stage CPU-time
+// Opt-in stage profiler (DEACON_NATIVE_PROFILE=1): per-stage time
 // accumulators across all pipeline threads, reported on stderr at the end
 // of dx_filter_run. Zero overhead when off (single branch per section).
+// Compute stages use per-thread CPU time so hypervisor steal and
+// preemption are not booked to whichever stage they interrupt; stall
+// counters are genuine waits and use wall time.
 struct StageProf {
   bool on = false;
   std::atomic<int64_t> parse{0};          // reader: record parsing
@@ -2033,9 +1901,15 @@ struct StageProf {
   std::atomic<int64_t> writer_stall{0};   // writer: waiting for next batch
 };
 
-static inline int64_t now_ns() {
+static inline int64_t now_ns() {  // wall clock: stall (wait) counters
   struct timespec ts;
   clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+
+static inline int64_t now_cpu_ns() {  // this thread's CPU time: compute
+  struct timespec ts;                 // stages (immune to steal/preemption)
+  clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts);
   return ts.tv_sec * 1000000000LL + ts.tv_nsec;
 }
 
@@ -2264,7 +2138,7 @@ static void filter_worker(FilterJob& J) {
     const int recs_per_unit = b->paired ? 2 : 1;
     int64_t extract_ns = 0, probe_ns = 0, t_u0 = 0;
     for (int64_t u = 0; u < b->n_units; u++) {
-      if (J.prof.on) t_u0 = now_ns();
+      if (J.prof.on) t_u0 = now_cpu_ns();
       hashes.clear();
       for (int r = 0; r < recs_per_unit; r++) {
         const int64_t* m = b->meta.data() + 6 * (u * recs_per_unit + r);
@@ -2308,7 +2182,7 @@ static void filter_worker(FilterJob& J) {
       }
       int64_t t_u1 = 0;
       if (J.prof.on) {
-        t_u1 = now_ns();
+        t_u1 = now_cpu_ns();
         extract_ns += t_u1 - t_u0;
       }
       int64_t total = (int64_t)hashes.size();
@@ -2316,23 +2190,23 @@ static void filter_worker(FilterJob& J) {
       int64_t hits =
           count_distinct_hits(J, hashes.data(), total, req, scratch);
       b->keep[u] = keep_decision(J, hits, req) ? 1 : 0;
-      if (J.prof.on) probe_ns += now_ns() - t_u1;
+      if (J.prof.on) probe_ns += now_cpu_ns() - t_u1;
     }
     if (J.prof.on) {
       J.prof.extract.fetch_add(extract_ns);
       J.prof.probe.fetch_add(probe_ns);
     }
     if (J.precompress1 >= 0) {
-      const int64_t t_f0 = J.prof.on ? now_ns() : 0;
+      const int64_t t_f0 = J.prof.on ? now_cpu_ns() : 0;
       fmt1.clear();
       fmt2.clear();
       format_kept(*b, J.w2 != nullptr, fmt1, fmt2);
-      const int64_t t_f1 = J.prof.on ? now_ns() : 0;
+      const int64_t t_f1 = J.prof.on ? now_cpu_ns() : 0;
       if (J.prof.on) J.prof.format.fetch_add(t_f1 - t_f0);
       bool ok = compress_member(J.precompress1, J.level1, fmt1, b->cout1);
       if (ok && J.w2)
         ok = compress_member(J.precompress2, J.level2, fmt2, b->cout2);
-      if (J.prof.on) J.prof.compress.fetch_add(now_ns() - t_f1);
+      if (J.prof.on) J.prof.compress.fetch_add(now_cpu_ns() - t_f1);
       if (!ok) {
         J.fail("output compression failed");
         delete b;
@@ -2479,6 +2353,7 @@ static void filter_writer(FilterJob& J) {
       J.next_write++;
     }
     const int64_t t_emit0 = J.prof.on ? now_ns() : 0;
+    const int64_t t_emit0_cpu = J.prof.on ? now_cpu_ns() : 0;
     if (J.prof.on) J.prof.writer_stall.fetch_add(t_emit0 - t_wait0);
     buf.clear();
     buf2.clear();
@@ -2520,7 +2395,7 @@ static void filter_writer(FilterJob& J) {
     }
     J.put_batch(b);
     const int64_t t_write0 = J.prof.on ? now_ns() : 0;
-    if (J.prof.on) J.prof.emit.fetch_add(t_write0 - t_emit0);
+    if (J.prof.on) J.prof.emit.fetch_add(now_cpu_ns() - t_emit0_cpu);
     if (!buf.empty() && dx_writer_write(J.w1, buf.data(), buf.size()) != 0) {
       J.fail("write failed");
       return;
@@ -2754,7 +2629,7 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
       return (double)v.load() / 1e6;
     };
     fprintf(stderr,
-            "DEACON_NATIVE_PROFILE (ms of thread time; %d workers)\n"
+            "DEACON_NATIVE_PROFILE (ms; compute=thread-CPU, io/stall=wall; %d workers)\n"
             "  reader: parse=%.1f stall=%.1f\n"
             "  workers: extract=%.1f probe=%.1f format=%.1f compress=%.1f "
             "stall=%.1f\n"

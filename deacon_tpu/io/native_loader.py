@@ -63,14 +63,6 @@ def get_lib():
         lib.dx_is_fastq.argtypes = [ctypes.c_void_p]
         lib.dx_error.restype = ctypes.c_char_p
         lib.dx_error.argtypes = [ctypes.c_void_p]
-        lib.dx_next_batch.restype = ctypes.c_int64
-        lib.dx_next_batch.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_int64,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-            ctypes.c_void_p,
-        ]
         lib.dx_writer_open.restype = ctypes.c_void_p
         lib.dx_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.dx_writer_write.restype = ctypes.c_int
@@ -379,7 +371,11 @@ def native_u64_merge_sorted_unique(a: np.ndarray, b: np.ndarray):
         b.ctypes.data_as(ctypes.c_void_p), b.size,
         out.ctypes.data_as(ctypes.c_void_p),
     )
-    return out[:cnt]
+    # the slice would pin the full a+b allocation; copy when the overlap
+    # shrank it enough that freeing the backing buffer pays for the memcpy
+    # (matters at panhuman scale: union of two near-identical 3.2 GB
+    # indexes would otherwise hold 6.4 GB alive)
+    return out[:cnt].copy() if cnt < out.size // 2 else out[:cnt]
 
 
 def native_u64_sorted_unique(vals: np.ndarray):
@@ -400,7 +396,7 @@ class NativeFastxReader:
     a zero-copy-ish batch API used by the device pipeline.
     """
 
-    def __init__(self, path: str | None, arena_mb: int = 64):
+    def __init__(self, path: str | None, batch_mb: int = 64):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native loader unavailable")
@@ -409,7 +405,7 @@ class NativeFastxReader:
         self._h = lib.dx_open(p)
         if not self._h:
             raise OSError(f"Failed to open {path!r}")
-        self._max_batch_bytes = arena_mb * 1024 * 1024
+        self._max_batch_bytes = max(1, batch_mb) * 1024 * 1024
         self._queue: list[Record] = []
         self._qi = 0
         self._done = False
