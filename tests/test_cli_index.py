@@ -176,3 +176,18 @@ def test_build_to_stdout(tmp_path):
     idx_path.write_bytes(proc.stdout)
     idx = store.load_index(idx_path)
     assert len(idx) > 0
+
+
+def test_build_malformed_mid_stream_fails_cleanly(tmp_path):
+    # A parse error after the first good record must abort the build with
+    # the parser's message and a nonzero exit — not hang the prefetch
+    # producer thread (raw native path) or succeed partially.
+    bad = tmp_path / "bad.fq"
+    seq = random_dna(60).encode()
+    bad.write_bytes(
+        b"@r1\n" + seq + b"\n+\n" + b"I" * len(seq) + b"\n"
+        b"@r2\nACGT\nXXXX\nIIII\n"
+    )
+    proc = run_cli(["index", "build", bad, "-o", tmp_path / "bad.idx"],
+                   expect_ok=False)
+    assert b"separator" in proc.stderr or b"Expected" in proc.stderr
