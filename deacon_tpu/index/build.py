@@ -129,11 +129,21 @@ def build(config: IndexConfig) -> None:
     seq_count = 0
     total_bp = 0
     accumulated: np.ndarray = np.empty(0, dtype=np.uint64)
-    # staging: sorted unique, DISJOINT from accumulated, so the exact
-    # running count is accumulated.size + staging.size with no re-sort —
-    # the reference gets this for free from hashset insertion
-    # (src/index.rs:266-284); a per-seq full re-sort of the accumulated
-    # array was 8.7 s of a 17 s 200 Mbp build
+    # Reporting path (default): a native counting hash set — the
+    # reference's FxHashSet role (src/index.rs:96-107, 266-284) — makes the
+    # per-seq running total O(new keys). Fallback when the native lib is
+    # missing: sorted staging disjoint from accumulated (exact count =
+    # accumulated.size + staging.size, no per-seq re-sort).
+    cset = None
+    if not config.quiet:
+        try:
+            from ..io.native_loader import NativeCountingSet
+
+            cset = NativeCountingSet(
+                capacity_hint=config.capacity_millions * 1_000_000
+            )
+        except Exception:
+            cset = None
     staging: np.ndarray = np.empty(0, dtype=np.uint64)
     pending: list[np.ndarray] = []
     pending_size = 0
@@ -161,7 +171,12 @@ def build(config: IndexConfig) -> None:
             staging = np.empty(0, dtype=np.uint64)
 
     def merge_pending():
-        nonlocal accumulated, staging, pending, pending_size
+        nonlocal accumulated, staging, pending, pending_size, cset
+        if cset is not None:
+            if len(cset):
+                accumulated = _merge_sorted(accumulated, cset.export_sorted())
+            cset.close()  # single final export; keys now live in accumulated
+            cset = None
         if staging.size:
             accumulated = _merge_sorted(accumulated, staging)
             staging = np.empty(0, dtype=np.uint64)
@@ -216,12 +231,17 @@ def build(config: IndexConfig) -> None:
                 pending_size += hashes.size
             return
         # reporting path (ref: src/index.rs:266-284 prints a per-seq
-        # running total): staged sorted-merge keeps the exact count
-        # without re-sorting the accumulated array per sequence
-        stage_seq(hashes)
+        # running total): counting-set insert is O(new keys); the staged
+        # sorted-merge fallback avoids re-sorting accumulated per sequence
+        if cset is not None:
+            cset.insert(hashes, n_threads=max(0, config.threads))
+            total = len(cset)
+        else:
+            stage_seq(hashes)
+            total = accumulated.size + staging.size
         _eprint(
             f"  {seq_id_bytes.decode('utf-8', 'replace')} ({blen}bp), "
-            f"total minimizers: {accumulated.size + staging.size}"
+            f"total minimizers: {total}"
         )
 
     if use_raw:

@@ -884,6 +884,213 @@ int64_t dx_u64_sort_unique(uint64_t* vals, int64_t n, int32_t n_threads) {
 }
 
 // ---------------------------------------------------------------------------
+// Counting insert set (dx_cset_*): the reference's FxHashSet role on the
+// BUILD side (ref: src/index.rs:96-107, 266-284) — batch inserts return how
+// many keys were new, so the per-sequence running total `index build`
+// prints is O(new keys) instead of a re-sort or merge of the accumulated
+// set (which cost minutes at panhuman scale). 256 partitions by top byte,
+// each an open-addressing linear-probe table; a batch is bucketed once,
+// then threads own disjoint partitions, so no locks. Export sorts each
+// partition by its low 56 bits (top byte is constant within a partition)
+// and concatenates in partition order — globally sorted, ready to write.
+// ---------------------------------------------------------------------------
+
+}  // extern "C"
+
+namespace {
+
+struct CSet {
+  struct Part {
+    uint64_t* slots = nullptr;  // mmap-backed: fresh anon pages are zero
+    size_t n_slots = 0;         // LAZILY, so a big capacity hint costs
+    int64_t used = 0;           // virtual address space, not page zeroing
+    uint32_t mask = 0;
+    ~Part() {
+      if (slots) munmap(slots, n_slots * 8);
+    }
+  };
+  std::array<Part, 256> parts;
+  bool has_zero = false;
+
+  static inline int64_t home(uint64_t v, uint32_t mask) {
+    // bits below the partition byte select the slot (keys are xxh3 uniform)
+    return (int64_t)((v >> 20) & mask);
+  }
+
+  static bool alloc(Part& p, size_t ns) {
+    void* m = mmap(nullptr, ns * 8, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (m == MAP_FAILED) return false;
+    p.slots = (uint64_t*)m;
+    p.n_slots = ns;
+    p.mask = (uint32_t)(ns - 1);
+    return true;
+  }
+
+  static void grow(Part& p) {
+    uint64_t* old = p.slots;
+    size_t old_n = p.n_slots;
+    if (!alloc(p, old_n ? old_n * 2 : 4096))
+      throw std::bad_alloc();
+    for (size_t j = 0; j < old_n; j++) {
+      if (j + 16 < old_n && old[j + 16])
+        __builtin_prefetch(&p.slots[home(old[j + 16], p.mask)], 1);
+      uint64_t v = old[j];
+      if (!v) continue;
+      int64_t i = home(v, p.mask);
+      while (p.slots[i]) i = (i + 1) & p.mask;
+      p.slots[i] = v;
+    }
+    if (old) munmap(old, old_n * 8);
+  }
+
+  // insert keys[lo, hi) (all in partition `b`); returns #new
+  int64_t insert_range(int b, const uint64_t* keys, int64_t lo, int64_t hi) {
+    Part& p = parts[b];
+    int64_t added = 0;
+    constexpr int64_t D = 24;  // prefetch distance: inserts are random
+    for (int64_t j = lo; j < hi; j++) {  // touches of a multi-GB table and
+      if (j + D < hi) {                  // run at DRAM latency otherwise
+        uint64_t vv = keys[j + D];
+        if (vv) __builtin_prefetch(&p.slots[home(vv, p.mask)], 1);
+      }
+      uint64_t v = keys[j];
+      if (v == 0) {
+        if (!has_zero) {
+          has_zero = true;  // partition 0 only; single-threaded per part
+          added++;
+        }
+        continue;
+      }
+      if (p.used * 4 >= (int64_t)p.n_slots * 3) grow(p);
+      int64_t i = home(v, p.mask);
+      for (;;) {
+        uint64_t s = p.slots[i];
+        if (s == v) break;
+        if (s == 0) {
+          p.slots[i] = v;
+          p.used++;
+          added++;
+          break;
+        }
+        i = (i + 1) & p.mask;
+      }
+    }
+    return added;
+  }
+
+  int64_t size() const {
+    int64_t n = has_zero ? 1 : 0;
+    for (auto& p : parts) n += p.used;
+    return n;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* dx_cset_new(int64_t capacity_hint) {
+  auto* s = new CSet();
+  size_t per = 4096;
+  if (capacity_hint > 0)
+    while ((int64_t)per * 3 < capacity_hint / 256 * 4) per *= 2;
+  // Cap the pre-size well below the hint: a small build inside a huge
+  // pre-sized table pays one page fault per insert (the 400M default hint
+  // vs a 25M build = 2M sparse faults, measured as tens of seconds of sys
+  // time), while growth rehashes are amortized linear with good locality.
+  if (per > (size_t)1 << 18) per = (size_t)1 << 18;
+  for (auto& p : s->parts)
+    if (!CSet::alloc(p, per)) {
+      delete s;
+      return nullptr;
+    }
+  return s;
+}
+
+void dx_cset_free(void* h) { delete static_cast<CSet*>(h); }
+
+int64_t dx_cset_size(void* h) { return static_cast<CSet*>(h)->size(); }
+
+// Returns the number of keys not previously present.
+int64_t dx_cset_insert(void* h, const uint64_t* keys, int64_t n,
+                       int32_t n_threads) {
+  CSet& s = *static_cast<CSet*>(h);
+  if (n <= 0) return 0;
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (T > 16) T = 16;
+  // bucket the batch by top byte (one pass), then threads own disjoint
+  // contiguous partition ranges of the scratch array
+  std::vector<uint64_t> tmp((size_t)n);
+  std::array<int64_t, 257> starts{};
+  {
+    std::array<int64_t, 256> cnt{};
+    for (int64_t i = 0; i < n; i++) cnt[keys[i] >> 56]++;
+    for (int b = 0; b < 256; b++) starts[b + 1] = starts[b] + cnt[b];
+    std::array<int64_t, 256> cur;
+    for (int b = 0; b < 256; b++) cur[b] = starts[b];
+    for (int64_t i = 0; i < n; i++) tmp[cur[keys[i] >> 56]++] = keys[i];
+  }
+  if (T == 1 || n < 65536) {
+    int64_t added = 0;
+    for (int b = 0; b < 256; b++)
+      added += s.insert_range(b, tmp.data(), starts[b], starts[b + 1]);
+    return added;
+  }
+  std::vector<int64_t> th_added(T, 0);
+  std::vector<std::thread> th;
+  for (int t = 0; t < T; t++)
+    th.emplace_back([&, t] {
+      int64_t a = 0;
+      for (int b = t; b < 256; b += T)
+        a += s.insert_range(b, tmp.data(), starts[b], starts[b + 1]);
+      th_added[t] = a;
+    });
+  for (auto& x : th) x.join();
+  int64_t added = 0;
+  for (int64_t a : th_added) added += a;
+  return added;
+}
+
+// Writes the set's keys to `out` in ascending order; returns the count.
+// The set remains valid.
+int64_t dx_cset_export_sorted(void* h, uint64_t* out, int32_t n_threads) {
+  CSet& s = *static_cast<CSet*>(h);
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (T > 16) T = 16;
+  std::array<int64_t, 257> offs{};
+  offs[0] = s.has_zero ? 1 : 0;
+  if (s.has_zero) out[0] = 0;
+  for (int b = 0; b < 256; b++) offs[b + 1] = offs[b] + s.parts[b].used;
+  std::atomic<int> next{0};
+  std::vector<std::thread> th;
+  for (int t = 0; t < T; t++)
+    th.emplace_back([&] {
+      std::vector<uint64_t> scratch;
+      for (;;) {
+        int b = next.fetch_add(1);
+        if (b >= 256) return;
+        const CSet::Part& p = s.parts[b];
+        uint64_t* dst = out + offs[b];
+        int64_t m = 0;
+        for (size_t j = 0; j < p.n_slots; j++)
+          if (p.slots[j]) dst[m++] = p.slots[j];
+        radix_sort_u64_low56(dst, m, scratch);
+      }
+    });
+  for (auto& x : th) x.join();
+  return offs[256];
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
 // Single-miss membership probe (the host-side analogue of the device
 // engine's HBM probe; plays the reference's FxHashSet role,
 // ref: src/index.rs:98, src/filter_common.rs:129-155).

@@ -106,6 +106,19 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.dx_cset_new.restype = ctypes.c_void_p
+        lib.dx_cset_new.argtypes = [ctypes.c_int64]
+        lib.dx_cset_free.argtypes = [ctypes.c_void_p]
+        lib.dx_cset_size.restype = ctypes.c_int64
+        lib.dx_cset_size.argtypes = [ctypes.c_void_p]
+        lib.dx_cset_insert.restype = ctypes.c_int64
+        lib.dx_cset_insert.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.dx_cset_export_sorted.restype = ctypes.c_int64
+        lib.dx_cset_export_sorted.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ]
         lib.dx_u64_sorted_unique.restype = ctypes.c_int
         lib.dx_u64_sorted_unique.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.dx_u64_sort_unique.restype = ctypes.c_int64
@@ -376,6 +389,52 @@ def native_u64_merge_sorted_unique(a: np.ndarray, b: np.ndarray):
     # (matters at panhuman scale: union of two near-identical 3.2 GB
     # indexes would otherwise hold 6.4 GB alive)
     return out[:cnt].copy() if cnt < out.size // 2 else out[:cnt]
+
+
+class NativeCountingSet:
+    """u64 set with batch insert returning the number of NEW keys — the
+    reference's FxHashSet role at index-build time (ref: src/index.rs:96-107,
+    266-284). 256-way partitioned open addressing in C++; export_sorted()
+    returns the keys ascending, ready for the index codec."""
+
+    def __init__(self, capacity_hint: int = 0):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        self._h = lib.dx_cset_new(int(capacity_hint))
+
+    def insert(self, keys: np.ndarray, n_threads: int = 0) -> int:
+        """Returns how many of `keys` were not previously present."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        if keys.size == 0:
+            return 0
+        return int(self._lib.dx_cset_insert(
+            self._h, keys.ctypes.data_as(ctypes.c_void_p), keys.size,
+            n_threads if n_threads > 0 else (os.cpu_count() or 1),
+        ))
+
+    def __len__(self) -> int:
+        return int(self._lib.dx_cset_size(self._h))
+
+    def export_sorted(self, n_threads: int = 0) -> np.ndarray:
+        out = np.empty(len(self), dtype=np.uint64)
+        cnt = self._lib.dx_cset_export_sorted(
+            self._h, out.ctypes.data_as(ctypes.c_void_p),
+            n_threads if n_threads > 0 else (os.cpu_count() or 1),
+        )
+        return out[:cnt]
+
+    def close(self):
+        if self._h:
+            self._lib.dx_cset_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def native_u64_sorted_unique(vals: np.ndarray):
