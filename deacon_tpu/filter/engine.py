@@ -305,14 +305,18 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
 def _run_native_pipeline(
     config: FilterConfig, index, decider, k: int, w: int,
     stats: "FilterStats", quiet: bool, start_time: float,
+    probe=None,
 ) -> bool:
     """Fully native C++ pipeline (io/native dx_filter_run): reader thread ->
     extraction/probe/decide worker pool -> ordered writer, with zero
     per-record Python work. Used when the decision would run on the host
-    anyway (HostDecider), debug is off and a local index is loaded. Returns
-    True when it ran (stats filled, output files written and finished);
-    False to fall back to the Python-orchestrated path."""
-    if index is None or config.debug or not isinstance(decider, HostDecider):
+    anyway (HostDecider), debug is off and a local index is loaded (or a
+    prebuilt sidecar `probe` is passed, in which case the hash array was
+    never decoded). Returns True when it ran (stats filled, output files
+    written and finished); False to fall back to the Python path."""
+    if probe is None and (
+        index is None or config.debug or not isinstance(decider, HostDecider)
+    ):
         return False
     if config.device != "auto":
         return False  # numpy = pure-Python oracle path; tpu/cpu = device path
@@ -330,15 +334,45 @@ def _run_native_pipeline(
 
         if get_lib() is None:
             return False
-        probe = native_probe(index.hashes)
+        saver = None
         if probe is None:
-            return False
+            probe = native_probe(index.hashes)
+            if probe is None:
+                return False
+            # Persist the finished table next to the index so later runs
+            # mmap it and skip both the hash decode and the build (15-50 s
+            # each at panhuman scale). The write overlaps the filtering on
+            # a background thread (queries only read the table). Opt out
+            # with DEACON_PROBE_CACHE=0; =1 forces it for small indexes.
+            import os as _os
+
+            cache = _os.environ.get("DEACON_PROBE_CACHE", "")
+            if cache != "0" and (
+                cache == "1" or index.hashes.size >= 4_000_000
+            ):
+                import threading as _threading
+
+                from ..io.native_loader import native_probe_save_sidecar
+
+                n_keys = int(index.hashes.size)
+
+                def _save():
+                    try:
+                        native_probe_save_sidecar(
+                            probe, str(config.minimizers_path), n_keys
+                        )
+                    except Exception:
+                        pass
+
+                saver = _threading.Thread(target=_save, daemon=True)
+                saver.start()
     except Exception:
         return False
-    # The probe table owns its copy of the keys; dropping the decoded hash
-    # array here halves steady-state memory at panhuman scale (the run
-    # finishes through _finish_run without touching the index again).
-    object.__setattr__(index, "hashes", None)
+    if index is not None:
+        # The probe table owns its copy of the keys; dropping the decoded
+        # hash array here halves steady-state memory at panhuman scale (the
+        # run finishes through _finish_run without touching the index again).
+        object.__setattr__(index, "hashes", None)
 
     import threading
 
@@ -382,6 +416,8 @@ def _run_native_pipeline(
         stop.set()
         poller.join()
         spinner.finish()
+        if saver is not None:
+            saver.join()
     stats.total_seqs = int(progress[0])
     stats.filtered_seqs = int(progress[1])
     stats.total_bp = int(progress[2])
@@ -422,6 +458,7 @@ def run(config: FilterConfig) -> None:
     # ------------------------------------------------------------------
     # Index / backend
     # ------------------------------------------------------------------
+    sidecar_probe = None
     if config.minimizers_path is not None:
         if getattr(config, "mesh", None) == "pod":
             # pod mode never materializes the full index on any host —
@@ -432,9 +469,34 @@ def run(config: FilterConfig) -> None:
             index = None
             backend = None
         else:
-            index = load_index(config.minimizers_path)
-            header = index.header
-            backend = LocalBackend(index)
+            if (
+                config.device == "auto"
+                and not config.debug
+                and getattr(config, "mesh", None) is None
+            ):
+                # Sidecar fast path: a valid `<index>.probe` (bound to the
+                # index file's count+size+mtime) carries the finished probe
+                # table, so the native pipeline can start without decoding
+                # the hash array at all (~40-70 s saved at panhuman scale).
+                try:
+                    from ..index.store import load_header_and_count
+                    from ..io.native_loader import native_probe_load_sidecar
+
+                    header, count = load_header_and_count(
+                        config.minimizers_path
+                    )
+                    sidecar_probe = native_probe_load_sidecar(
+                        str(config.minimizers_path), count
+                    )
+                except Exception:
+                    sidecar_probe = None
+            if sidecar_probe is None:
+                index = load_index(config.minimizers_path)
+                header = index.header
+                backend = LocalBackend(index)
+            else:
+                index = None
+                backend = None
         summary_index = str(config.minimizers_path)
     elif config.server_address is not None:
         from ..server.client import RemoteBackend
@@ -451,9 +513,23 @@ def run(config: FilterConfig) -> None:
     if not quiet:
         _eprint(f"Loaded index (k={k}, w={w}) in {_fmt_duration(load_time)}")
 
+    stats = FilterStats()
+    filtering_start = time.monotonic()
+    if sidecar_probe is not None:
+        if _run_native_pipeline(
+            config, None, None, k, w, stats, quiet, filtering_start,
+            probe=sidecar_probe,
+        ):
+            _finish_run(config, stats, start_time, quiet, tool_version,
+                        summary_index, k, w)
+            return
+        # native path declined despite a valid sidecar (e.g. forced device
+        # override slipped through): fall back to the full load
+        index = load_index(config.minimizers_path)
+        backend = LocalBackend(index)
+
     decider = make_decider(index, backend, k, w, config)
 
-    stats = FilterStats()
     filtering_start = time.monotonic()
     if _run_native_pipeline(
         config, index, decider, k, w, stats, quiet, filtering_start

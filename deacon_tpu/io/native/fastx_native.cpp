@@ -24,7 +24,10 @@
 #include <vector>
 
 #include <lzma.h>
+#include <fcntl.h>
 #include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <zlib.h>
 #include <zstd.h>
 
@@ -1226,6 +1229,86 @@ void* dx_probe_build(const uint64_t* keys, int64_t n) {
   }
   // a zero KEY scrambles to zero; probe_fill flagged it as has_zero, which
   // matches lookup's pre-scramble v==0 check. Nothing more to do.
+  return t;
+}
+
+// ---- probe sidecar cache --------------------------------------------------
+// Building the probe table at panhuman scale costs 15-50 s (one sequential
+// pass, but 4.8 GB of first-touch page zeroing); a sidecar file next to the
+// index lets subsequent filter runs mmap the finished table instead —
+// and skip decoding the 3.4 GB hash array entirely. The sidecar is bound
+// to the index file by (key count, file size, mtime_ns).
+
+struct ProbeFileHdr {
+  char magic[8];  // "DXPROBE1"
+  int64_t key_count;
+  int64_t n_slots;
+  int64_t idx_size;
+  int64_t idx_mtime_ns;
+  uint64_t mix;
+  uint8_t has_zero;
+  uint8_t pad[7];
+};
+static_assert(sizeof(ProbeFileHdr) == 56, "sidecar header layout");
+constexpr int64_t kProbeFileDataOff = 4096;  // page-aligned slots blob
+
+// Returns 0 on success. Writes tmp + rename so readers never see a torn file.
+int dx_probe_save(void* handle, const char* path, int64_t key_count,
+                  int64_t idx_size, int64_t idx_mtime_ns) {
+  auto* t = static_cast<ProbeTable*>(handle);
+  std::string tmp = std::string(path) + ".tmp";
+  FILE* f = fopen(tmp.c_str(), "wb");
+  if (!f) return -1;
+  ProbeFileHdr h{};
+  memcpy(h.magic, "DXPROBE1", 8);
+  h.key_count = key_count;
+  h.n_slots = t->n_slots;
+  h.idx_size = idx_size;
+  h.idx_mtime_ns = idx_mtime_ns;
+  h.mix = t->mix;
+  h.has_zero = t->has_zero ? 1 : 0;
+  uint8_t zero_page[kProbeFileDataOff] = {};
+  memcpy(zero_page, &h, sizeof(h));
+  bool ok = fwrite(zero_page, 1, kProbeFileDataOff, f) == kProbeFileDataOff &&
+            fwrite(t->slots, 1, t->map_bytes, f) == t->map_bytes;
+  ok = fclose(f) == 0 && ok;
+  if (!ok || rename(tmp.c_str(), path) != 0) {
+    remove(tmp.c_str());
+    return -1;
+  }
+  return 0;
+}
+
+// Returns a read-only file-backed ProbeTable, or NULL when the sidecar is
+// missing, malformed, or does not match the index file identity.
+void* dx_probe_load(const char* path, int64_t expect_count, int64_t idx_size,
+                    int64_t idx_mtime_ns) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  ProbeFileHdr h{};
+  struct stat st;
+  if (read(fd, &h, sizeof(h)) != (ssize_t)sizeof(h) || fstat(fd, &st) != 0 ||
+      memcmp(h.magic, "DXPROBE1", 8) != 0 || h.key_count != expect_count ||
+      h.idx_size != idx_size || h.idx_mtime_ns != idx_mtime_ns ||
+      h.n_slots <= 0) {
+    close(fd);
+    return nullptr;
+  }
+  size_t map_bytes = (size_t)(h.n_slots + kProbeSpill) * 8;
+  if ((int64_t)st.st_size != kProbeFileDataOff + (int64_t)map_bytes) {
+    close(fd);
+    return nullptr;
+  }
+  void* m = mmap(nullptr, map_bytes, PROT_READ, MAP_PRIVATE, fd,
+                 kProbeFileDataOff);
+  close(fd);
+  if (m == MAP_FAILED) return nullptr;
+  auto* t = new ProbeTable();
+  t->slots = (uint64_t*)m;
+  t->map_bytes = map_bytes;
+  t->n_slots = h.n_slots;
+  t->has_zero = h.has_zero != 0;
+  t->mix = h.mix;
   return t;
 }
 

@@ -126,6 +126,15 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
         lib.dx_probe_build.restype = ctypes.c_void_p
         lib.dx_probe_build.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.dx_probe_save.restype = ctypes.c_int
+        lib.dx_probe_save.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.dx_probe_load.restype = ctypes.c_void_p
+        lib.dx_probe_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.dx_probe_free.argtypes = [ctypes.c_void_p]
         lib.dx_probe_query.restype = None
         lib.dx_probe_query.argtypes = [
@@ -350,6 +359,50 @@ def native_probe(keys: np.ndarray):
     if lib is None:
         return None
     return NativeProbe(keys, lib)
+
+
+def _probe_sidecar_identity(index_path: str) -> tuple[str, int, int]:
+    st = os.stat(index_path)
+    return (
+        str(index_path) + ".probe",
+        int(st.st_size),
+        int(getattr(st, "st_mtime_ns", int(st.st_mtime * 1e9))),
+    )
+
+
+def native_probe_load_sidecar(index_path: str, expect_count: int):
+    """mmap a prebuilt probe table from `<index>.probe`, or None when the
+    sidecar is missing/stale (bound to the index file's size+mtime+count).
+    A hit removes both the multi-GB hash decode and the table build from
+    filter startup."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        sidecar, size, mtime_ns = _probe_sidecar_identity(index_path)
+    except OSError:
+        return None
+    h = lib.dx_probe_load(sidecar.encode(), expect_count, size, mtime_ns)
+    if not h:
+        return None
+    probe = NativeProbe.__new__(NativeProbe)
+    probe._lib = lib
+    probe._h = h
+    return probe
+
+
+def native_probe_save_sidecar(probe: "NativeProbe", index_path: str,
+                              key_count: int) -> bool:
+    lib = get_lib()
+    if lib is None or probe is None or not getattr(probe, "_h", None):
+        return False
+    try:
+        sidecar, size, mtime_ns = _probe_sidecar_identity(index_path)
+    except OSError:
+        return False
+    return lib.dx_probe_save(
+        probe._h, sidecar.encode(), key_count, size, mtime_ns
+    ) == 0
 
 
 def native_u64_sort_unique(vals: np.ndarray, n_threads: int = 0):

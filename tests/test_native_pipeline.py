@@ -218,3 +218,65 @@ def test_invalid_compression_level_native(ctx):
                     "--compression-level", "11", "-q"], expect_ok=False)
     assert proc.returncode != 0
     assert b"Invalid gzip compression level" in proc.stderr
+
+
+def test_probe_sidecar_roundtrip_and_invalidation(tmp_path, monkeypatch):
+    """`<index>.probe` lets warm runs skip hash decode + table build; it
+    must produce identical output and go stale when the index changes."""
+    import subprocess
+    import sys
+    import time as _time
+
+    import numpy as np
+
+    from deacon_tpu.io.native_loader import native_probe_load_sidecar
+
+    rng = np.random.default_rng(21)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = rng.choice(bases, size=40_000).astype(np.uint8)
+    fa = tmp_path / "g.fa"
+    fa.write_bytes(b">g\n" + genome.tobytes() + b"\n")
+    reads = tmp_path / "r.fq"
+    chunks = []
+    for i in range(20):
+        s = int(rng.integers(0, genome.size - 400))
+        seq = genome[s:s + 400] if i % 2 == 0 else rng.choice(bases, size=400)
+        chunks.append(b"@r%d\n" % i + seq.tobytes() + b"\n+\nI" * 1 +
+                      b"I" * 399 + b"\n")
+    reads.write_bytes(b"".join(chunks))
+    idx = tmp_path / "g.idx"
+    env = {"DEACON_PROBE_CACHE": "1"}
+
+    def run(out):
+        r = subprocess.run(
+            [sys.executable, "-m", "deacon_tpu", "filter", str(idx),
+             str(reads), "-o", str(out), "-d", "-q"],
+            capture_output=True, env={**__import__("os").environ, **env},
+        )
+        assert r.returncode == 0, r.stderr
+        return out.read_bytes()
+
+    subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "index", "build", str(fa),
+         "-o", str(idx), "-q"], check=True, capture_output=True)
+    cold = run(tmp_path / "cold.fq")
+    sidecar = tmp_path / "g.idx.probe"
+    assert sidecar.exists()
+    from deacon_tpu.index.store import load_header_and_count
+    _, count = load_header_and_count(idx)
+    assert native_probe_load_sidecar(str(idx), count) is not None
+    warm = run(tmp_path / "warm.fq")
+    assert warm == cold
+
+    # rebuilding the index with different content must invalidate the cache
+    _time.sleep(0.02)  # ensure mtime_ns moves even on coarse filesystems
+    fa.write_bytes(b">g\n" + genome[::-1].tobytes() + b"\n")
+    subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "index", "build", str(fa),
+         "-o", str(idx), "-q"], check=True, capture_output=True)
+    _, count2 = load_header_and_count(idx)
+    assert native_probe_load_sidecar(str(idx), count2) is None
+    # and a fresh run against the new index must still be correct (it
+    # rebuilds and re-saves the sidecar)
+    run(tmp_path / "fresh.fq")
+    assert native_probe_load_sidecar(str(idx), count2) is not None
