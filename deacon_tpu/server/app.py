@@ -57,6 +57,31 @@ class ServerState:
                     file=sys.stderr,
                 )
             probe = DeviceHashProbe(self.index.hashes, mesh=m)
+        else:
+            # host mode: pre-build the membership table now (not lazily on
+            # the first request) — via the '<index>.probe' sidecar when one
+            # is valid, saving the build and making startup predictable
+            try:
+                from ..index.store import load_header_and_count
+                from ..io.native_loader import (
+                    native_probe,
+                    native_probe_load_sidecar,
+                    native_probe_save_sidecar,
+                )
+
+                _, count = load_header_and_count(index_path)
+                nprobe = native_probe_load_sidecar(str(index_path), count)
+                if nprobe is None:
+                    nprobe = native_probe(self.index.hashes)
+                    if nprobe is not None and len(self.index) >= 4_000_000:
+                        native_probe_save_sidecar(
+                            nprobe, str(index_path), len(self.index)
+                        )
+                if nprobe is not None:
+                    probe = lambda q: nprobe.query(q)  # noqa: E731
+                    self._nprobe = nprobe  # keep the table alive
+            except Exception:
+                probe = None
         self.backend = LocalBackend(self.index, probe=probe)
         print("Loaded index!", file=sys.stderr)
 
