@@ -1256,7 +1256,10 @@ constexpr int64_t kProbeFileDataOff = 4096;  // page-aligned slots blob
 int dx_probe_save(void* handle, const char* path, int64_t key_count,
                   int64_t idx_size, int64_t idx_mtime_ns) {
   auto* t = static_cast<ProbeTable*>(handle);
-  std::string tmp = std::string(path) + ".tmp";
+  // pid-unique temp name: two concurrent first-runs would otherwise
+  // interleave writes into one tmp file and rename the corrupt result
+  std::string tmp =
+      std::string(path) + ".tmp." + std::to_string((long)getpid());
   FILE* f = fopen(tmp.c_str(), "wb");
   if (!f) return -1;
   ProbeFileHdr h{};
