@@ -149,3 +149,26 @@ def test_parse_error_surfaces(tmp_path):
     r = open_native_reader(str(path))
     with pytest.raises(fastx.FastxParseError):
         parse_all(r)
+
+
+def test_counting_set_matches_python_set():
+    from deacon_tpu.io.native_loader import NativeCountingSet
+
+    rng = np.random.default_rng(13)
+    for hint in (0, 1_000_000):
+        cs = NativeCountingSet(capacity_hint=hint)
+        ref: set = set()
+        for _ in range(8):
+            keys = rng.integers(0, 5_000, size=int(rng.integers(1, 20_000)),
+                                dtype=np.uint64)
+            keys[0] = 0  # exercise the zero-key (sentinel) path
+            new = cs.insert(keys, n_threads=2)
+            before = len(ref)
+            ref.update(keys.tolist())
+            assert new == len(ref) - before
+            assert len(cs) == len(ref)
+        out = cs.export_sorted()
+        np.testing.assert_array_equal(
+            out, np.array(sorted(ref), dtype=np.uint64)
+        )
+        cs.close()
