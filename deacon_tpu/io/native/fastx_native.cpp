@@ -1306,6 +1306,9 @@ void* dx_probe_load(const char* path, int64_t expect_count, int64_t idx_size,
                  kProbeFileDataOff);
   close(fd);
   if (m == MAP_FAILED) return nullptr;
+  // kick off sequential readahead: probes touch the table randomly, and
+  // random 4 KB faults from disk are far slower than one streaming pass
+  madvise(m, map_bytes, MADV_WILLNEED);
   auto* t = new ProbeTable();
   t->slots = (uint64_t*)m;
   t->map_bytes = map_bytes;
