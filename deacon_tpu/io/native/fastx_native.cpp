@@ -200,8 +200,24 @@ struct DxReader {
   // bytes go decompression buffer -> here, and the caller reads in place)
   std::vector<uint8_t> batch_arena;
   std::vector<int64_t> batch_meta;
+  // bytes handed back by the chunk-parallel reader when it bails to the
+  // serial path (anomalous input or EOF tail): drained before src
+  std::vector<uint8_t> replay;
+  size_t replay_pos = 0;
 
   bool refill() {
+    if (replay_pos < replay.size()) {
+      size_t take = std::min(replay.size() - replay_pos, buf.size());
+      memcpy(buf.data(), replay.data() + replay_pos, take);
+      replay_pos += take;
+      if (replay_pos >= replay.size()) {
+        replay.clear();
+        replay_pos = 0;
+      }
+      pos = 0;
+      len = take;
+      return true;
+    }
     if (eof) return false;
     int64_t got = src.read(buf.data(), buf.size());
     if (got < 0) {
@@ -2187,6 +2203,7 @@ struct StageProf {
   bool on = false;
   std::atomic<int64_t> parse{0};          // reader: record parsing
   std::atomic<int64_t> reader_stall{0};   // reader: waiting to hand off
+  std::atomic<int64_t> wparse{0};         // workers: chunk parsing
   std::atomic<int64_t> extract{0};        // workers: minimizer extraction
   std::atomic<int64_t> probe{0};          // workers: membership + distinct
   std::atomic<int64_t> format{0};         // workers: record formatting
@@ -2212,6 +2229,8 @@ static inline int64_t now_cpu_ns() {  // this thread's CPU time: compute
 struct FBatch {
   int64_t seq_no = 0;
   int64_t n_units = 0;  // records (single) or pairs (paired)
+  int raw_kind = 0;     // 0 = meta filled; 1/2 = unparsed FASTQ/FASTA chunk
+                        // (chunk-parallel mode: the worker parses it)
   bool paired = false;
   std::vector<uint8_t> arena;
   std::vector<int64_t> meta;  // 6 per record: id_off,id_len,seq_off,seq_len,qual_off,qual_len
@@ -2279,6 +2298,7 @@ struct FilterJob {
   std::atomic<int64_t> total_batches{-1};
   std::atomic<bool> failed{false};
   int n_workers = 1;                  // worker-pool size
+  bool chunk_parse = false;           // single-end chunk-parallel parsing
   std::atomic<int> busy_workers{0};   // workers currently inside a batch
   // recycled batch buffers: arenas/meta/outputs keep their capacity, so
   // steady state allocates nothing per batch (glibc returns multi-MB frees
@@ -2298,6 +2318,7 @@ struct FilterJob {
   }
   void put_batch(FBatch* b) {
     b->n_units = 0;
+    b->raw_kind = 0;
     b->formatted = false;
     b->arena.clear();
     b->meta.clear();
@@ -2414,6 +2435,8 @@ static void format_kept(const FBatch& b, bool split2,
 static bool compress_member(int codec, int level, std::vector<uint8_t>& in,
                             std::vector<uint8_t>& out,
                             bool emit_empty = false);
+static bool parse_raw_chunk_fastq(FBatch& b, std::string& err);
+static bool parse_raw_chunk_fasta(FBatch& b, std::string& err);
 
 static void filter_worker(FilterJob& J) {
   ExtractScratch scr;
@@ -2430,6 +2453,20 @@ static void filter_worker(FilterJob& J) {
       continue;
     }
     J.busy_workers.fetch_add(1);
+    if (b->raw_kind) {
+      const int64_t t_wp0 = J.prof.on ? now_cpu_ns() : 0;
+      std::string perr;
+      bool ok = b->raw_kind == 1 ? parse_raw_chunk_fastq(*b, perr)
+                                 : parse_raw_chunk_fasta(*b, perr);
+      b->raw_kind = 0;
+      if (J.prof.on) J.prof.wparse.fetch_add(now_cpu_ns() - t_wp0);
+      if (!ok) {
+        J.fail(perr);
+        J.busy_workers.fetch_sub(1);
+        delete b;
+        continue;
+      }
+    }
     b->keep.resize(b->n_units);
     const int recs_per_unit = b->paired ? 2 : 1;
     int64_t extract_ns = 0, probe_ns = 0, t_u0 = 0;
@@ -2718,9 +2755,277 @@ static void filter_writer(FilterJob& J) {
 constexpr int64_t kBatchRecords = 10000;  // ref: src/remote_filter.rs:727
 constexpr int64_t kBatchArena = 8 << 20;
 
+// ---------------------------------------------------------------------------
+// Chunk-parallel parsing (single-end inputs). A lone reader thread parsing
+// records caps end-to-end throughput at one core's parse speed (~200 MB/s
+// here) no matter how many workers extract — the same wall the reference
+// clears with paraseq's worker-side record parsing. Here the reader only
+// streams raw chunks and splits them at record boundaries — FASTQ records
+// are exactly 4 lines, so the split is the position of the last newline
+// whose running count is a multiple of 4; FASTA splits before the last
+// "\n>" — and each worker parses its own chunk in place. Inputs the phase
+// rule can't handle (blank lines, CR line endings, EOF tails without a
+// final newline) fall back to the proven serial reader mid-stream via
+// DxReader::replay. Disable with DEACON_CHUNK_PARSE=0.
+// ---------------------------------------------------------------------------
+
+constexpr int64_t kRawChunk = 8 << 20;
+
+// Parse a raw FASTQ chunk (complete 4-line records, ends with '\n') into
+// meta. Returns false with `err` set on malformed records.
+static bool parse_raw_chunk_fastq(FBatch& b, std::string& err) {
+  const uint8_t* a = b.arena.data();
+  const int64_t n = (int64_t)b.arena.size();
+  int64_t pos = 0;
+  auto next_nl = [&](int64_t p) -> int64_t {
+    const void* q = memchr(a + p, '\n', (size_t)(n - p));
+    return q ? (int64_t)((const uint8_t*)q - a) : -1;
+  };
+  while (pos < n) {
+    if (a[pos] != '@') {
+      err = "Record marker mismatch";
+      return false;
+    }
+    int64_t e0 = next_nl(pos);
+    if (e0 < 0) {
+      err = "Truncated FASTQ record";
+      return false;
+    }
+    int64_t s_off = e0 + 1;
+    int64_t e1 = next_nl(s_off);
+    if (e1 < 0) {
+      err = "Truncated FASTQ record";
+      return false;
+    }
+    int64_t p_off = e1 + 1;
+    int64_t e2 = next_nl(p_off);
+    if (e2 < 0 || p_off >= n || a[p_off] != '+') {
+      err = "Expected '+' separator";
+      return false;
+    }
+    int64_t q_off = e2 + 1;
+    int64_t e3 = next_nl(q_off);
+    if (e3 < 0) {
+      err = "Truncated FASTQ record (missing quality)";
+      return false;
+    }
+    if (e3 - q_off != e1 - s_off) {
+      err = "Quality length != sequence length";
+      return false;
+    }
+    int64_t m[6] = {pos + 1, e0 - pos - 1, s_off, e1 - s_off, q_off,
+                    e3 - q_off};
+    b.meta.insert(b.meta.end(), m, m + 6);
+    b.n_units++;
+    pos = e3 + 1;
+  }
+  return true;
+}
+
+// Parse a raw FASTA chunk (every record starts at a '>' line; the chunk
+// starts at one and ends with '\n'). Multi-line sequences are compacted in
+// place so each sequence is one contiguous (off, len) span, exactly like
+// the serial parser's appended lines.
+static bool parse_raw_chunk_fasta(FBatch& b, std::string& err) {
+  uint8_t* a = b.arena.data();
+  const int64_t n = (int64_t)b.arena.size();
+  int64_t pos = 0;
+  auto next_nl = [&](int64_t p) -> int64_t {
+    const void* q = memchr(a + p, '\n', (size_t)(n - p));
+    return q ? (int64_t)((const uint8_t*)q - a) : n;
+  };
+  while (pos < n) {
+    while (pos < n && a[pos] == '\n') pos++;  // blank lines between records
+    if (pos >= n) break;
+    if (a[pos] != '>') {
+      err = "Record marker mismatch";
+      return false;
+    }
+    int64_t e0 = next_nl(pos);
+    int64_t id_len = e0 - pos - 1;
+    if (id_len > 0 && a[e0 - 1] == '\r') id_len--;
+    int64_t seq_off = e0 < n ? e0 + 1 : n;
+    int64_t w = seq_off, p = seq_off;
+    while (p < n && a[p] != '>') {
+      int64_t e = next_nl(p);
+      int64_t L = e - p;
+      if (L > 0 && a[e - 1] == '\r') L--;
+      if (w != p && L > 0) memmove(a + w, a + p, (size_t)L);
+      w += L;
+      p = e + 1;
+    }
+    int64_t m[6] = {pos + 1, id_len, seq_off, w - seq_off, -1, 0};
+    b.meta.insert(b.meta.end(), m, m + 6);
+    b.n_units++;
+    pos = p;
+  }
+  return true;
+}
+
+// One pass over a chunk: newline count plus the anomalies that break the
+// FASTQ 4-line phase rule (blank lines, CR endings). Plain byte compares —
+// the compiler vectorizes both loops.
+static void scan_chunk(const uint8_t* a, int64_t n, int64_t* newlines,
+                       bool* anomaly) {
+  int64_t cnt = 0;
+  uint8_t bad = 0;
+  for (int64_t i = 0; i < n; i++) {
+    cnt += a[i] == '\n';
+    bad |= a[i] == '\r';
+  }
+  for (int64_t i = 0; i + 1 < n; i++)
+    bad |= (a[i] == '\n') & (a[i + 1] == '\n');
+  *newlines = cnt;
+  *anomaly = bad != 0;
+}
+
+static int64_t nth_newline_from_end(const uint8_t* a, int64_t n, int64_t k) {
+  int64_t i = n;
+  while (k-- > 0) {
+    const void* p = memrchr(a, '\n', (size_t)i);
+    if (!p) return -1;
+    i = (int64_t)((const uint8_t*)p - a);
+  }
+  return i;
+}
+
+// Chunk-parallel reader loop (single-end only). Returns true when the
+// stream was fully consumed (or the job failed); false to bail — the
+// unconsumed bytes are loaded into r->replay and the caller's serial loop
+// continues from `seq_no`.
+static bool filter_reader_chunked(FilterJob& J, DxReader* r,
+                                  int64_t& seq_no) {
+  std::vector<uint8_t> carry;
+  int kind = 0;  // 1 fastq, 2 fasta
+  while (!J.failed.load()) {
+    FBatch* b = J.get_batch();
+    b->seq_no = seq_no;
+    b->paired = false;
+    const int64_t t0 = J.prof.on ? now_ns() : 0;
+    // assemble carry + one raw chunk (loop reads until full or EOF)
+    b->arena.resize(carry.size() + kRawChunk);
+    if (!carry.empty()) memcpy(b->arena.data(), carry.data(), carry.size());
+    int64_t filled = (int64_t)carry.size();
+    bool eof = false;
+    while (filled < (int64_t)b->arena.size()) {
+      int64_t got = r->src.read(b->arena.data() + filled,
+                                (size_t)((int64_t)b->arena.size() - filled));
+      if (got < 0) {
+        J.put_batch(b);
+        J.fail("decompression/read error");
+        return true;
+      }
+      if (got == 0) {
+        eof = true;
+        break;
+      }
+      filled += got;
+    }
+    b->arena.resize((size_t)filled);
+    carry.clear();
+    if (filled == 0) {
+      J.put_batch(b);
+      return true;  // clean EOF
+    }
+    if (kind == 0) {
+      uint8_t first = b->arena[0];
+      if (first == '@') kind = 1;
+      else if (first == '>') kind = 2;
+      else {
+        // leading blank line or unknown marker: let the serial parser
+        // produce its exact error / blank-skip behavior
+        r->replay.assign(b->arena.begin(), b->arena.end());
+        J.put_batch(b);
+        return false;
+      }
+      r->is_fastq = kind == 1 ? 1 : 0;
+    }
+    int64_t cut;  // arena[0, cut) parses here; the rest carries over
+    if (kind == 1) {
+      int64_t newlines = 0;
+      bool anomaly = false;
+      scan_chunk(b->arena.data(), filled, &newlines, &anomaly);
+      if (anomaly) {
+        r->replay.assign(b->arena.begin(), b->arena.end());
+        J.put_batch(b);
+        return false;
+      }
+      int64_t groups = newlines / 4;
+      if (groups == 0) {
+        if (eof) {
+          r->replay.assign(b->arena.begin(), b->arena.end());
+          J.put_batch(b);
+          return false;  // partial record tail: serial handles EOF rules
+        }
+        carry.assign(b->arena.begin(), b->arena.end());
+        J.put_batch(b);
+        continue;  // record larger than the chunk: accumulate
+      }
+      int64_t cut_nl =
+          nth_newline_from_end(b->arena.data(), filled, newlines % 4 + 1);
+      cut = cut_nl + 1;
+    } else {
+      // FASTA: split before the last "\n>"; carry the final record
+      cut = -1;
+      int64_t i = filled;
+      while (i > 1) {
+        const void* p = memrchr(b->arena.data(), '>', (size_t)i);
+        if (!p) break;
+        int64_t q = (int64_t)((const uint8_t*)p - b->arena.data());
+        if (q > 0 && b->arena[q - 1] == '\n') {
+          cut = q;
+          break;
+        }
+        i = q;
+      }
+      if (cut <= 0) {
+        if (eof) {
+          r->replay.assign(b->arena.begin(), b->arena.end());
+          J.put_batch(b);
+          return false;  // single trailing record: serial handles EOF rules
+        }
+        carry.assign(b->arena.begin(), b->arena.end());
+        J.put_batch(b);
+        continue;
+      }
+    }
+    if (cut < filled)
+      carry.assign(b->arena.begin() + cut, b->arena.end());
+    b->arena.resize((size_t)cut);
+    b->raw_kind = kind;
+    b->n_units = 0;
+    if (J.prof.on) J.prof.parse.fetch_add(now_ns() - t0);
+    seq_no++;
+    const int64_t t_push0 = J.prof.on ? now_ns() : 0;
+    if (!J.work.push(b)) {
+      delete b;
+      return true;
+    }
+    if (J.prof.on) J.prof.reader_stall.fetch_add(now_ns() - t_push0);
+    if (eof) {
+      if (!carry.empty()) {
+        r->replay.assign(carry.begin(), carry.end());
+        return false;  // EOF tail (e.g. no final newline): serial finishes
+      }
+      return true;
+    }
+  }
+  return true;
+}
+
 // reader thread body; mode: 0 single, 1 paired (two readers), 2 interleaved
 static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
   int64_t seq_no = 0;
+  if (mode == 0 && J.chunk_parse) {
+    if (filter_reader_chunked(J, r1, seq_no)) {
+      J.total_batches.store(seq_no);
+      J.work.close();
+      J.done_cv.notify_all();
+      return;
+    }
+    // anomalous input or EOF tail: r1->replay holds the unconsumed bytes
+    // and the serial loop below continues from the same batch number
+  }
   int64_t interleaved_count = 0;
   bool eof = false;
   while (!eof && !J.failed.load()) {
@@ -2885,6 +3190,19 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
     n_threads = hw > 0 ? hw : 1;
   }
   J.n_workers = n_threads;
+  {
+    // Chunk-parallel parsing pays when the worker pool is wide enough
+    // that a serial parsing reader would be the throughput ceiling; on
+    // narrow machines it only adds scan work to saturated cores
+    // (measured ~15% slower on 2 vCPUs for short reads). Env overrides:
+    // DEACON_CHUNK_PARSE=1 forces on, =0 forces off.
+    int hw = (int)std::thread::hardware_concurrency();
+    int effective = hw > 0 && hw < n_threads ? hw : n_threads;
+    const char* cp = getenv("DEACON_CHUNK_PARSE");
+    if (cp && cp[0] == '0') J.chunk_parse = false;
+    else if (cp && cp[0] == '1') J.chunk_parse = true;
+    else J.chunk_parse = effective >= 4;
+  }
 
   std::vector<std::thread> workers;
   for (int t = 0; t < n_threads; t++)
@@ -2927,11 +3245,12 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
     fprintf(stderr,
             "DEACON_NATIVE_PROFILE (ms; compute=thread-CPU, io/stall=wall; %d workers)\n"
             "  reader: parse=%.1f stall=%.1f\n"
-            "  workers: extract=%.1f probe=%.1f format=%.1f compress=%.1f "
-            "stall=%.1f\n"
+            "  workers: parse=%.1f extract=%.1f probe=%.1f format=%.1f "
+            "compress=%.1f stall=%.1f\n"
             "  writer: emit=%.1f write=%.1f stall=%.1f\n",
             J.n_workers, ms(J.prof.parse), ms(J.prof.reader_stall),
-            ms(J.prof.extract), ms(J.prof.probe), ms(J.prof.format),
+            ms(J.prof.wparse), ms(J.prof.extract), ms(J.prof.probe),
+            ms(J.prof.format),
             ms(J.prof.compress), ms(J.prof.worker_stall), ms(J.prof.emit),
             ms(J.prof.write), ms(J.prof.writer_stall));
   }

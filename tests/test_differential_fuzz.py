@@ -172,3 +172,15 @@ def test_native_vs_python_differential(tmp_path, seed):
         sa.pop(key, None)
         sb.pop(key, None)
     assert sa == sb
+
+    # chunk-parallel parsing (forced: the adaptive default disables it on
+    # narrow CI boxes) must match byte-for-byte on single-end inputs
+    if mode == "single":
+        out_c = tmp_path / f"c.out{ext}"
+        rc = _run(
+            args + ["-o", str(out_c), "--quiet"] + flags,
+            env_extra={"DEACON_CHUNK_PARSE": "1"},
+            stdin=stdin,
+        )
+        assert rc.returncode == 0, rc.stderr.decode()
+        assert content(out_c) == content(out_a)
