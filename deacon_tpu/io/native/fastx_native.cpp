@@ -2320,7 +2320,9 @@ struct FilterJob {
     b->n_units = 0;
     b->raw_kind = 0;
     b->formatted = false;
-    b->arena.clear();
+    // arena keeps its SIZE (not just capacity): the chunked reader's
+    // resize() then only zero-fills past the high-water mark; the serial
+    // reader clears it on acquisition
     b->meta.clear();
     b->keep.clear();
     b->cout1.clear();
@@ -2879,10 +2881,22 @@ static void scan_chunk(const uint8_t* a, int64_t n, int64_t* newlines,
   *anomaly = bad != 0;
 }
 
+// memrchr is a GNU extension; keep the file building on non-glibc
+static inline const void* dx_memrchr(const void* s, int c, size_t n) {
+#ifdef __GLIBC__
+  return memrchr(s, c, n);
+#else
+  const uint8_t* p = (const uint8_t*)s;
+  while (n--)
+    if (p[n] == (uint8_t)c) return p + n;
+  return nullptr;
+#endif
+}
+
 static int64_t nth_newline_from_end(const uint8_t* a, int64_t n, int64_t k) {
   int64_t i = n;
   while (k-- > 0) {
-    const void* p = memrchr(a, '\n', (size_t)i);
+    const void* p = dx_memrchr(a, '\n', (size_t)i);
     if (!p) return -1;
     i = (int64_t)((const uint8_t*)p - a);
   }
@@ -2895,6 +2909,11 @@ static int64_t nth_newline_from_end(const uint8_t* a, int64_t n, int64_t k) {
 // continues from `seq_no`.
 static bool filter_reader_chunked(FilterJob& J, DxReader* r,
                                   int64_t& seq_no) {
+  int64_t chunk_bytes = kRawChunk;
+  if (const char* cb = getenv("DEACON_CHUNK_BYTES")) {
+    int64_t v = atoll(cb);
+    if (v >= 256) chunk_bytes = v;  // test knob: tiny chunks exercise the
+  }                                 // carry/accumulate/bail machinery
   std::vector<uint8_t> carry;
   int kind = 0;  // 1 fastq, 2 fasta
   while (!J.failed.load()) {
@@ -2902,95 +2921,106 @@ static bool filter_reader_chunked(FilterJob& J, DxReader* r,
     b->seq_no = seq_no;
     b->paired = false;
     const int64_t t0 = J.prof.on ? now_ns() : 0;
-    // assemble carry + one raw chunk (loop reads until full or EOF)
-    b->arena.resize(carry.size() + kRawChunk);
+    // Accumulate reads in place until the arena holds at least one
+    // complete record; only the newly read tail is ever scanned, so a
+    // record spanning many chunks costs one pass, not one per chunk.
+    // resize() on a pool-recycled arena (put_batch keeps its size) only
+    // zero-fills when growing past the high-water mark.
+    if (b->arena.size() < carry.size() + (size_t)chunk_bytes)
+      b->arena.resize(carry.size() + (size_t)chunk_bytes);
     if (!carry.empty()) memcpy(b->arena.data(), carry.data(), carry.size());
     int64_t filled = (int64_t)carry.size();
-    bool eof = false;
-    while (filled < (int64_t)b->arena.size()) {
-      int64_t got = r->src.read(b->arena.data() + filled,
-                                (size_t)((int64_t)b->arena.size() - filled));
-      if (got < 0) {
-        J.put_batch(b);
-        J.fail("decompression/read error");
-        return true;
-      }
-      if (got == 0) {
-        eof = true;
-        break;
-      }
-      filled += got;
-    }
-    b->arena.resize((size_t)filled);
     carry.clear();
-    if (filled == 0) {
-      J.put_batch(b);
-      return true;  // clean EOF
-    }
-    if (kind == 0) {
-      uint8_t first = b->arena[0];
-      if (first == '@') kind = 1;
-      else if (first == '>') kind = 2;
-      else {
-        // leading blank line or unknown marker: let the serial parser
-        // produce its exact error / blank-skip behavior
-        r->replay.assign(b->arena.begin(), b->arena.end());
-        J.put_batch(b);
-        return false;
-      }
-      r->is_fastq = kind == 1 ? 1 : 0;
-    }
-    int64_t cut;  // arena[0, cut) parses here; the rest carries over
-    if (kind == 1) {
-      int64_t newlines = 0;
-      bool anomaly = false;
-      scan_chunk(b->arena.data(), filled, &newlines, &anomaly);
-      if (anomaly) {
-        r->replay.assign(b->arena.begin(), b->arena.end());
-        J.put_batch(b);
-        return false;
-      }
-      int64_t groups = newlines / 4;
-      if (groups == 0) {
-        if (eof) {
-          r->replay.assign(b->arena.begin(), b->arena.end());
+    int64_t scanned = 0;    // prefix already counted/checked
+    int64_t newlines = 0;   // FASTQ: '\n' count in [0, scanned)
+    bool eof = false;
+    int64_t cut = -1;  // arena[0, cut) parses here; the rest carries over
+    for (;;) {
+      int64_t want = filled + chunk_bytes;
+      if ((int64_t)b->arena.size() < want) b->arena.resize((size_t)want);
+      while (filled < want) {
+        int64_t got =
+            r->src.read(b->arena.data() + filled, (size_t)(want - filled));
+        if (got < 0) {
           J.put_batch(b);
-          return false;  // partial record tail: serial handles EOF rules
+          J.fail("decompression/read error");
+          return true;
         }
-        carry.assign(b->arena.begin(), b->arena.end());
-        J.put_batch(b);
-        continue;  // record larger than the chunk: accumulate
-      }
-      int64_t cut_nl =
-          nth_newline_from_end(b->arena.data(), filled, newlines % 4 + 1);
-      cut = cut_nl + 1;
-    } else {
-      // FASTA: split before the last "\n>"; carry the final record
-      cut = -1;
-      int64_t i = filled;
-      while (i > 1) {
-        const void* p = memrchr(b->arena.data(), '>', (size_t)i);
-        if (!p) break;
-        int64_t q = (int64_t)((const uint8_t*)p - b->arena.data());
-        if (q > 0 && b->arena[q - 1] == '\n') {
-          cut = q;
+        if (got == 0) {
+          eof = true;
           break;
         }
-        i = q;
+        filled += got;
       }
-      if (cut <= 0) {
-        if (eof) {
-          r->replay.assign(b->arena.begin(), b->arena.end());
-          J.put_batch(b);
-          return false;  // single trailing record: serial handles EOF rules
-        }
-        carry.assign(b->arena.begin(), b->arena.end());
+      if (filled == 0) {
         J.put_batch(b);
-        continue;
+        return true;  // clean EOF
       }
+      if (kind == 0) {
+        uint8_t first = b->arena[0];
+        if (first == '@') kind = 1;
+        else if (first == '>') kind = 2;
+        else {
+          // leading blank line or unknown marker: let the serial parser
+          // produce its exact error / blank-skip behavior
+          r->replay.assign(b->arena.begin(), b->arena.begin() + filled);
+          J.put_batch(b);
+          return false;
+        }
+        r->is_fastq = kind == 1 ? 1 : 0;
+      }
+      if (kind == 1) {
+        int64_t tail_nl = 0;
+        bool anomaly = false;
+        scan_chunk(b->arena.data() + scanned, filled - scanned, &tail_nl,
+                   &anomaly);
+        // blank-line pair straddling the scan boundary
+        if (scanned > 0 && b->arena[scanned - 1] == '\n' &&
+            b->arena[scanned] == '\n')
+          anomaly = true;
+        if (anomaly) {
+          r->replay.assign(b->arena.begin(), b->arena.begin() + filled);
+          J.put_batch(b);
+          return false;
+        }
+        newlines += tail_nl;
+        scanned = filled;
+        if (newlines / 4 > 0) {
+          int64_t cut_nl =
+              nth_newline_from_end(b->arena.data(), filled, newlines % 4 + 1);
+          cut = cut_nl + 1;
+          break;
+        }
+      } else {
+        // FASTA: the latest "\n>" boundary; earlier tails had none (else
+        // we would have cut there), so scan only the new tail
+        int64_t lo = scanned > 0 ? scanned - 1 : 0;
+        int64_t i = filled - lo;
+        const uint8_t* base = b->arena.data() + lo;
+        while (i > 1) {
+          const void* p = dx_memrchr(base, '>', (size_t)i);
+          if (!p) break;
+          int64_t q = (int64_t)((const uint8_t*)p - base);
+          if (q > 0 && base[q - 1] == '\n') {
+            cut = lo + q;
+            break;
+          }
+          i = q;
+        }
+        scanned = filled;
+        if (cut > 0) break;
+      }
+      if (eof) break;  // no boundary found in the whole stream tail
+    }
+    if (cut <= 0) {
+      // partial record tail at EOF (or a lone trailing record): the
+      // serial parser handles the EOF rules and exact error messages
+      r->replay.assign(b->arena.begin(), b->arena.begin() + filled);
+      J.put_batch(b);
+      return false;
     }
     if (cut < filled)
-      carry.assign(b->arena.begin() + cut, b->arena.end());
+      carry.assign(b->arena.begin() + cut, b->arena.begin() + filled);
     b->arena.resize((size_t)cut);
     b->raw_kind = kind;
     b->n_units = 0;
@@ -3032,6 +3062,7 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
     FBatch* b = J.get_batch();
     b->seq_no = seq_no;
     b->paired = mode != 0;
+    b->arena.clear();
     b->arena.reserve(kBatchArena + 65536);
     int64_t m1[6], m2[6];
     const int64_t t_parse0 = J.prof.on ? now_ns() : 0;

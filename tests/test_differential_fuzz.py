@@ -174,13 +174,64 @@ def test_native_vs_python_differential(tmp_path, seed):
     assert sa == sb
 
     # chunk-parallel parsing (forced: the adaptive default disables it on
-    # narrow CI boxes) must match byte-for-byte on single-end inputs
+    # narrow CI boxes) must match byte-for-byte on single-end inputs —
+    # both with the default chunk size (single-chunk happy path on these
+    # fixtures) and with a tiny chunk size that forces dozens of chunk
+    # boundaries, carry accumulation, and the EOF-tail handoff
     if mode == "single":
-        out_c = tmp_path / f"c.out{ext}"
-        rc = _run(
-            args + ["-o", str(out_c), "--quiet"] + flags,
-            env_extra={"DEACON_CHUNK_PARSE": "1"},
-            stdin=stdin,
-        )
-        assert rc.returncode == 0, rc.stderr.decode()
-        assert content(out_c) == content(out_a)
+        for chunk_env in ({}, {"DEACON_CHUNK_BYTES": "512"}):
+            out_c = tmp_path / f"c.out{ext}"
+            rc = _run(
+                args + ["-o", str(out_c), "--quiet"] + flags,
+                env_extra={"DEACON_CHUNK_PARSE": "1", **chunk_env},
+                stdin=stdin,
+            )
+            assert rc.returncode == 0, rc.stderr.decode()
+            assert content(out_c) == content(out_a), chunk_env
+
+
+@pytest.mark.parametrize("anomaly", ["crlf", "blank", "no_trailing_nl",
+                                     "giant_record"])
+def test_chunk_parse_bail_paths(tmp_path, anomaly):
+    """Anomalies past the first chunk must bail to the serial reader with
+    identical output; records larger than the chunk must accumulate."""
+    rng = np.random.default_rng(hash(anomaly) % 2**32)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = rng.choice(bases, 30_000).astype(np.uint8)
+    gpath = tmp_path / "g.fa"
+    gpath.write_bytes(b">g\n" + genome.tobytes() + b"\n")
+    idx = tmp_path / "g.idx"
+    r = _run(["index", "build", str(gpath), "-o", str(idx), "--quiet"])
+    assert r.returncode == 0, r.stderr.decode()
+
+    recs = []
+    for i in range(60):
+        L = int(rng.integers(50, 300))
+        seq = (genome[int(rng.integers(0, genome.size - L)):][:L]
+               if i % 2 == 0 else rng.choice(bases, size=L)).tobytes()
+        recs.append(b"@q%d\n" % i + seq + b"\n+\n" + b"F" * len(seq) + b"\n")
+    data = b"".join(recs)
+    if anomaly == "crlf":  # CRLF starts midway through the stream
+        half = len(data) // 2
+        cutp = data.rfind(b"\n@", 0, half) + 1
+        data = data[:cutp] + data[cutp:].replace(b"\n", b"\r\n")
+    elif anomaly == "blank":
+        cutp = data.rfind(b"\n@", 0, len(data) // 2) + 1
+        data = data[:cutp] + b"\n\n" + data[cutp:]
+    elif anomaly == "no_trailing_nl":
+        data = data[:-1]
+    else:  # giant_record: one sequence much larger than the chunk size
+        big = rng.choice(bases, 20_000).tobytes()
+        data = (b"@big\n" + big + b"\n+\n" + b"E" * len(big) + b"\n") + data
+    reads = tmp_path / "r.fq"
+    reads.write_bytes(data)
+
+    outs = []
+    for env in ({"DEACON_CHUNK_PARSE": "1", "DEACON_CHUNK_BYTES": "1024"},
+                {"DEACON_CHUNK_PARSE": "0"}):
+        out = tmp_path / "o.fq"
+        r = _run(["filter", str(idx), str(reads), "-o", str(out), "-d",
+                  "--quiet"], env_extra=env)
+        assert r.returncode == 0, (anomaly, env, r.stderr.decode())
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1], anomaly
