@@ -513,5 +513,19 @@ def diff(
             f"w={second_idx.header.window_size}, but first index has "
             f"k={first_idx.header.kmer_length}, w={first_idx.header.window_size}"
         )
-    remaining = np.setdiff1d(first_idx.hashes, second_idx.hashes, assume_unique=True)
+    remaining = None
+    try:
+        from ..io.native_loader import native_u64_diff_sorted_unique
+
+        # both sides are sorted-unique: one linear pass instead of
+        # np.setdiff1d's sort-based membership
+        remaining = native_u64_diff_sorted_unique(
+            first_idx.hashes, second_idx.hashes
+        )
+    except Exception:
+        remaining = None
+    if remaining is None:
+        remaining = np.setdiff1d(
+            first_idx.hashes, second_idx.hashes, assume_unique=True
+        )
     finish(remaining)

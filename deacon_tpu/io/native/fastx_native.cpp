@@ -799,6 +799,24 @@ int64_t dx_u64_merge_sorted_unique(const uint64_t* a, int64_t na,
   return o;
 }
 
+// A \ B for sorted-unique u64 arrays (one linear pass; out capacity >= na).
+int64_t dx_u64_diff_sorted_unique(const uint64_t* a, int64_t na,
+                                  const uint64_t* b, int64_t nb,
+                                  uint64_t* out) {
+  int64_t i = 0, j = 0, o = 0;
+  while (i < na && j < nb) {
+    uint64_t va = a[i], vb = b[j];
+    if (va < vb) out[o++] = a[i++];
+    else if (vb < va) j++;
+    else { i++; j++; }
+  }
+  if (i < na) {
+    memcpy(out + o, a + i, (size_t)(na - i) * 8);
+    o += na - i;
+  }
+  return o;
+}
+
 int dx_u64_sorted_unique(const uint64_t* vals, int64_t count) {
   for (int64_t i = 1; i < count; i++)
     if (vals[i] <= vals[i - 1]) return 0;

@@ -106,6 +106,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.dx_u64_diff_sorted_unique.restype = ctypes.c_int64
+        lib.dx_u64_diff_sorted_unique.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.dx_cset_new.restype = ctypes.c_void_p
         lib.dx_cset_new.argtypes = [ctypes.c_int64]
         lib.dx_cset_free.argtypes = [ctypes.c_void_p]
@@ -488,6 +493,24 @@ class NativeCountingSet:
             self.close()
         except Exception:
             pass
+
+
+def native_u64_diff_sorted_unique(a: np.ndarray, b: np.ndarray):
+    """A \\ B for sorted-unique uint64 arrays: one linear pass (native),
+    instead of np.setdiff1d's sort of the concatenation. Returns a fresh
+    array, or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty(a.size, dtype=np.uint64)
+    cnt = lib.dx_u64_diff_sorted_unique(
+        a.ctypes.data_as(ctypes.c_void_p), a.size,
+        b.ctypes.data_as(ctypes.c_void_p), b.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:cnt].copy() if cnt < out.size // 2 else out[:cnt]
 
 
 def native_u64_sorted_unique(vals: np.ndarray):

@@ -172,3 +172,16 @@ def test_counting_set_matches_python_set():
             out, np.array(sorted(ref), dtype=np.uint64)
         )
         cs.close()
+
+
+def test_diff_sorted_unique_matches_numpy():
+    from deacon_tpu.io.native_loader import native_u64_diff_sorted_unique
+
+    rng = np.random.default_rng(17)
+    for na, nb in [(0, 0), (0, 5), (5, 0), (1000, 30), (400, 400)]:
+        a = np.unique(rng.integers(0, 2_000, size=na).astype(np.uint64))
+        b = np.unique(rng.integers(0, 2_000, size=nb).astype(np.uint64))
+        out = native_u64_diff_sorted_unique(a, b)
+        np.testing.assert_array_equal(
+            out, np.setdiff1d(a, b, assume_unique=True)
+        )
