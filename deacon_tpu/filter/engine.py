@@ -342,30 +342,21 @@ def _run_native_pipeline(
             # Persist the finished table next to the index so later runs
             # mmap it and skip both the hash decode and the build (15-50 s
             # each at panhuman scale). The write overlaps the filtering on
-            # a background thread (queries only read the table). Opt out
-            # with DEACON_PROBE_CACHE=0; =1 forces it for small indexes.
-            import os as _os
+            # a background thread (queries only read the table); the
+            # DEACON_PROBE_CACHE policy lives in maybe_save_probe_sidecar.
+            import threading as _threading
 
-            cache = _os.environ.get("DEACON_PROBE_CACHE", "")
-            if cache != "0" and (
-                cache == "1" or index.hashes.size >= 4_000_000
-            ):
-                import threading as _threading
+            from ..io.native_loader import maybe_save_probe_sidecar
 
-                from ..io.native_loader import native_probe_save_sidecar
+            n_keys = int(index.hashes.size)
 
-                n_keys = int(index.hashes.size)
+            def _save():
+                maybe_save_probe_sidecar(
+                    probe, str(config.minimizers_path), n_keys
+                )
 
-                def _save():
-                    try:
-                        native_probe_save_sidecar(
-                            probe, str(config.minimizers_path), n_keys
-                        )
-                    except Exception:
-                        pass
-
-                saver = _threading.Thread(target=_save, daemon=True)
-                saver.start()
+            saver = _threading.Thread(target=_save, daemon=True)
+            saver.start()
     except Exception:
         return False
     if index is not None:

@@ -513,6 +513,20 @@ def native_u64_diff_sorted_unique(a: np.ndarray, b: np.ndarray):
     return out[:cnt].copy() if cnt < out.size // 2 else out[:cnt]
 
 
+def maybe_save_probe_sidecar(probe: "NativeProbe", index_path: str,
+                             key_count: int) -> bool:
+    """Policy-gated sidecar save shared by the filter engine and the
+    server: DEACON_PROBE_CACHE=0 never writes, =1 writes for any size,
+    default writes for indexes >= 4M keys (~40 MB sidecar)."""
+    cache = os.environ.get("DEACON_PROBE_CACHE", "")
+    if cache == "0" or (cache != "1" and key_count < 4_000_000):
+        return False
+    try:
+        return native_probe_save_sidecar(probe, index_path, key_count)
+    except Exception:
+        return False
+
+
 def native_u64_sorted_unique(vals: np.ndarray):
     """True/False, or None if the native lib is unavailable."""
     lib = get_lib()

@@ -944,6 +944,32 @@ class BudgetOverflow(RuntimeError):
     """Minimizer budget exceeded for a device batch; caller should fall back."""
 
 
+def rows_for_read(rid: int, mate: int, seq: bytes, prefix_length: int,
+                  *, k: int, l: int, stride: int, max_len: int):
+    """Split one read into device rows: prefix truncation, one trailing
+    newline stripped (ref: src/filter_common.rs:222-229), and chunking at
+    the overlap-preserving stride so every w-window lands in exactly one
+    chunk. Shared by the single-device and sharded pipelines."""
+    if len(seq) < k:
+        return []
+    eff = seq
+    if prefix_length > 0 and len(eff) > prefix_length:
+        eff = eff[:prefix_length]
+    if eff.endswith(b"\n"):
+        eff = eff[:-1]
+    n = len(eff)
+    if n < k:
+        return []
+    if n <= max_len:
+        return [_Row(rid, mate, 0, eff)]
+    rows = []
+    s = 0
+    while s <= n - l:
+        rows.append(_Row(rid, mate, s, eff[s : s + max_len]))
+        s += stride
+    return rows
+
+
 class DevicePipeline:
     """Fused extract+probe+count pipeline over a device-resident index.
 
@@ -1000,24 +1026,10 @@ class DevicePipeline:
     # host-side row construction
     # ------------------------------------------------------------------
     def _rows_for(self, rid: int, mate: int, seq: bytes, prefix_length: int):
-        if len(seq) < self.k:
-            return []
-        eff = seq
-        if prefix_length > 0 and len(eff) > prefix_length:
-            eff = eff[:prefix_length]
-        if eff.endswith(b"\n"):
-            eff = eff[:-1]
-        n = len(eff)
-        if n < self.k:
-            return []
-        if n <= self.L_max:
-            return [_Row(rid, mate, 0, eff)]
-        rows = []
-        s = 0
-        while s <= n - self.l:
-            rows.append(_Row(rid, mate, s, eff[s : s + self.L_max]))
-            s += self._stride
-        return rows
+        return rows_for_read(
+            rid, mate, seq, prefix_length,
+            k=self.k, l=self.l, stride=self._stride, max_len=self.L_max,
+        )
 
     def _tile_for(self, max_row_len: int) -> tuple[int, int]:
         for L, R in self.tiles:

@@ -7,13 +7,17 @@ per-shard membership merged with one psum over ICI/DCN.
 
 Each host runs the same CLI with:
 
-    python -m deacon_tpu filter INDEX READS_SHARD -o OUT_SHARD \
-        --device tpu ...                                    \
+    python -m deacon_tpu filter INDEX READS -o OUT --mesh pod ...
     # env: DEACON_COORD=host0:1234 DEACON_NUM_PROC=4 DEACON_PROC_ID=0..3
 
-Input sharding is by file (each host filters its own read shard — embarrassingly
-data-parallel, like running N deacon processes, but with the index split N
-ways instead of replicated N times).
+SPMD contract: EVERY rank must be fed the SAME input file — the global
+batch is identical on all ranks, each host holds only its 1/N value-range
+slice of the index, and the shard-axis psum merges per-slice membership
+bits for the same global rows (see ShardedDecider and tools/pod_worker.py).
+Feeding different read shards per rank would silently sum membership bits
+of unrelated reads. What scales across hosts is the INDEX (memory), not the
+input stream; split inputs across independent jobs if data parallelism
+over files is wanted.
 """
 
 from __future__ import annotations
@@ -101,22 +105,3 @@ def make_pod_pipeline_from_file(index_path: str, mesh=None, **kwargs):
         shards, header.kmer_length, header.window_size, mesh,
         pad_to=pad_to, max_run=16, **kwargs,
     )
-
-
-def make_pod_pipeline(index_hashes: np.ndarray, k: int, w: int, **kwargs):
-    """ShardedPipeline over every device in the pod slice: index sharded
-    across all chips ("shard" axis), rows data-parallel on the local host's
-    chips ("data" axis = per-process devices).
-
-    On a single host this degrades to the local mesh.
-    """
-    import jax
-
-    from .sharded import ShardedPipeline, make_mesh
-
-    n_total = len(jax.devices())
-    n_local = len(jax.local_devices())
-    n_data = max(1, n_local)
-    n_shard = max(1, n_total // n_data)
-    mesh = make_mesh(n_data, n_shard)
-    return ShardedPipeline(index_hashes, k, w, mesh, **kwargs)

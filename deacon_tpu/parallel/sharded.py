@@ -33,7 +33,6 @@ except ImportError:  # pragma: no cover - older jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import engine as eng
-from ..ops import minimizers_np as mnp
 
 
 def parse_mesh_spec(mesh_spec: str) -> tuple[int, int]:
@@ -342,24 +341,10 @@ class ShardedPipeline:
 
     # ------------------------------------------------------------------
     def _rows_for(self, rid, mate, seq: bytes, prefix_length: int):
-        if len(seq) < self.k:
-            return []
-        eff = seq
-        if prefix_length > 0 and len(eff) > prefix_length:
-            eff = eff[:prefix_length]
-        if eff.endswith(b"\n"):
-            eff = eff[:-1]
-        n = len(eff)
-        if n < self.k:
-            return []
-        if n <= self.L:
-            return [eng._Row(rid, mate, 0, eff)]
-        rows = []
-        s = 0
-        while s <= n - self.l:
-            rows.append(eng._Row(rid, mate, s, eff[s : s + self.L]))
-            s += self._stride
-        return rows
+        return eng.rows_for_read(
+            rid, mate, seq, prefix_length,
+            k=self.k, l=self.l, stride=self._stride, max_len=self.L,
+        )
 
     def _counts(self, units, n_logical: int, prefix_length: int):
         hits = np.zeros(n_logical, dtype=np.int64)

@@ -35,8 +35,10 @@ class ServerState:
         # long-lived process: huge pages on the probe table pay off
         os.environ.setdefault("DEACON_PROBE_THP", "1")
         with open(index_path, "rb") as f:
-            data = f.read()
-        self.version = f"{index_path}@{hashlib.sha256(data).hexdigest()}"
+            # streaming hash: a full read() would briefly double peak RAM
+            # next to the decoded multi-GB index
+            digest = hashlib.file_digest(f, "sha256").hexdigest()
+        self.version = f"{index_path}@{digest}"
         print(f"Loading index from: {index_path}", file=sys.stderr)
         self.index: MinimizerIndex = load_index(index_path)
         probe = None
@@ -64,17 +66,17 @@ class ServerState:
             try:
                 from ..index.store import load_header_and_count
                 from ..io.native_loader import (
+                    maybe_save_probe_sidecar,
                     native_probe,
                     native_probe_load_sidecar,
-                    native_probe_save_sidecar,
                 )
 
                 _, count = load_header_and_count(index_path)
                 nprobe = native_probe_load_sidecar(str(index_path), count)
                 if nprobe is None:
                     nprobe = native_probe(self.index.hashes)
-                    if nprobe is not None and len(self.index) >= 4_000_000:
-                        native_probe_save_sidecar(
+                    if nprobe is not None:
+                        maybe_save_probe_sidecar(
                             nprobe, str(index_path), len(self.index)
                         )
                 if nprobe is not None:
@@ -121,11 +123,21 @@ def make_handler(state: ServerState):
 
         def do_POST(self):
             if self.path not in ("/should_output_unpaired", "/should_output_paired"):
+                # unread body bytes would desynchronize this keep-alive
+                # connection's next request
+                self.close_connection = True
                 self._send(404, b"not found", "text/plain")
                 return
-            length = int(self.headers.get("Content-Length", "0"))
-            if length > MAX_BODY:
-                self._send(413, b"body too large", "text/plain")
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self.close_connection = True
+                self._send(400, b"bad Content-Length", "text/plain")
+                return
+            if length < 0 or length > MAX_BODY:
+                self.close_connection = True
+                code, msg = (413, b"body too large") if length > 0 else (400, b"bad Content-Length")
+                self._send(code, msg, "text/plain")
                 return
             body = self.rfile.read(length)
             paired = self.path.endswith("_paired")

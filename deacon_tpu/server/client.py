@@ -32,6 +32,8 @@ class RemoteBackend:
                 self.address + path, timeout=self.timeout
             ) as resp:
                 return resp.read()
+        except urllib.error.HTTPError as e:  # reached the server: its error
+            raise ServerError(f"Server returned an error: {e.code}") from e
         except urllib.error.URLError as e:
             raise ServerError(
                 f"Failed to contact server at {self.address}: {e}"
