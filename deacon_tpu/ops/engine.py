@@ -1186,6 +1186,12 @@ class IndexBuildPipeline:
         self._stride = self.L - self.l + 1
 
     def _rows_for(self, rid: int, seq_arr: np.ndarray):
+        # Same chunk-stride rule as rows_for_read, but deliberately NOT
+        # shared: index-side extraction has no prefix truncation and no
+        # trailing-newline strip (the reference asymmetry, SURVEY §7 /
+        # src/minimizers.rs vs src/filter_common.rs:222-229), and rows are
+        # (rid, start, np-array) tuples. Keep the stride condition
+        # (s <= n - l, s += L - l + 1) in sync with rows_for_read.
         n = seq_arr.size
         if n < self.k:
             return []
