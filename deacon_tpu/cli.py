@@ -242,6 +242,9 @@ def main(argv: list[str] | None = None) -> int:
                        device=args.device, mesh=args.mesh)
     except BrokenPipeError:
         return 0
+    except KeyboardInterrupt:
+        print("Interrupted", file=sys.stderr)
+        return 130
     except (ValueError, OSError, RuntimeError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1

@@ -365,11 +365,29 @@ def _run_native_pipeline(
         # run finishes through _finish_run without touching the index again).
         object.__setattr__(index, "hashes", None)
 
+    import signal
     import threading
 
-    progress = np.zeros(6, dtype=np.int64)
+    progress = np.zeros(7, dtype=np.int64)  # [6] = cancel request
     spinner = Spinner(not quiet)
     stop = threading.Event()
+
+    # The native run blocks this thread in C (GIL released), so Python's
+    # deferred SIGINT delivery would make Ctrl-C appear dead for the whole
+    # run; instead the handler raises the pipeline's cancel flag, which the
+    # reader/workers poll per batch.
+    interrupted = False
+    prev_sigint = None
+
+    def _on_sigint(signum, frame):
+        nonlocal interrupted
+        interrupted = True
+        progress[6] = 1
+
+    try:
+        prev_sigint = signal.signal(signal.SIGINT, _on_sigint)
+    except ValueError:  # not on the main thread
+        prev_sigint = None
 
     def _poll():
         view = FilterStats()
@@ -403,12 +421,20 @@ def _run_native_pipeline(
             config.threads,
             progress,
         )
+    except ValueError:
+        if interrupted:
+            raise KeyboardInterrupt
+        raise
     finally:
         stop.set()
         poller.join()
         spinner.finish()
         if saver is not None:
             saver.join()
+        if prev_sigint is not None:
+            signal.signal(signal.SIGINT, prev_sigint)
+    if interrupted:
+        raise KeyboardInterrupt
     stats.total_seqs = int(progress[0])
     stats.filtered_seqs = int(progress[1])
     stats.total_bp = int(progress[2])

@@ -2372,7 +2372,13 @@ struct FilterJob {
   // stats (writer-thread-owned; mirrored into `progress` for live polling)
   int64_t total_seqs = 0, filtered_seqs = 0, total_bp = 0;
   int64_t output_bp = 0, filtered_bp = 0, out_counter = 0;
-  int64_t* progress = nullptr;  // [6]
+  int64_t* progress = nullptr;  // [7]: 0-5 stats, 6 = cancel request
+                                //        (set by the caller, e.g. SIGINT)
+
+  bool cancelled() const {
+    return progress != nullptr &&
+           __atomic_load_n(&progress[6], __ATOMIC_RELAXED) != 0;
+  }
   StageProf prof;
 
   void fail(const std::string& m) {
@@ -2468,7 +2474,8 @@ static void filter_worker(FilterJob& J) {
     const int64_t t_pop0 = J.prof.on ? now_ns() : 0;
     if (!J.work.pop(b)) break;
     if (J.prof.on) J.prof.worker_stall.fetch_add(now_ns() - t_pop0);
-    if (J.failed.load()) {
+    if (J.failed.load() || J.cancelled()) {
+      if (J.cancelled()) J.fail("Interrupted");
       delete b;
       continue;
     }
@@ -2935,6 +2942,10 @@ static bool filter_reader_chunked(FilterJob& J, DxReader* r,
   std::vector<uint8_t> carry;
   int kind = 0;  // 1 fastq, 2 fasta
   while (!J.failed.load()) {
+    if (J.cancelled()) {
+      J.fail("Interrupted");
+      return true;
+    }
     FBatch* b = J.get_batch();
     b->seq_no = seq_no;
     b->paired = false;
@@ -3077,6 +3088,10 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
   int64_t interleaved_count = 0;
   bool eof = false;
   while (!eof && !J.failed.load()) {
+    if (J.cancelled()) {
+      J.fail("Interrupted");
+      return;
+    }
     FBatch* b = J.get_batch();
     b->seq_no = seq_no;
     b->paired = mode != 0;
@@ -3156,9 +3171,11 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
 extern "C" {
 
 // Run the full native filter pipeline. Returns 0 on success, -1 on error
-// (message in errbuf). `progress` is int64[6]: total_seqs, filtered_seqs,
+// (message in errbuf). `progress` is int64[7]: total_seqs, filtered_seqs,
 // total_bp, output_bp, filtered_bp, output_seq_counter — updated atomically
-// per batch for live polling; final values are the exact run totals.
+// per batch for live polling; final values are the exact run totals —
+// plus [6], a cancel-request flag the caller may set (e.g. from a SIGINT
+// handler) to abort the run promptly with an "Interrupted" error.
 // mode: 0 single (input), 1 paired (input+input2), 2 interleaved (input).
 int dx_filter_run(const char* input, const char* input2, const char* output,
                   const char* output2, int out_codec, int out_level,
