@@ -10,6 +10,7 @@ from .constants import (
     DEFAULT_WINDOW_SIZE,
     VERSION,
 )
+from .config import FilterConfig, IndexConfig
 from .index.store import IndexHeader, MinimizerIndex, load_index, write_index
 from .ops.minimizers_np import (
     compute_minimizer_hashes,
@@ -20,10 +21,18 @@ from .filter.thresholds import calculate_required_hits, meets_filtering_criteria
 
 __version__ = VERSION
 
+# reference lib.rs convenience names (src/lib.rs:276-286)
+load_minimizers = load_index
+write_minimizers = write_index
+
 __all__ = [
     "DEFAULT_KMER_LENGTH",
     "DEFAULT_WINDOW_SIZE",
     "VERSION",
+    "FilterConfig",
+    "IndexConfig",
+    "load_minimizers",
+    "write_minimizers",
     "IndexHeader",
     "MinimizerIndex",
     "load_index",
