@@ -2416,6 +2416,14 @@ static int64_t count_distinct_hits(const FilterJob& J, const uint64_t* hashes,
                                    std::vector<uint64_t>& scratch) {
   scratch.clear();
   const ProbeTable& t = *J.probe;
+  if (n > 0 && n <= kProbeAhead) {
+    // short lists (a 150 bp read has ~18 minimizers) never reach the
+    // streaming prefetch distance below, so every probe would pay a full
+    // DRAM miss; issue all homes upfront instead
+    for (int64_t i = 0; i < n; i++)
+      __builtin_prefetch(
+          &t.slots[(size_t)probe_home(hashes[i] * t.mix, t.n_slots)]);
+  }
   if (req > 0 && req <= 64) {
     for (int64_t i = 0; i < n; i++) {
       if (i + kProbeAhead < n)
