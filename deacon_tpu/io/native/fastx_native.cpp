@@ -2495,6 +2495,10 @@ static void filter_worker(FilterJob& J) {
                                  : parse_raw_chunk_fasta(*b, perr);
       b->raw_kind = 0;
       if (J.prof.on) J.prof.wparse.fetch_add(now_cpu_ns() - t_wp0);
+      if (ok && b->paired) {
+        // interleaved chunks split at 8-newline phase: records are even
+        b->n_units /= 2;
+      }
       if (!ok) {
         J.fail(perr);
         J.busy_workers.fetch_sub(1);
@@ -2940,8 +2944,13 @@ static int64_t nth_newline_from_end(const uint8_t* a, int64_t n, int64_t k) {
 // stream was fully consumed (or the job failed); false to bail — the
 // unconsumed bytes are loaded into r->replay and the caller's serial loop
 // continues from `seq_no`.
+// `pair` = interleaved FASTQ: records group in 2s, so chunks split at
+// newline multiples of 8 and each batch unit is a mate pair.
+// `records_out` accumulates parsed records (for the serial path's
+// interleaved-count error message after a bail).
 static bool filter_reader_chunked(FilterJob& J, DxReader* r,
-                                  int64_t& seq_no) {
+                                  int64_t& seq_no, bool pair,
+                                  int64_t* records_out) {
   int64_t chunk_bytes = kRawChunk;
   if (const char* cb = getenv("DEACON_CHUNK_BYTES")) {
     int64_t v = atoll(cb);
@@ -2956,7 +2965,7 @@ static bool filter_reader_chunked(FilterJob& J, DxReader* r,
     }
     FBatch* b = J.get_batch();
     b->seq_no = seq_no;
-    b->paired = false;
+    b->paired = pair;
     const int64_t t0 = J.prof.on ? now_ns() : 0;
     // Accumulate reads in place until the arena holds at least one
     // complete record; only the newly read tail is ever scanned, so a
@@ -2996,10 +3005,10 @@ static bool filter_reader_chunked(FilterJob& J, DxReader* r,
       if (kind == 0) {
         uint8_t first = b->arena[0];
         if (first == '@') kind = 1;
-        else if (first == '>') kind = 2;
+        else if (first == '>' && !pair) kind = 2;
         else {
-          // leading blank line or unknown marker: let the serial parser
-          // produce its exact error / blank-skip behavior
+          // interleaved FASTA, leading blank line, or unknown marker:
+          // let the serial parser handle it (exact errors / blank-skip)
           r->replay.assign(b->arena.begin(), b->arena.begin() + filled);
           J.put_batch(b);
           return false;
@@ -3022,9 +3031,10 @@ static bool filter_reader_chunked(FilterJob& J, DxReader* r,
         }
         newlines += tail_nl;
         scanned = filled;
-        if (newlines / 4 > 0) {
-          int64_t cut_nl =
-              nth_newline_from_end(b->arena.data(), filled, newlines % 4 + 1);
+        const int64_t glines = pair ? 8 : 4;  // lines per batch unit
+        if (newlines / glines > 0) {
+          int64_t cut_nl = nth_newline_from_end(
+              b->arena.data(), filled, newlines % glines + 1);
           cut = cut_nl + 1;
           break;
         }
@@ -3058,6 +3068,10 @@ static bool filter_reader_chunked(FilterJob& J, DxReader* r,
     }
     if (cut < filled)
       carry.assign(b->arena.begin() + cut, b->arena.begin() + filled);
+    if (records_out && kind == 1) {
+      const int64_t gl = pair ? 8 : 4;
+      *records_out += (newlines - newlines % gl) / 4;
+    }
     b->arena.resize((size_t)cut);
     b->raw_kind = kind;
     b->n_units = 0;
@@ -3083,8 +3097,9 @@ static bool filter_reader_chunked(FilterJob& J, DxReader* r,
 // reader thread body; mode: 0 single, 1 paired (two readers), 2 interleaved
 static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
   int64_t seq_no = 0;
-  if (mode == 0 && J.chunk_parse) {
-    if (filter_reader_chunked(J, r1, seq_no)) {
+  int64_t chunked_records = 0;
+  if ((mode == 0 || mode == 2) && J.chunk_parse) {
+    if (filter_reader_chunked(J, r1, seq_no, mode == 2, &chunked_records)) {
       J.total_batches.store(seq_no);
       J.work.close();
       J.done_cv.notify_all();
@@ -3093,7 +3108,7 @@ static void filter_reader(FilterJob& J, DxReader* r1, DxReader* r2, int mode) {
     // anomalous input or EOF tail: r1->replay holds the unconsumed bytes
     // and the serial loop below continues from the same batch number
   }
-  int64_t interleaved_count = 0;
+  int64_t interleaved_count = chunked_records;
   bool eof = false;
   while (!eof && !J.failed.load()) {
     if (J.cancelled()) {

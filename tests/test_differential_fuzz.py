@@ -235,3 +235,42 @@ def test_chunk_parse_bail_paths(tmp_path, anomaly):
         assert r.returncode == 0, (anomaly, env, r.stderr.decode())
         outs.append(out.read_bytes())
     assert outs[0] == outs[1], anomaly
+
+
+def test_chunk_parse_interleaved_parity(tmp_path):
+    """Interleaved FASTQ chunks split at 8-newline phase; outputs and the
+    odd-count error (with its record count spanning the chunked->serial
+    handoff) must match the serial reader exactly."""
+    rng = np.random.default_rng(54)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = rng.choice(bases, 20_000).astype(np.uint8)
+    (tmp_path / "g.fa").write_bytes(b">g\n" + genome.tobytes() + b"\n")
+    idx = tmp_path / "g.idx"
+    r = _run(["index", "build", str(tmp_path / "g.fa"), "-o", str(idx),
+              "--quiet"])
+    assert r.returncode == 0
+    recs = []
+    for i in range(200):
+        L = int(rng.integers(60, 500))
+        seq = (genome[int(rng.integers(0, genome.size - L)):][:L]
+               if i % 3 == 0 else rng.choice(bases, size=L)).tobytes()
+        recs.append(b"@p%d/%d\n" % (i // 2, i % 2 + 1) + seq + b"\n+\n" +
+                    b"I" * len(seq) + b"\n")
+    inter = b"".join(recs)
+
+    def run(env, data):
+        r = _run(["filter", str(idx), "-", "-", "-o",
+                  str(tmp_path / "o.fq"), "-d", "--quiet"],
+                 env_extra=env, stdin=data)
+        if r.returncode == 0:
+            return 0, (tmp_path / "o.fq").read_bytes()
+        # stderr may carry timestamped environment warnings; compare the
+        # actual error line only
+        return r.returncode, r.stderr.strip().splitlines()[-1]
+
+    chunked = {"DEACON_CHUNK_PARSE": "1", "DEACON_CHUNK_BYTES": "1024"}
+    assert run(chunked, inter) == run({"DEACON_CHUNK_PARSE": "0"}, inter)
+    odd = inter + recs[0]
+    a, b = run(chunked, odd), run({"DEACON_CHUNK_PARSE": "0"}, odd)
+    assert a[0] != 0 and a == b
+    assert b"Found 201 records" in a[1]
