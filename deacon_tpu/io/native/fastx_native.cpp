@@ -18,6 +18,7 @@
 #include <cstring>
 #include <deque>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -41,6 +42,240 @@ constexpr size_t kBufSize = 1 << 20;
 
 enum class Codec : int { kPlain = 0, kGzip = 1, kZstd = 2, kXz = 3 };
 
+// ---------------------------------------------------------------------------
+// Parallel BGZF (blocked gzip) decoding.
+//
+// bgzip/htslib-style .gz files are sequences of independent gzip members of
+// <= 64 KiB whose compressed size is recorded in a "BC" extra subfield, so
+// member boundaries are known WITHOUT decoding — unlike plain gzip, whose
+// single deflate stream forces serial inflate (the reference is serial here
+// too: zlib-rs via niffler, ref: src/local_filter.rs:49). We decode batches
+// of blocks across a thread pool and prefetch the next batch on a background
+// thread while the parser drains the current one, so BGZF inputs decompress
+// at N-core speed and even 1-thread decode overlaps with parsing. Non-BGZF
+// gzip members (including a plain .gz that never had BC, or a BGZF file
+// concatenated with a plain member) fall back to the serial z_stream
+// mid-stream with no bytes lost.
+// ---------------------------------------------------------------------------
+
+// Parses one BGZF member header at p[0..n). Returns the total member size
+// (header+payload+trailer) via *total. 1 = BGZF, 0 = not a BGZF header,
+// -1 = need more bytes to decide, also sets *hlen to the header length.
+static int bgzf_parse_header(const uint8_t* p, size_t n, size_t* total,
+                             size_t* hlen) {
+  if (n < 12) return -1;
+  if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || !(p[3] & 0x04)) return 0;
+  size_t xlen = (size_t)p[10] | ((size_t)p[11] << 8);
+  if (n < 12 + xlen) return -1;
+  size_t off = 12, end = 12 + xlen;
+  while (off + 4 <= end) {
+    uint8_t si1 = p[off], si2 = p[off + 1];
+    size_t slen = (size_t)p[off + 2] | ((size_t)p[off + 3] << 8);
+    if (off + 4 + slen > end) return 0;  // malformed extra field
+    if (si1 == 'B' && si2 == 'C' && slen == 2) {
+      size_t bsize =
+          ((size_t)p[off + 4] | ((size_t)p[off + 5] << 8)) + 1;
+      if (bsize < end + 8) return 0;  // impossible: no room for trailer
+      *total = bsize;
+      *hlen = end;
+      return 1;
+    }
+    off += 4 + slen;
+  }
+  return 0;  // FEXTRA without BC: not BGZF
+}
+
+struct BgzfBatch {
+  std::vector<uint8_t> comp;     // whole members, concatenated
+  std::vector<size_t> boff;      // member offset in comp
+  std::vector<size_t> bhlen;     // member header length
+  std::vector<size_t> bsize;     // member total size
+  std::vector<size_t> ooff;      // output offset (prefix sums of ISIZE)
+  std::vector<uint8_t> out;      // decompressed bytes
+  bool eof = false;       // raw stream fully consumed
+  bool fallback = false;  // hit a non-BGZF member: leftover carries it
+  std::string err;
+};
+
+struct BgzfState {
+  FILE* raw = nullptr;
+  int nthreads = 1;
+  // carry: compressed bytes read ahead of the current member boundary.
+  std::vector<uint8_t> carry;
+  size_t carry_pos = 0;
+  bool raw_eof = false;
+  BgzfBatch cur;
+  size_t out_pos = 0;
+  BgzfBatch next;
+  std::thread th;
+  bool th_running = false;
+  bool done = false;  // no more batches will be produced
+
+  ~BgzfState() {
+    if (th_running) th.join();
+  }
+
+  size_t carry_avail() const { return carry.size() - carry_pos; }
+
+  // Ensures >= need bytes are available at carry[carry_pos..]. Returns the
+  // available count (may be < need only at raw EOF).
+  size_t carry_ensure(size_t need) {
+    if (carry_avail() >= need) return carry_avail();
+    if (carry_pos > 0) {
+      carry.erase(carry.begin(), carry.begin() + carry_pos);
+      carry_pos = 0;
+    }
+    while (carry.size() < need && !raw_eof) {
+      size_t old = carry.size();
+      size_t want = std::max(need - old, kBufSize);
+      carry.resize(old + want);
+      size_t got = fread(carry.data() + old, 1, want, raw);
+      carry.resize(old + got);
+      if (got < want) raw_eof = true;
+    }
+    return carry.size() - carry_pos;
+  }
+
+  // Fills b with whole members until ~8 MiB of compressed input, raw EOF,
+  // or a non-BGZF member (fallback; the member's bytes stay in carry), then
+  // inflates all members in parallel.
+  void produce(BgzfBatch& b) {
+    b.comp.clear();
+    b.boff.clear();
+    b.bhlen.clear();
+    b.bsize.clear();
+    b.ooff.clear();
+    b.out.clear();
+    b.eof = false;
+    b.fallback = false;
+    b.err.clear();
+    constexpr size_t kBatchComp = 8u << 20;
+    size_t out_total = 0;
+    while (b.comp.size() < kBatchComp) {
+      size_t avail = carry_ensure(12 + 256);  // header + worst-case xlen
+      if (avail == 0) {
+        b.eof = true;
+        break;
+      }
+      size_t total = 0, hlen = 0;
+      int rc = bgzf_parse_header(carry.data() + carry_pos, avail, &total,
+                                 &hlen);
+      if (rc < 0) {
+        if (raw_eof) {
+          b.err = "truncated gzip member header";
+          return;
+        }
+        // carry_ensure(12+256) only leaves <need at EOF, handled above
+        b.err = "internal: short bgzf header read";
+        return;
+      }
+      if (rc == 0) {
+        b.fallback = true;  // serial path takes over from carry
+        break;
+      }
+      if (carry_ensure(total) < total) {
+        b.err = "truncated BGZF block";
+        return;
+      }
+      const uint8_t* blk = carry.data() + carry_pos;
+      size_t isize = (size_t)blk[total - 4] | ((size_t)blk[total - 3] << 8) |
+                     ((size_t)blk[total - 2] << 16) |
+                     ((size_t)blk[total - 1] << 24);
+      if (isize > (1u << 16)) {
+        b.err = "BGZF block ISIZE exceeds 64 KiB";
+        return;
+      }
+      b.boff.push_back(b.comp.size());
+      b.bhlen.push_back(hlen);
+      b.bsize.push_back(total);
+      b.ooff.push_back(out_total);
+      out_total += isize;
+      b.comp.insert(b.comp.end(), blk, blk + total);
+      carry_pos += total;
+      if (raw_eof && carry_avail() == 0) {
+        b.eof = true;
+        break;
+      }
+    }
+    b.ooff.push_back(out_total);
+    b.out.resize(out_total);
+    size_t nblocks = b.boff.size();
+    if (nblocks == 0) return;
+    int nt = (int)std::min((size_t)nthreads, nblocks);
+    std::atomic<size_t> next_blk{0};
+    std::atomic<bool> ok{true};
+    auto work = [&]() {
+      z_stream zs{};
+      if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) {
+        ok.store(false);
+        return;
+      }
+      for (;;) {
+        size_t i = next_blk.fetch_add(1);
+        if (i >= nblocks || !ok.load(std::memory_order_relaxed)) break;
+        const uint8_t* blk = b.comp.data() + b.boff[i];
+        size_t payload = b.bsize[i] - b.bhlen[i] - 8;
+        size_t olen = b.ooff[i + 1] - b.ooff[i];
+        if (olen == 0) continue;  // empty block (e.g. the BGZF EOF marker)
+        inflateReset(&zs);
+        zs.next_in = const_cast<uint8_t*>(blk + b.bhlen[i]);
+        zs.avail_in = (uInt)payload;
+        zs.next_out = b.out.data() + b.ooff[i];
+        zs.avail_out = (uInt)olen;
+        int r = inflate(&zs, Z_FINISH);
+        if (r != Z_STREAM_END || zs.avail_out != 0) {
+          ok.store(false);
+          break;
+        }
+        uint32_t want_crc = (uint32_t)blk[b.bsize[i] - 8] |
+                            ((uint32_t)blk[b.bsize[i] - 7] << 8) |
+                            ((uint32_t)blk[b.bsize[i] - 6] << 16) |
+                            ((uint32_t)blk[b.bsize[i] - 5] << 24);
+        if ((uint32_t)crc32(crc32(0, nullptr, 0), b.out.data() + b.ooff[i],
+                            (uInt)olen) != want_crc) {
+          ok.store(false);
+          break;
+        }
+      }
+      inflateEnd(&zs);
+    };
+    if (nt <= 1) {
+      work();
+    } else {
+      std::vector<std::thread> ts;
+      for (int t = 0; t < nt - 1; t++) ts.emplace_back(work);
+      work();
+      for (auto& t : ts) t.join();
+    }
+    if (!ok.load()) b.err = "corrupt BGZF block (inflate/CRC mismatch)";
+  }
+
+  void kick() {
+    th = std::thread([this] { produce(next); });
+    th_running = true;
+  }
+
+  // Swaps in the prefetched batch; returns false when no batch remains or
+  // on error (err set on cur).
+  bool fetch() {
+    if (done) return false;
+    if (th_running) {
+      th.join();
+      th_running = false;
+    } else {
+      produce(next);  // first batch: synchronous
+    }
+    cur = std::move(next);
+    next = BgzfBatch();
+    out_pos = 0;
+    if (!cur.err.empty() || cur.eof || cur.fallback)
+      done = true;
+    else
+      kick();
+    return cur.err.empty();
+  }
+};
+
 // Streaming decompressing source over a FILE*. All codecs use the same
 // raw-input buffer machinery so sniffed magic bytes can be replayed.
 struct Source {
@@ -55,8 +290,14 @@ struct Source {
   ZSTD_DStream* zds = nullptr;
   lzma_stream lz = LZMA_STREAM_INIT;
   bool lz_init = false;
+  // gzip sub-mode: 0 = unprobed, 1 = parallel BGZF, 2 = serial stream
+  int gz_mode = 0;
+  std::unique_ptr<BgzfState> bgzf;
+  bool gz_mid = false;   // serial gzip: inside a member (truncation check)
+  size_t zstd_rc = 0;    // last ZSTD_decompressStream hint (0 = frame done)
 
   ~Source() {
+    bgzf.reset();  // joins the prefetch thread BEFORE raw is closed
     if (zs_init) inflateEnd(&zs);
     if (zds) ZSTD_freeDStream(zds);
     if (lz_init) lzma_end(&lz);
@@ -96,6 +337,94 @@ struct Source {
     return in_len > 0;
   }
 
+  static int bgzf_threads() {
+    const char* env = getenv("DEACON_BGZF_THREADS");
+    if (env && *env) {
+      int v = atoi(env);
+      return v < 1 ? 1 : (v > 64 ? 64 : v);
+    }
+    int hw = (int)std::thread::hardware_concurrency();
+    if (hw < 1) hw = 1;
+    return hw > 8 ? 8 : hw;
+  }
+
+  // Decides between parallel BGZF and serial gzip on the first read by
+  // peeking at the first member header (bgzf_parse_header).
+  void probe_gz() {
+    size_t need = 12;
+    for (;;) {
+      // grow in_buf[in_pos..in_len] to `need` raw bytes (bounded: <= 268)
+      size_t avail = in_len - in_pos;
+      if (avail >= need || raw_eof) break;
+      if (in_buf.size() < in_pos + need) in_buf.resize(in_pos + need);
+      size_t got = fread(in_buf.data() + in_len, 1, in_pos + need - in_len,
+                         raw);
+      in_len += got;
+      if (got == 0 && (feof(raw) || ferror(raw))) raw_eof = true;
+      avail = in_len - in_pos;
+      if (avail >= 12) {
+        size_t xlen = (size_t)in_buf[in_pos + 10] |
+                      ((size_t)in_buf[in_pos + 11] << 8);
+        need = 12 + xlen;
+        if (need > 12 + 65535) break;  // nonsense xlen: serial will error
+      }
+      if (avail >= need) break;
+    }
+    size_t total = 0, hlen = 0;
+    int rc = bgzf_parse_header(in_buf.data() + in_pos, in_len - in_pos,
+                               &total, &hlen);
+    if (rc == 1) {
+      gz_mode = 1;
+      bgzf = std::make_unique<BgzfState>();
+      bgzf->raw = raw;
+      bgzf->nthreads = bgzf_threads();
+      bgzf->raw_eof = raw_eof;
+      bgzf->carry.assign(in_buf.begin() + in_pos, in_buf.begin() + in_len);
+      in_pos = in_len = 0;
+    } else {
+      gz_mode = 2;  // plain gzip: serial z_stream path
+    }
+  }
+
+  // Drains decompressed BGZF bytes into dst. Returns bytes written, or -1
+  // on error. Sets gz_mode = 2 (with leftover compressed bytes replayed
+  // through in_buf) when a non-BGZF member or EOF ends the BGZF phase.
+  int64_t read_bgzf(uint8_t* dst, size_t n) {
+    size_t out = 0;
+    BgzfState& st = *bgzf;
+    while (out < n) {
+      size_t have = st.cur.out.size() - st.out_pos;
+      if (have > 0) {
+        size_t take = std::min(have, n - out);
+        memcpy(dst + out, st.cur.out.data() + st.out_pos, take);
+        st.out_pos += take;
+        out += take;
+        continue;
+      }
+      if (st.done) {
+        if (!st.cur.err.empty()) return -1;
+        if (st.cur.fallback) {
+          // hand the remaining compressed bytes to the serial path
+          size_t left = st.carry_avail();
+          in_buf.assign(st.carry.begin() + st.carry_pos, st.carry.end());
+          if (in_buf.size() < kBufSize) in_buf.resize(kBufSize);
+          in_pos = 0;
+          in_len = left;
+          raw_eof = st.raw_eof;
+          gz_mode = 2;
+          bgzf.reset();
+        } else {
+          raw_eof = true;
+          gz_mode = 3;  // fully drained
+          bgzf.reset();
+        }
+        break;
+      }
+      if (!st.fetch() && !st.cur.err.empty()) return -1;
+    }
+    return (int64_t)out;
+  }
+
   // Returns decompressed bytes read into dst (0 = EOF, -1 = error).
   int64_t read(uint8_t* dst, size_t n) {
     switch (codec) {
@@ -117,26 +446,40 @@ struct Source {
         return (int64_t)out;
       }
       case Codec::kGzip: {
-        zs.next_out = dst;
-        zs.avail_out = (uInt)n;
+        if (gz_mode == 0) probe_gz();
+        size_t done_out = 0;
+        if (gz_mode == 1) {
+          int64_t got = read_bgzf(dst, n);
+          if (got < 0) return -1;
+          if ((size_t)got == n || gz_mode == 1) return got;
+          done_out = (size_t)got;  // BGZF phase over; serial continues below
+        }
+        if (gz_mode == 3) return (int64_t)done_out;
+        zs.next_out = dst + done_out;
+        zs.avail_out = (uInt)(n - done_out);
         while (zs.avail_out > 0) {
           if (zs.avail_in == 0) {
-            if (in_pos >= in_len && !fill_raw()) break;
+            if (in_pos >= in_len && !fill_raw()) {
+              if (gz_mid) return -1;  // stream truncated mid-member
+              break;
+            }
             zs.next_in = in_buf.data() + in_pos;
             zs.avail_in = (uInt)(in_len - in_pos);
             in_pos = in_len;
           }
           int r = inflate(&zs, Z_NO_FLUSH);
           if (r == Z_STREAM_END) {
+            gz_mid = false;
             // support concatenated gzip members
             if (zs.avail_in == 0 && in_pos >= in_len && raw_eof) break;
             inflateReset(&zs);
             continue;
           }
           if (r != Z_OK && r != Z_BUF_ERROR) return -1;
+          gz_mid = true;
           if (r == Z_BUF_ERROR && zs.avail_in == 0 && in_pos >= in_len &&
               raw_eof)
-            break;
+            return -1;  // no progress possible mid-member at EOF
         }
         return (int64_t)(n - zs.avail_out);
       }
@@ -144,16 +487,23 @@ struct Source {
         size_t out_total = 0;
         while (out_total < n) {
           if (in_pos >= in_len) {
-            if (!fill_raw()) break;
+            if (!fill_raw()) {
+              if (zstd_rc != 0) return -1;  // truncated mid-frame
+              break;
+            }
           }
           ZSTD_inBuffer ib{in_buf.data(), in_len, in_pos};
           ZSTD_outBuffer ob{dst, n, out_total};
           size_t rc = ZSTD_decompressStream(zds, &ob, &ib);
           if (ZSTD_isError(rc)) return -1;
+          zstd_rc = rc;
           in_pos = ib.pos;
           size_t produced = ob.pos - out_total;
           out_total = ob.pos;
-          if (produced == 0 && in_pos >= in_len && raw_eof) break;
+          if (produced == 0 && in_pos >= in_len && raw_eof) {
+            if (rc != 0) return -1;  // frame expects more input at EOF
+            break;
+          }
         }
         return (int64_t)out_total;
       }
@@ -273,7 +623,10 @@ struct DxReader {
     int64_t hlen;
     while (true) {  // skip blank lines before the header
       hlen = getline_append(arena);
-      if (hlen < 0) return 0;
+      if (hlen < 0) {
+        if (!error.empty()) return -1;  // decompression error, not EOF
+        return 0;
+      }
       if (hlen > 0) break;
     }
     const size_t hoff = arena.size() - (size_t)hlen;
@@ -323,7 +676,10 @@ struct DxReader {
       while (true) {  // multi-line FASTA: lines concatenate in place
         size_t save = arena.size();
         int64_t l = getline_append(arena);
-        if (l < 0) break;
+        if (l < 0) {
+          if (!error.empty()) return -1;  // decompression error, not EOF
+          break;
+        }
         if (l > 0 && arena[save] == '>') {  // next record: push back
           pending.assign(arena.begin() + save, arena.end());
           has_pending = true;

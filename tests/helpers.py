@@ -107,3 +107,37 @@ def fasta_ids(text: str) -> list[str]:
 def load_summary(path) -> dict:
     with open(path) as f:
         return json.load(f)
+
+
+# BGZF (blocked gzip, the bgzip/htslib framing) writer for exercising the
+# native loader's parallel block decoder. Emits standard-compliant members:
+# FEXTRA with a "BC" subfield carrying the member size, plus the canonical
+# 28-byte EOF member.
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def bgzf_compress(data: bytes, level: int = 2, block: int = 65280,
+                  eof_block: bool = True) -> bytes:
+    import io
+    import struct
+    import zlib
+
+    out = io.BytesIO()
+    for i in range(0, len(data), block):
+        chunk = data[i : i + block]
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+        comp = co.compress(chunk) + co.flush()
+        xtra = b"BC" + struct.pack("<HH", 2, len(comp) + 25)
+        out.write(
+            struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, len(xtra))
+            + xtra
+            + comp
+            + struct.pack(
+                "<II", zlib.crc32(chunk) & 0xFFFFFFFF, len(chunk) & 0xFFFFFFFF
+            )
+        )
+    if eof_block:
+        out.write(BGZF_EOF)
+    return out.getvalue()

@@ -110,6 +110,22 @@ def test_compressed_outputs(ctx, ext):
     assert fastq_ids(read_output(out)) == ["match_fwd", "match_rev"]
 
 
+def test_bgzf_input(ctx):
+    """BGZF (bgzip-style blocked gzip) inputs decode through the parallel
+    block decoder and filter identically to plain input."""
+    from helpers import bgzf_compress
+
+    tmp, idx, genome = ctx
+    text = fastq_text(
+        [("m", FRAGMENT_60), ("r", random_dna(60)), ("m2", FRAGMENT_60)]
+    ).encode()
+    path = tmp / "in.fq.gz"
+    path.write_bytes(bgzf_compress(text, block=64))
+    out = tmp / "out.fq"
+    run_cli(["filter", idx, path, "-o", out, "-a", "1", "-q", "--device", "numpy"])
+    assert fastq_ids(read_output(out)) == ["m", "m2"]
+
+
 @pytest.mark.parametrize("ext", ["fq.gz", "fq.zst", "fq.xz"])
 def test_compressed_inputs(ctx, ext):
     import gzip as _gzip

@@ -185,3 +185,95 @@ def test_diff_sorted_unique_matches_numpy():
         np.testing.assert_array_equal(
             out, np.setdiff1d(a, b, assume_unique=True)
         )
+
+
+# ---------------------------------------------------------------------------
+# Parallel BGZF decoding (Source::read_bgzf in fastx_native.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _bgzf(data: bytes, **kw) -> bytes:
+    from helpers import bgzf_compress
+
+    return bgzf_compress(data, **kw)
+
+
+@pytest.mark.parametrize("threads", ["1", "3"])
+def test_bgzf_reader_matches_python(tmp_path, monkeypatch, threads):
+    monkeypatch.setenv("DEACON_BGZF_THREADS", threads)
+    text = make_fastq(4000).encode()
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(_bgzf(text, block=4096))  # many blocks, several batches
+    native = open_native_reader(str(path))
+    got = parse_all(native)
+    expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
+    assert got == expect
+
+
+def test_bgzf_without_eof_block(tmp_path):
+    text = make_fastq(50).encode()
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(_bgzf(text, eof_block=False))
+    assert parse_all(open_native_reader(str(path))) == parse_all(
+        fastx.FastxReader(fastx.open_maybe_compressed(path))
+    )
+
+
+def test_bgzf_eof_block_only(tmp_path):
+    from helpers import BGZF_EOF
+
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(BGZF_EOF)
+    assert parse_all(open_native_reader(str(path))) == []
+
+
+def test_bgzf_then_plain_member_fallback(tmp_path):
+    # BGZF members followed by an ordinary gzip member: the decoder must
+    # hand the stream to the serial path mid-file with no bytes lost.
+    a = make_fastq(1200).encode()
+    b = make_fastq(700).encode()
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(_bgzf(a, block=8192, eof_block=False) + gzip.compress(b))
+    got = parse_all(open_native_reader(str(path)))
+    expect = parse_all(
+        fastx.FastxReader(fastx.open_maybe_compressed(path))
+    )
+    assert got == expect
+    assert len(got) == 1900
+
+
+def test_bgzf_truncated_block_errors(tmp_path):
+    text = make_fastq(600).encode()
+    full = _bgzf(text, block=4096)
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(full[: len(full) // 2 - 7])
+    reader = open_native_reader(str(path))
+    with pytest.raises(Exception):
+        for _ in reader:
+            pass
+
+
+def test_bgzf_corrupt_crc_errors(tmp_path):
+    text = make_fastq(600).encode()
+    raw = bytearray(_bgzf(text, block=4096))
+    raw[len(raw) // 3] ^= 0xFF  # flip a payload byte in some middle block
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(bytes(raw))
+    reader = open_native_reader(str(path))
+    with pytest.raises(Exception):
+        for _ in reader:
+            pass
+
+
+def test_bgzf_chunk_parallel_parse(tmp_path, monkeypatch):
+    # chunk-parallel record parsing composes with the BGZF decoder (both
+    # pull from Source::read)
+    monkeypatch.setenv("DEACON_CHUNK_PARSE", "1")
+    monkeypatch.setenv("DEACON_CHUNK_BYTES", "4096")
+    text = make_fastq(3000).encode()
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(_bgzf(text, block=4096))
+    native = open_native_reader(str(path))
+    got = parse_all(native)
+    expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
+    assert got == expect
