@@ -297,7 +297,8 @@ struct Source {
   size_t zstd_rc = 0;    // last ZSTD_decompressStream hint (0 = frame done)
 
   ~Source() {
-    bgzf.reset();  // joins the prefetch thread BEFORE raw is closed
+    ahead.reset();  // joins the decode thread BEFORE codecs/raw are torn down
+    bgzf.reset();   // joins the prefetch thread BEFORE raw is closed
     if (zs_init) inflateEnd(&zs);
     if (zds) ZSTD_freeDStream(zds);
     if (lz_init) lzma_end(&lz);
@@ -425,8 +426,110 @@ struct Source {
     return (int64_t)out;
   }
 
+  // Decode-ahead: serial decompression (plain gz / zstd / xz) runs on a
+  // background thread filling a bounded chunk queue, so inflate overlaps
+  // with record parsing/extraction on the consumer side (the same overlap
+  // the BGZF path gets from its batch prefetch). DEACON_DECODE_AHEAD=0
+  // disables it (direct in-line decode).
+  struct DecodeAhead {
+    std::thread th;
+    std::mutex mu;
+    std::condition_variable cv_push, cv_pop;
+    std::deque<std::vector<uint8_t>> q;
+    size_t q_bytes = 0;
+    size_t front_pos = 0;
+    bool eof = false, err = false, stop = false;
+    static constexpr size_t kMaxBytes = 8u << 20;
+    ~DecodeAhead() {
+      {
+        std::lock_guard<std::mutex> g(mu);
+        stop = true;
+      }
+      cv_push.notify_all();
+      if (th.joinable()) th.join();
+    }
+  };
+  std::unique_ptr<DecodeAhead> ahead;
+
+  void start_ahead() {
+    ahead = std::make_unique<DecodeAhead>();
+    DecodeAhead* a = ahead.get();
+    a->th = std::thread([this, a] {
+      for (;;) {
+        std::vector<uint8_t> chunk(kBufSize);
+        int64_t got = read_direct(chunk.data(), chunk.size());
+        std::unique_lock<std::mutex> lk(a->mu);
+        if (got < 0) {
+          a->err = true;
+        } else if (got == 0) {
+          a->eof = true;
+        } else {
+          chunk.resize((size_t)got);
+          a->q_bytes += chunk.size();
+          a->q.push_back(std::move(chunk));
+        }
+        a->cv_pop.notify_one();
+        if (a->err || a->eof) return;
+        a->cv_push.wait(
+            lk, [a] { return a->q_bytes < DecodeAhead::kMaxBytes || a->stop; });
+        if (a->stop) return;
+      }
+    });
+  }
+
+  int64_t read_ahead(uint8_t* dst, size_t n) {
+    DecodeAhead* a = ahead.get();
+    size_t out = 0;
+    while (out < n) {
+      std::unique_lock<std::mutex> lk(a->mu);
+      a->cv_pop.wait(lk, [a] { return !a->q.empty() || a->eof || a->err; });
+      if (a->q.empty()) {
+        if (a->err) return -1;
+        break;  // eof
+      }
+      std::vector<uint8_t>& front = a->q.front();
+      size_t take = std::min(front.size() - a->front_pos, n - out);
+      memcpy(dst + out, front.data() + a->front_pos, take);
+      a->front_pos += take;
+      out += take;
+      if (a->front_pos >= front.size()) {
+        a->q_bytes -= front.size();
+        a->q.pop_front();
+        a->front_pos = 0;
+        a->cv_push.notify_one();
+      }
+    }
+    return (int64_t)out;
+  }
+
+  static bool decode_ahead_enabled() {
+    const char* env = getenv("DEACON_DECODE_AHEAD");
+    return !(env && env[0] == '0' && env[1] == '\0');
+  }
+
   // Returns decompressed bytes read into dst (0 = EOF, -1 = error).
   int64_t read(uint8_t* dst, size_t n) {
+    if (codec == Codec::kPlain) return read_direct(dst, n);
+    if (codec == Codec::kGzip) {
+      if (gz_mode == 0) probe_gz();
+      if (gz_mode == 1) {
+        int64_t got = read_bgzf(dst, n);  // may flip gz_mode to 2 or 3
+        if (got < 0 || (size_t)got == n || gz_mode == 1 || gz_mode == 3)
+          return got;
+        // non-BGZF member mid-stream: serial path finishes this request
+        int64_t rest = read(dst + (size_t)got, n - (size_t)got);
+        return rest < 0 ? -1 : got + rest;
+      }
+      if (gz_mode == 3) return 0;
+    }
+    if (!decode_ahead_enabled()) return read_direct(dst, n);
+    if (!ahead) start_ahead();
+    return read_ahead(dst, n);
+  }
+
+  // Serial single-threaded decode of one codec stream (no BGZF, no
+  // prefetch). Runs on the decode-ahead thread when that is enabled.
+  int64_t read_direct(uint8_t* dst, size_t n) {
     switch (codec) {
       case Codec::kPlain: {
         size_t out = 0;
@@ -446,17 +549,8 @@ struct Source {
         return (int64_t)out;
       }
       case Codec::kGzip: {
-        if (gz_mode == 0) probe_gz();
-        size_t done_out = 0;
-        if (gz_mode == 1) {
-          int64_t got = read_bgzf(dst, n);
-          if (got < 0) return -1;
-          if ((size_t)got == n || gz_mode == 1) return got;
-          done_out = (size_t)got;  // BGZF phase over; serial continues below
-        }
-        if (gz_mode == 3) return (int64_t)done_out;
-        zs.next_out = dst + done_out;
-        zs.avail_out = (uInt)(n - done_out);
+        zs.next_out = dst;
+        zs.avail_out = (uInt)n;
         while (zs.avail_out > 0) {
           if (zs.avail_in == 0) {
             if (in_pos >= in_len && !fill_raw()) {

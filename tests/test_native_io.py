@@ -277,3 +277,42 @@ def test_bgzf_chunk_parallel_parse(tmp_path, monkeypatch):
     got = parse_all(native)
     expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
     assert got == expect
+
+
+def test_decode_ahead_disabled_matches(tmp_path, monkeypatch):
+    monkeypatch.setenv("DEACON_DECODE_AHEAD", "0")
+    text = make_fastq(800).encode()
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(gzip.compress(text))
+    got = parse_all(open_native_reader(str(path)))
+    expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
+    assert got == expect
+
+
+@pytest.mark.parametrize("ahead", ["0", "1"])
+def test_plain_gz_truncated_errors(tmp_path, monkeypatch, ahead):
+    # mid-member truncation of an ordinary gzip stream must error (not
+    # silently parse as EOF), through both the decode-ahead thread and the
+    # direct path
+    monkeypatch.setenv("DEACON_DECODE_AHEAD", ahead)
+    text = make_fastq(2000).encode()
+    full = gzip.compress(text)
+    path = tmp_path / "in.fq.gz"
+    path.write_bytes(full[: len(full) // 2])
+    reader = open_native_reader(str(path))
+    with pytest.raises(Exception):
+        for _ in reader:
+            pass
+
+
+def test_zstd_truncated_errors(tmp_path):
+    import zstandard
+
+    text = make_fastq(2000).encode()
+    full = zstandard.ZstdCompressor().compress(text)
+    path = tmp_path / "in.fq.zst"
+    path.write_bytes(full[: len(full) // 2])
+    reader = open_native_reader(str(path))
+    with pytest.raises(Exception):
+        for _ in reader:
+            pass
