@@ -52,6 +52,37 @@ def _write_reads(rng, path, n, genome, fmt, maxlen=400):
     return recs
 
 
+def _maybe_compress_input(rng, path):
+    """Randomly re-encode an input file as plain / gz / BGZF / zst, exercising
+    the native serial, decode-ahead, and parallel-BGZF input paths against the
+    pure-Python decoder."""
+    choice = str(rng.choice(["plain", "gz", "bgzf", "zst"],
+                            p=[0.4, 0.2, 0.25, 0.15]))
+    if choice == "plain":
+        return path
+    data = open(path, "rb").read()
+    if choice == "gz":
+        out = str(path) + ".gz"
+        with open(out, "wb") as f:
+            f.write(gzip.compress(data, 2))
+    elif choice == "bgzf":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from helpers import bgzf_compress
+
+        out = str(path) + ".gz"
+        block = int(rng.choice([512, 4096, 65280]))
+        with open(out, "wb") as f:
+            f.write(bgzf_compress(data, block=block,
+                                  eof_block=bool(rng.random() < 0.8)))
+    else:
+        import zstandard
+
+        out = str(path) + ".zst"
+        with open(out, "wb") as f:
+            f.write(zstandard.ZstdCompressor().compress(data))
+    return out
+
+
 def _summary_key(path):
     s = json.loads(open(path).read())
     for k in ("time", "seqs_per_second", "bp_per_second", "version"):
@@ -111,11 +142,11 @@ def test_native_vs_python_differential(tmp_path, seed):
         )
         args = ["filter", str(idx), "-", "-"]
     else:
-        args = ["filter", str(idx), str(reads1)]
+        args = ["filter", str(idx), str(_maybe_compress_input(rng, reads1))]
         if mode == "paired":
             reads2 = tmp_path / "r2.fq"
             _write_reads(rng, reads2, 40, genome, fmt)
-            args.append(str(reads2))
+            args.append(str(_maybe_compress_input(rng, reads2)))
     paired = mode != "single"
     ext = str(rng.choice(["", ".gz", ".zst", ".xz"], p=[0.4, 0.3, 0.15, 0.15]))
     out_a = tmp_path / f"a.out{ext}"
