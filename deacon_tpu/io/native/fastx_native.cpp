@@ -152,7 +152,7 @@ struct BgzfState {
     constexpr size_t kBatchComp = 8u << 20;
     size_t out_total = 0;
     while (b.comp.size() < kBatchComp) {
-      size_t avail = carry_ensure(12 + 256);  // header + worst-case xlen
+      size_t avail = carry_ensure(12 + 256);  // header + typical xlen
       if (avail == 0) {
         b.eof = true;
         break;
@@ -160,13 +160,16 @@ struct BgzfState {
       size_t total = 0, hlen = 0;
       int rc = bgzf_parse_header(carry.data() + carry_pos, avail, &total,
                                  &hlen);
+      if (rc < 0 && avail >= 12 && !raw_eof) {
+        // header longer than ensured (xlen up to 65535): re-ensure exactly
+        size_t xlen = (size_t)carry[carry_pos + 10] |
+                      ((size_t)carry[carry_pos + 11] << 8);
+        avail = carry_ensure(12 + xlen);
+        rc = bgzf_parse_header(carry.data() + carry_pos, avail, &total,
+                               &hlen);
+      }
       if (rc < 0) {
-        if (raw_eof) {
-          b.err = "truncated gzip member header";
-          return;
-        }
-        // carry_ensure(12+256) only leaves <need at EOF, handled above
-        b.err = "internal: short bgzf header read";
+        b.err = "truncated gzip member header";
         return;
       }
       if (rc == 0) {
