@@ -43,6 +43,440 @@ constexpr size_t kBufSize = 1 << 20;
 enum class Codec : int { kPlain = 0, kGzip = 1, kZstd = 2, kXz = 3 };
 
 // ---------------------------------------------------------------------------
+// Fast one-shot raw-deflate decoder (dx_inflate).
+//
+// Purpose-built for BGZF blocks: the whole compressed payload is in memory
+// and the exact output size is known (ISIZE <= 64 KiB), so the decoder can
+// use a 64-bit bit buffer with branchless refills, two-level Huffman tables
+// (10-bit primary + subtables, built per dynamic block), multi-literal
+// decode per refill, and 8-byte wide match copies — the techniques that make
+// libdeflate ~3x zlib. Output goes to a caller buffer with >= kInflateMargin
+// writable slack beyond out_len (wide copies overshoot); the BGZF worker
+// decodes into a per-thread scratch and memcpys the exact bytes out.
+// Integrity is still enforced by the gzip CRC32 + ISIZE check downstream.
+// DEACON_FAST_INFLATE=0 falls back to zlib inflate.
+// ---------------------------------------------------------------------------
+
+constexpr size_t kInflateMargin = 32;
+
+namespace fastinf {
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t buf = 0;
+  int cnt = 0;  // valid low bits in buf; NEGATIVE = consumed past the end
+
+  explicit BitReader(const uint8_t* in, size_t n) : p(in), end(in + n) {}
+
+  // Near the end no zero-padding is appended: bits of buf above cnt are
+  // exactly the upcoming real bytes (OR-trick) or zero, so peek() reads
+  // implicit zeros past the stream and over-consumption drives cnt
+  // negative — checked by callers via ok().
+  inline void refill() {
+    if (cnt >= 56) return;
+    if (end - p >= 8) {
+      uint64_t w;
+      memcpy(&w, p, 8);
+      buf |= w << cnt;
+      p += (63 - cnt) >> 3;
+      cnt |= 56;
+    } else {
+      while (cnt <= 56 && p < end) {
+        buf |= (uint64_t)(*p++) << cnt;
+        cnt += 8;
+      }
+    }
+  }
+
+  inline uint64_t peek(int n) const { return buf & ((1ull << n) - 1); }
+  inline void consume(int n) {
+    buf >>= n;
+    cnt -= n;
+  }
+  inline uint64_t bits(int n) {  // n <= 16
+    uint64_t v = buf & ((1ull << n) - 1);
+    consume(n);
+    return v;
+  }
+  inline bool ok() const { return cnt >= 0; }
+};
+
+// Decode-table entry (primary and subtables share the layout):
+//   bits 0..5   consumed bits: code length, or for subtable pointers the
+//               primary root width
+//   bits 6..7   kind: 0 literal, 1 length/distance, 2 end-of-block/invalid,
+//               3 subtable pointer
+//   bits 8..11  extra bits (kind 1)
+//   bits 16..31 payload: literal byte / base value / subtable offset
+enum : uint32_t { kLit = 0u << 6, kVal = 1u << 6, kEnd = 2u << 6, kSub = 3u << 6 };
+static inline uint32_t mk(uint32_t kind, uint32_t len, uint32_t extra,
+                          uint32_t payload) {
+  return kind | len | (extra << 8) | (payload << 16);
+}
+
+constexpr int kLitRoot = 10;
+constexpr int kDistRoot = 8;
+// zlib's ENOUGH bounds: 852 entries for litlen root 9; root 10 needs fewer
+// subtable entries. 2048 is ample slack for both tables.
+constexpr int kTableSlack = 2048;
+
+struct Tables {
+  uint32_t lit[(1 << kLitRoot) + kTableSlack];
+  uint32_t dist[(1 << kDistRoot) + kTableSlack];
+};
+
+static const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
+                                      15, 17, 19, 23, 27, 31, 35, 43, 51, 59,
+                                      67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+                                      2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+                                      0};
+static const uint16_t kDistBase[30] = {
+    1,    2,    3,    4,    5,    7,     9,     13,    17,   25,
+    33,   49,   65,   97,   129,  193,   257,   385,   513,  769,
+    1025, 1537, 2049, 3073, 4097, 6145,  8193,  12289, 16385, 24577};
+static const uint8_t kDistExtra[30] = {0, 0, 0, 0, 1, 1, 2, 2,  3,  3,
+                                       4, 4, 5, 5, 6, 6, 7, 7,  8,  8,
+                                       9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+
+static inline uint32_t rev_bits(uint32_t code, int len) {
+  code = ((code & 0x5555) << 1) | ((code >> 1) & 0x5555);
+  code = ((code & 0x3333) << 2) | ((code >> 2) & 0x3333);
+  code = ((code & 0x0F0F) << 4) | ((code >> 4) & 0x0F0F);
+  code = ((code & 0x00FF) << 8) | ((code >> 8) & 0x00FF);
+  return code >> (16 - len);
+}
+
+// Builds a two-level decode table from canonical code lengths.
+// sym_entry(sym, len) returns the leaf entry for a symbol. Returns the total
+// table slots used, or -1 on an invalid (oversubscribed/incomplete) code.
+// `single_ok`: a code with one symbol of length 1.. is allowed incomplete
+// (deflate permits a single-distance-code tree).
+template <typename F>
+static int build_table(uint32_t* table, int root, const uint8_t* lens,
+                       int nsym, F sym_entry, bool single_ok) {
+  int count[16] = {0};
+  for (int s = 0; s < nsym; s++) count[lens[s]]++;
+  int nz = nsym - count[0];
+  if (nz == 0) return -1;  // no symbols
+  // Kraft check
+  int left = 1;
+  int max_len = 0, min_len = 0;
+  for (int l = 1; l <= 15; l++) {
+    left <<= 1;
+    left -= count[l];
+    if (left < 0) return -1;  // oversubscribed
+    if (count[l]) {
+      max_len = l;
+      if (!min_len) min_len = l;
+    }
+  }
+  if (left > 0) {
+    // incomplete code: allowed only for a single-symbol code when the
+    // caller opts in (single dist code); decode of that symbol still works
+    if (!(single_ok && nz == 1)) return -1;
+  }
+  // first canonical code per length
+  uint32_t next_code[16] = {0};
+  uint32_t code = 0;
+  for (int l = 1; l <= 15; l++) {
+    code = (code + count[l - 1]) << 1;
+    next_code[l] = code;
+  }
+  int eff_root = root;
+  if (max_len < eff_root) eff_root = max_len;
+  const uint32_t prim_size = 1u << eff_root;
+  // invalid-by-default so corrupt streams hit kEnd entries
+  for (uint32_t i = 0; i < prim_size; i++) table[i] = mk(kEnd, 0, 0, 1);
+  int used = (int)prim_size;
+  // bucket bookkeeping for codes longer than root: canonical codes of the
+  // same prefix are contiguous, but fills here are stride-based so order
+  // doesn't matter; subtables are sized by each bucket's max length.
+  int bucket_max[1 << kLitRoot];
+  int bucket_off[1 << kLitRoot];
+  bool have_long = max_len > eff_root;
+  if (have_long) {
+    for (uint32_t i = 0; i < prim_size; i++) bucket_max[i] = 0;
+    // pass 1: per-bucket max code length
+    uint32_t nc[16];
+    memcpy(nc, next_code, sizeof(nc));
+    for (int s = 0; s < nsym; s++) {
+      int l = lens[s];
+      if (!l) continue;
+      uint32_t c = nc[l]++;
+      if (l > eff_root) {
+        uint32_t r = rev_bits(c, l);
+        uint32_t b = r & (prim_size - 1);
+        if (l > bucket_max[b]) bucket_max[b] = l;
+      }
+    }
+    // pass 2: allocate subtables + pointer entries
+    for (uint32_t b = 0; b < prim_size; b++) {
+      if (!bucket_max[b]) continue;
+      int sub_bits = bucket_max[b] - eff_root;
+      bucket_off[b] = used;
+      int sz = 1 << sub_bits;
+      if (used + sz > (int)prim_size + kTableSlack) return -1;
+      for (int i = 0; i < sz; i++) table[used + i] = mk(kEnd, 0, 0, 1);
+      table[b] = mk(kSub, (uint32_t)sub_bits, 0, (uint32_t)used);
+      used += sz;
+    }
+  }
+  // pass 3: fill leaves
+  for (int s = 0; s < nsym; s++) {
+    int l = lens[s];
+    if (!l) continue;
+    uint32_t c = next_code[l]++;
+    uint32_t r = rev_bits(c, l);
+    uint32_t e = sym_entry(s, l);
+    if (l <= eff_root) {
+      for (uint32_t i = r; i < prim_size; i += (1u << l)) table[i] = e;
+    } else {
+      uint32_t b = r & (prim_size - 1);
+      int sub_bits = (int)(table[b] & 63);
+      uint32_t* sub = table + bucket_off[b];
+      uint32_t hi = r >> eff_root;  // (l - eff_root) bits
+      for (uint32_t i = hi; i < (1u << sub_bits); i += (1u << (l - eff_root)))
+        sub[i] = e;
+    }
+  }
+  // effective root narrower than requested: replicate the primary table up
+  // to the requested width so the decode mask stays fixed
+  if (eff_root < root) {
+    for (uint32_t i = prim_size; i < (1u << root); i++)
+      table[i] = table[i & (prim_size - 1)];
+    // subtable offsets remain valid (absolute indices)
+  }
+  return used;
+}
+
+static inline uint32_t lit_entry(int sym, int len) {
+  if (sym < 256) return mk(kLit, (uint32_t)len, 0, (uint32_t)sym);
+  if (sym == 256) return mk(kEnd, (uint32_t)len, 0, 0);
+  int li = sym - 257;
+  if (li >= 29) return mk(kEnd, (uint32_t)len, 0, 1);  // invalid symbol
+  return mk(kVal, (uint32_t)len, kLenExtra[li], kLenBase[li]);
+}
+
+static inline uint32_t dist_entry(int sym, int len) {
+  if (sym >= 30) return mk(kEnd, (uint32_t)len, 0, 1);
+  return mk(kVal, (uint32_t)len, kDistExtra[sym], kDistBase[sym]);
+}
+
+// Decodes one symbol via (possibly two-level) table. Consumes its bits.
+// Requires >= 15 bits buffered. Returns the leaf entry.
+static inline uint32_t decode_entry(BitReader& br, const uint32_t* table,
+                                    int root) {
+  uint32_t e = table[br.peek(root)];
+  if ((e & 0xC0) == kSub) {
+    int sub_bits = (int)(e & 63);
+    const uint32_t* sub = table + (e >> 16);
+    br.consume(root);
+    e = sub[br.peek(sub_bits)];
+    // leaf's stored length is the FULL code length; consume the remainder
+    // (invalid filler leaves have length 0: nothing more to consume)
+    int rem = (int)(e & 63) - root;
+    if (rem > 0) br.consume(rem);
+    return e | 0x8000u;  // flag: bits already consumed
+  }
+  return e;
+}
+
+static const uint8_t kClOrder[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                                     11, 4, 12,  3, 13, 2, 14, 1, 15};
+
+// One-shot raw-deflate decode: decodes exactly out_len bytes (the buffer
+// must have kInflateMargin writable slack beyond out_len). Returns 0 on
+// success, -1 on corrupt input / size mismatch.
+static int dbg_err(int site) {
+  if (getenv("DX_INFLATE_DEBUG")) fprintf(stderr, "dx_inflate: err site %d\n", site);
+  return -1;
+}
+static int inflate_block(const uint8_t* in, size_t in_len, uint8_t* out,
+                         size_t out_len, Tables& tb) {
+  BitReader br(in, in_len);
+  uint8_t* op = out;
+  uint8_t* const oend = out + out_len;
+  uint8_t lit_lens[288], dist_lens[32];
+
+  for (;;) {  // block loop
+    br.refill();
+    if (!br.ok()) return dbg_err(1);
+    uint32_t bfinal = (uint32_t)br.bits(1);
+    uint32_t btype = (uint32_t)br.bits(2);
+    if (btype == 0) {  // stored
+      br.consume(br.cnt & 7);  // discard to byte boundary
+      if (!br.ok()) return dbg_err(2);
+      // bytes still in the bit buffer come first
+      uint32_t hdr[4];
+      for (int i = 0; i < 4; i++) {
+        if (br.cnt >= 8) {
+          hdr[i] = (uint32_t)br.bits(8);
+        } else if (br.p < br.end) {
+          hdr[i] = *br.p++;
+        } else {
+          return dbg_err(3);
+        }
+      }
+      uint32_t len = hdr[0] | (hdr[1] << 8);
+      uint32_t nlen = hdr[2] | (hdr[3] << 8);
+      if ((len ^ 0xFFFF) != nlen) return dbg_err(4);
+      if ((size_t)(oend - op) < len) return dbg_err(5);
+      // drain buffered bytes first (all byte-aligned now)
+      while (len && br.cnt >= 8) {
+        *op++ = (uint8_t)br.bits(8);
+        len--;
+      }
+      if ((size_t)(br.end - br.p) < len) return dbg_err(6);
+      memcpy(op, br.p, len);
+      op += len;
+      br.p += len;
+      // p jumped: bits above cnt still cache pre-jump bytes — the refill
+      // OR-trick is only idempotent when p is unmoved, so zero them
+      br.buf &= br.cnt ? ((1ull << br.cnt) - 1) : 0;
+      if (bfinal) break;
+      continue;
+    }
+    int nlit, ndist;
+    if (btype == 1) {  // fixed codes
+      for (int i = 0; i < 144; i++) lit_lens[i] = 8;
+      for (int i = 144; i < 256; i++) lit_lens[i] = 9;
+      for (int i = 256; i < 280; i++) lit_lens[i] = 7;
+      for (int i = 280; i < 288; i++) lit_lens[i] = 8;
+      for (int i = 0; i < 32; i++) dist_lens[i] = 5;
+      nlit = 288;
+      ndist = 32;
+    } else if (btype == 2) {  // dynamic
+      br.refill();
+      nlit = (int)br.bits(5) + 257;
+      ndist = (int)br.bits(5) + 1;
+      int ncl = (int)br.bits(4) + 4;
+      if (nlit > 286 || ndist > 30) return dbg_err(7);
+      uint8_t cl_lens[19] = {0};
+      for (int i = 0; i < ncl; i++) {
+        br.refill();
+        cl_lens[kClOrder[i]] = (uint8_t)br.bits(3);
+      }
+      if (!br.ok()) return dbg_err(8);
+      uint32_t cl_table[(1 << 7) + 128];
+      if (build_table(cl_table, 7, cl_lens, 19,
+                      [](int s, int l) {
+                        return mk(kVal, (uint32_t)l, 0, (uint32_t)s);
+                      },
+                      false) < 0)
+        return dbg_err(9);
+      int n = 0;
+      uint8_t all[288 + 32];
+      while (n < nlit + ndist) {
+        br.refill();
+        if (!br.ok()) return dbg_err(10);
+        uint32_t e = cl_table[br.peek(7)];
+        if ((e & 0xC0) == kEnd) return dbg_err(11);
+        br.consume((int)(e & 63));
+        int sym = (int)(e >> 16);
+        if (sym < 16) {
+          all[n++] = (uint8_t)sym;
+        } else if (sym == 16) {
+          if (n == 0) return dbg_err(12);
+          int rep = 3 + (int)br.bits(2);
+          if (n + rep > nlit + ndist) return dbg_err(13);
+          uint8_t prev = all[n - 1];
+          while (rep--) all[n++] = prev;
+        } else if (sym == 17) {
+          int rep = 3 + (int)br.bits(3);
+          if (n + rep > nlit + ndist) return dbg_err(14);
+          while (rep--) all[n++] = 0;
+        } else {
+          int rep = 11 + (int)br.bits(7);
+          if (n + rep > nlit + ndist) return dbg_err(15);
+          while (rep--) all[n++] = 0;
+        }
+      }
+      if (!br.ok()) return dbg_err(16);
+      memcpy(lit_lens, all, nlit);
+      memcpy(dist_lens, all + nlit, ndist);
+    } else {
+      return dbg_err(17);  // btype 3
+    }
+    if (btype == 2 && lit_lens[256] == 0) return dbg_err(18);  // no EOB code
+    if (build_table(tb.lit, kLitRoot, lit_lens, nlit, lit_entry, false) < 0)
+      return dbg_err(19);
+    int nd = btype == 1 ? 32 : ndist;
+    if (build_table(tb.dist, kDistRoot, dist_lens, nd, dist_entry, true) < 0) {
+      // a block with NO distance codes at all is legal (literals-only);
+      // poison the table so any match attempt errors
+      bool any = false;
+      for (int i = 0; i < nd; i++) any |= dist_lens[i] != 0;
+      if (any) return dbg_err(20);
+      for (int i = 0; i < (1 << kDistRoot); i++)
+        tb.dist[i] = mk(kEnd, 0, 0, 1);
+    }
+
+    // --- symbol loop ---
+    for (;;) {
+      br.refill();
+      if (!br.ok()) return dbg_err(21);
+      uint32_t e = decode_entry(br, tb.lit, kLitRoot);
+      uint32_t kind = e & 0xC0;
+      if (kind == kLit) {
+        if (!(e & 0x8000u)) br.consume((int)(e & 63));
+        if (op >= oend) return dbg_err(22);
+        *op++ = (uint8_t)(e >> 16);
+        // literal burst: keep decoding straight from the primary table
+        // while bits and blind-store headroom last (a kSub/kVal/kEnd entry
+        // exits to the dispatching loop without consuming)
+        while (br.cnt >= 15 && op + 8 <= oend) {
+          e = tb.lit[br.peek(kLitRoot)];
+          if ((e & 0xC0) != kLit) break;
+          br.consume((int)(e & 63));
+          *op++ = (uint8_t)(e >> 16);
+        }
+        continue;
+      }
+      if (kind == kEnd) {
+        if ((e >> 16) != 0) return dbg_err(23);  // invalid symbol leaf
+        if (!(e & 0x8000u)) br.consume((int)(e & 63));
+        break;  // end of block
+      }
+      // length/distance
+      if (!(e & 0x8000u)) br.consume((int)(e & 63));
+      uint32_t len = (e >> 16) + (uint32_t)br.bits((int)((e >> 8) & 15));
+      br.refill();
+      uint32_t de = decode_entry(br, tb.dist, kDistRoot);
+      if ((de & 0xC0) != kVal) return dbg_err(24);
+      if (!(de & 0x8000u)) br.consume((int)(de & 63));
+      uint32_t dist = (de >> 16) + (uint32_t)br.bits((int)((de >> 8) & 15));
+      if (!br.ok()) return dbg_err(25);
+      if ((size_t)dist > (size_t)(op - out)) return dbg_err(26);
+      if ((size_t)len > (size_t)(oend - op)) return dbg_err(27);
+      const uint8_t* src = op - dist;
+      if (dist >= 8) {
+        // wide copy into the margin (caller guarantees slack)
+        uint8_t* d = op;
+        op += len;
+        do {
+          memcpy(d, src, 8);
+          d += 8;
+          src += 8;
+        } while (d < op);
+      } else if (dist == 1) {
+        memset(op, *src, len);
+        op += len;
+      } else {
+        uint8_t* d = op;
+        op += len;
+        while (d < op) *d++ = *src++;
+      }
+    }
+    if (bfinal) break;
+  }
+  if (op != oend) return dbg_err(28);
+  return br.ok() ? 0 : -1;
+}
+}  // namespace fastinf
+
+// ---------------------------------------------------------------------------
 // Parallel BGZF (blocked gzip) decoding.
 //
 // bgzip/htslib-style .gz files are sequences of independent gzip members of
@@ -64,7 +498,9 @@ enum class Codec : int { kPlain = 0, kGzip = 1, kZstd = 2, kXz = 3 };
 static int bgzf_parse_header(const uint8_t* p, size_t n, size_t* total,
                              size_t* hlen) {
   if (n < 12) return -1;
-  if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || !(p[3] & 0x04)) return 0;
+  // require exactly FLG=FEXTRA: members with FNAME/FCOMMENT/FHCRC would
+  // shift the payload offset — let the serial inflater handle those
+  if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || p[3] != 0x04) return 0;
   size_t xlen = (size_t)p[10] | ((size_t)p[11] << 8);
   if (n < 12 + xlen) return -1;
   size_t off = 12, end = 12 + xlen;
@@ -207,11 +643,21 @@ struct BgzfState {
     int nt = (int)std::min((size_t)nthreads, nblocks);
     std::atomic<size_t> next_blk{0};
     std::atomic<bool> ok{true};
+    static const bool use_fast = [] {
+      const char* env = getenv("DEACON_FAST_INFLATE");
+      return !(env && env[0] == '0' && env[1] == '\0');
+    }();
     auto work = [&]() {
       z_stream zs{};
-      if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) {
-        ok.store(false);
-        return;
+      bool zs_ready = false;
+      // fast path: per-thread scratch with wide-copy margin, then an exact
+      // memcpy into the shared output (blocks decode concurrently, so the
+      // margin must not bleed into a neighbour's region)
+      std::unique_ptr<fastinf::Tables> tbs;
+      std::vector<uint8_t> scratch;
+      if (use_fast) {
+        tbs = std::make_unique<fastinf::Tables>();
+        scratch.resize((1u << 16) + kInflateMargin);
       }
       for (;;) {
         size_t i = next_blk.fetch_add(1);
@@ -220,27 +666,45 @@ struct BgzfState {
         size_t payload = b.bsize[i] - b.bhlen[i] - 8;
         size_t olen = b.ooff[i + 1] - b.ooff[i];
         if (olen == 0) continue;  // empty block (e.g. the BGZF EOF marker)
-        inflateReset(&zs);
-        zs.next_in = const_cast<uint8_t*>(blk + b.bhlen[i]);
-        zs.avail_in = (uInt)payload;
-        zs.next_out = b.out.data() + b.ooff[i];
-        zs.avail_out = (uInt)olen;
-        int r = inflate(&zs, Z_FINISH);
-        if (r != Z_STREAM_END || zs.avail_out != 0) {
-          ok.store(false);
-          break;
+        uint8_t* dst = b.out.data() + b.ooff[i];
+        if (use_fast) {
+          if (fastinf::inflate_block(blk + b.bhlen[i], payload,
+                                     scratch.data(), olen, *tbs) != 0) {
+            ok.store(false);
+            break;
+          }
+          memcpy(dst, scratch.data(), olen);
+        } else {
+          if (!zs_ready) {
+            if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) {
+              ok.store(false);
+              break;
+            }
+            zs_ready = true;
+          } else {
+            inflateReset(&zs);
+          }
+          zs.next_in = const_cast<uint8_t*>(blk + b.bhlen[i]);
+          zs.avail_in = (uInt)payload;
+          zs.next_out = dst;
+          zs.avail_out = (uInt)olen;
+          int r = inflate(&zs, Z_FINISH);
+          if (r != Z_STREAM_END || zs.avail_out != 0) {
+            ok.store(false);
+            break;
+          }
         }
         uint32_t want_crc = (uint32_t)blk[b.bsize[i] - 8] |
                             ((uint32_t)blk[b.bsize[i] - 7] << 8) |
                             ((uint32_t)blk[b.bsize[i] - 6] << 16) |
                             ((uint32_t)blk[b.bsize[i] - 5] << 24);
-        if ((uint32_t)crc32(crc32(0, nullptr, 0), b.out.data() + b.ooff[i],
-                            (uInt)olen) != want_crc) {
+        if ((uint32_t)crc32(crc32(0, nullptr, 0), dst, (uInt)olen) !=
+            want_crc) {
           ok.store(false);
           break;
         }
       }
-      inflateEnd(&zs);
+      if (zs_ready) inflateEnd(&zs);
     };
     if (nt <= 1) {
       work();
@@ -807,6 +1271,15 @@ struct DxWriter {
 }  // namespace
 
 extern "C" {
+
+// Test hook for the fast raw-deflate decoder: `out` must have
+// kInflateMargin writable bytes beyond out_len. 0 = ok, -1 = error.
+int dx_inflate_raw(const uint8_t* in, int64_t in_len, uint8_t* out,
+                   int64_t out_len) {
+  auto tbs = std::make_unique<fastinf::Tables>();
+  return fastinf::inflate_block(in, (size_t)in_len, out, (size_t)out_len,
+                                *tbs);
+}
 
 DxReader* dx_open(const char* path) {
   FILE* f = (!path || strcmp(path, "-") == 0) ? stdin : fopen(path, "rb");
