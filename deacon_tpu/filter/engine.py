@@ -85,6 +85,20 @@ class HostDecider:
         return lambda: result
 
 
+def _decisions_from_counts(hits, totals, cfg: FilterConfig):
+    """Vectorized (keep, hits, total, kmers=[]) decisions from device counts
+    (shared by the device and sharded deciders)."""
+    from .thresholds import keep_mask_batch
+
+    keep = keep_mask_batch(
+        hits, totals, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete
+    )
+    return [
+        (bool(kp), int(h), int(t), [])
+        for kp, h, t in zip(keep, hits, totals)
+    ]
+
+
 class DeviceDecider:
     """Fused on-device extract+probe+count (deacon_tpu/ops/engine.py).
 
@@ -105,15 +119,7 @@ class DeviceDecider:
         self.fallback = fallback
 
     def _decide(self, hits, totals, cfg: FilterConfig):
-        from .thresholds import keep_mask_batch
-
-        keep = keep_mask_batch(
-            hits, totals, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete
-        )
-        return [
-            (bool(kp), int(h), int(t), [])
-            for kp, h, t in zip(keep, hits, totals)
-        ]
+        return _decisions_from_counts(hits, totals, cfg)
 
     def decide_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
         return self.launch_unpaired(seqs, prefix_length, cfg)()
@@ -188,15 +194,7 @@ class ShardedDecider:
         self._overflow = BudgetOverflow
 
     def _decide(self, hits, totals, cfg: FilterConfig):
-        from .thresholds import keep_mask_batch
-
-        keep = keep_mask_batch(
-            hits, totals, cfg.abs_threshold, cfg.rel_threshold, cfg.deplete
-        )
-        return [
-            (bool(kp), int(h), int(t), [])
-            for kp, h, t in zip(keep, hits, totals)
-        ]
+        return _decisions_from_counts(hits, totals, cfg)
 
     _MAX_ROWS_PER_SHARD = 8192  # ~67 Mbp/unit at the default row length
 
@@ -260,6 +258,13 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     also skipped: its per-batch result materializations run ~100x below chip
     speed (PERFNOTES.md "cassette" notes), so the C++ host engine is
     strictly faster end-to-end there. Force with --device tpu.
+
+    Note the earlier sidecar fast path in run(): with device="auto" a valid
+    `<index>.probe` routes straight to the native host pipeline WITHOUT
+    consulting this policy — a warm one-shot CLI run on the host engine
+    beats the device engine's import+compile+transfer lead time even on
+    real TPU hosts. `--device tpu` (or any non-auto device) bypasses the
+    sidecar path and lands here.
     """
     if getattr(cfg, "mesh", None) == "pod" and cfg.minimizers_path is not None:
         if cfg.debug:
@@ -618,6 +623,8 @@ def run(config: FilterConfig) -> None:
             pair_bp = len(rec1.seq) + len(rec2.seq)
             stats.total_seqs += 2
             stats.total_bp += pair_bp
+            # hits>0 guard matches the reference's paired debug path
+            # (ref: src/local_filter.rs:424, :497) — single-end prints all
             if config.debug and hits > 0:
                 _eprint(
                     f"DEBUG: {rec1.id.decode('utf-8', 'replace')}/"

@@ -279,10 +279,15 @@ def build(config: IndexConfig) -> None:
                     if item is None:
                         return
             except BaseException as exc:  # re-raised on the consumer side
-                try:
-                    batch_q.put_nowait(exc)
-                except queue.Full:
-                    stop.set()
+                # bounded put, like the data path: dropping the exception
+                # when the queue is full would leave the consumer blocked
+                # on get() forever instead of surfacing the parse error
+                while not stop.is_set():
+                    try:
+                        batch_q.put(exc, timeout=0.2)
+                        break
+                    except queue.Full:
+                        pass
 
         producer = threading.Thread(target=_producer, daemon=True)
         producer.start()

@@ -176,6 +176,60 @@ class ShardedPipeline:
         """
         self = cls.__new__(cls)
         self._init_geometry(k, w, mesh, row_len, rows_per_shard, budget_frac)
+        # Input-dependent validation below may fail on ONE rank only (hash
+        # skew vs pad_to, run-bound overflow, missing shard); raising before
+        # the other ranks enter the collectives would hang the pod. All
+        # checks funnel into `err`, then every rank reaches the agreement
+        # point together and they abort (or proceed) as a group.
+        err: Exception | None = None
+        try:
+            self._from_shards_validate(shards, pad_to, max_run)
+        except ValueError as e:
+            err = e
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.int32(0 if err is None else 1)
+            )
+            if int(np.asarray(flags).sum()):
+                raise err if err is not None else ValueError(
+                    "a peer process failed shard validation; see its log"
+                )
+        elif err is not None:
+            raise err
+        planes, pad_to, max_run = self._planes
+        del self._planes
+
+        idx_sharding = NamedSharding(mesh, P("shard"))
+        pid = jax.process_index()
+        pieces_hi, pieces_lo, pieces_nv = [], [], []
+        for (_, j), dev in np.ndenumerate(mesh.devices):
+            if dev.process_index != pid:
+                continue
+            hi, lo, nv = planes[j]
+            pieces_hi.append(jax.device_put(jnp.asarray(hi), dev))
+            pieces_lo.append(jax.device_put(jnp.asarray(lo), dev))
+            pieces_nv.append(
+                jax.device_put(jnp.asarray([nv], dtype=jnp.int32), dev)
+            )
+        gshape = (self.n_shard * pad_to,)
+        self.index_hi = jax.make_array_from_single_device_arrays(
+            gshape, idx_sharding, pieces_hi
+        )
+        self.index_lo = jax.make_array_from_single_device_arrays(
+            gshape, idx_sharding, pieces_lo
+        )
+        self._n_valid = jax.make_array_from_single_device_arrays(
+            (self.n_shard,), idx_sharding, pieces_nv
+        )
+        self._compile(max_run, idx_sharding)
+        return self
+
+    def _from_shards_validate(self, shards, pad_to, max_run) -> None:
+        """Validation + probe-plane construction for from_shards; every
+        input-dependent ValueError must originate here (see the agreement
+        logic above). Leaves (planes, pad_to, max_run) in self._planes."""
         if len(shards) != self.n_shard:
             raise ValueError(
                 f"need {self.n_shard} shards for this mesh, got {len(shards)}"
@@ -232,34 +286,13 @@ class ShardedPipeline:
                 f"max_run={max_run} < locally observed run bound {run_bound}"
             )
 
-        idx_sharding = NamedSharding(mesh, P("shard"))
         pid = jax.process_index()
-        pieces_hi, pieces_lo, pieces_nv = [], [], []
-        for (_, j), dev in np.ndenumerate(mesh.devices):
-            if dev.process_index != pid:
-                continue
-            if j not in planes:
+        for (_, j), dev in np.ndenumerate(self.mesh.devices):
+            if dev.process_index == pid and j not in planes:
                 raise ValueError(
                     f"shard {j} is addressable from this process but was None"
                 )
-            hi, lo, nv = planes[j]
-            pieces_hi.append(jax.device_put(jnp.asarray(hi), dev))
-            pieces_lo.append(jax.device_put(jnp.asarray(lo), dev))
-            pieces_nv.append(
-                jax.device_put(jnp.asarray([nv], dtype=jnp.int32), dev)
-            )
-        gshape = (self.n_shard * pad_to,)
-        self.index_hi = jax.make_array_from_single_device_arrays(
-            gshape, idx_sharding, pieces_hi
-        )
-        self.index_lo = jax.make_array_from_single_device_arrays(
-            gshape, idx_sharding, pieces_lo
-        )
-        self._n_valid = jax.make_array_from_single_device_arrays(
-            (self.n_shard,), idx_sharding, pieces_nv
-        )
-        self._compile(max_run, idx_sharding)
-        return self
+        self._planes = (planes, pad_to, max_run)
 
     def regeometry(self, rows_per_shard: int | None = None,
                    row_len: int | None = None) -> "ShardedPipeline":

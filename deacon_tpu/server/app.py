@@ -28,20 +28,38 @@ from . import protocol
 MAX_BODY = 2_147_483_648  # 2 GiB, ref: src/server.rs:58
 
 
+def _file_sha256(path: str) -> str:
+    """Streaming sha256 (a full read() would briefly double peak RAM next
+    to a decoded multi-GB index). hashlib.file_digest needs Python >= 3.11;
+    fall back to a chunked loop on 3.10."""
+    with open(path, "rb") as f:
+        if hasattr(hashlib, "file_digest"):
+            return hashlib.file_digest(f, "sha256").hexdigest()
+        h = hashlib.sha256()
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+        return h.hexdigest()
+
+
 class ServerState:
     def __init__(self, index_path: str, device: str = "host", mesh: str | None = None):
         import os
 
+        import numpy as np
+
+        from ..index.store import load_header_and_count
+
         # long-lived process: huge pages on the probe table pay off
         os.environ.setdefault("DEACON_PROBE_THP", "1")
-        with open(index_path, "rb") as f:
-            # streaming hash: a full read() would briefly double peak RAM
-            # next to the decoded multi-GB index
-            digest = hashlib.file_digest(f, "sha256").hexdigest()
-        self.version = f"{index_path}@{digest}"
+        self.version = f"{index_path}@{_file_sha256(index_path)}"
         print(f"Loading index from: {index_path}", file=sys.stderr)
-        self.index: MinimizerIndex = load_index(index_path)
+        self.header, self.count = load_header_and_count(index_path)
+        # the raw hash array stays resident ONLY when no probe owns the
+        # keys (pure-Python fallback); every probe path below drops it —
+        # at panhuman scale that halves steady-state RAM
+        _stub = MinimizerIndex(self.header, np.empty(0, dtype=np.uint64))
         probe = None
+        index = _stub
         if device == "jax" or mesh:
             # pod-backed decisions: membership probes run on the accelerator
             # mesh (index range-partitioned across `shard`, queries across
@@ -58,32 +76,36 @@ class ServerState:
                     f"Index sharded on device mesh data={n_data} x shard={n_shard}",
                     file=sys.stderr,
                 )
-            probe = DeviceHashProbe(self.index.hashes, mesh=m)
+            probe = DeviceHashProbe(load_index(index_path).hashes, mesh=m)
         else:
             # host mode: pre-build the membership table now (not lazily on
             # the first request) — via the '<index>.probe' sidecar when one
-            # is valid, saving the build and making startup predictable
+            # is valid, skipping the multi-GB hash decode entirely
+            nprobe = None
             try:
-                from ..index.store import load_header_and_count
                 from ..io.native_loader import (
                     maybe_save_probe_sidecar,
                     native_probe,
                     native_probe_load_sidecar,
                 )
 
-                _, count = load_header_and_count(index_path)
-                nprobe = native_probe_load_sidecar(str(index_path), count)
+                nprobe = native_probe_load_sidecar(str(index_path), self.count)
                 if nprobe is None:
-                    nprobe = native_probe(self.index.hashes)
+                    index = load_index(index_path)
+                    nprobe = native_probe(index.hashes)
                     if nprobe is not None:
                         maybe_save_probe_sidecar(
-                            nprobe, str(index_path), len(self.index)
+                            nprobe, str(index_path), len(index)
                         )
-                if nprobe is not None:
-                    probe = lambda q: nprobe.query(q)  # noqa: E731
-                    self._nprobe = nprobe  # keep the table alive
+                        index = _stub  # probe owns the keys now
             except Exception:
-                probe = None
+                nprobe = None
+            if nprobe is not None:
+                probe = lambda q: nprobe.query(q)  # noqa: E731
+                self._nprobe = nprobe  # keep the table alive
+            elif index is _stub:
+                index = load_index(index_path)  # no probe: need the hashes
+        self.index: MinimizerIndex = index
         self.backend = LocalBackend(self.index, probe=probe)
         print("Loaded index!", file=sys.stderr)
 
@@ -107,15 +129,15 @@ def make_handler(state: ServerState):
 
         def do_GET(self):
             if self.path == "/":
-                h = state.index.header
+                h = state.header
                 msg = (
-                    f"Index loaded with {len(state.index)} minimizers and "
+                    f"Index loaded with {state.count} minimizers and "
                     f"header: IndexHeader {{ format_version: {h.format_version}, "
                     f"kmer_length: {h.kmer_length}, window_size: {h.window_size} }}"
                 )
                 self._send(200, msg.encode(), "text/plain; charset=utf-8")
             elif self.path == "/index_header":
-                self._send(200, json.dumps(state.index.header.to_dict()).encode())
+                self._send(200, json.dumps(state.header.to_dict()).encode())
             elif self.path == "/index_version":
                 self._send(200, state.version.encode(), "text/plain; charset=utf-8")
             else:
