@@ -477,6 +477,426 @@ static int inflate_block(const uint8_t* in, size_t in_len, uint8_t* out,
 }  // namespace fastinf
 
 // ---------------------------------------------------------------------------
+// Fast one-shot raw-deflate COMPRESSOR (dx_deflate).
+//
+// The write side of the same idea as fastinf: each output member is a
+// whole in-memory buffer (the pipeline's per-batch gzip members; writers
+// compress in parallel workers), so a purpose-built greedy compressor can
+// replace zlib's fast levels: hash-4 greedy LZ with adaptive literal
+// skipping, ONE dynamic-Huffman block per member (built from the member's
+// actual symbol frequencies with a Kraft-repair length limiter), and a
+// stored-block fallback when the data is incompressible. Targets zlib
+// levels 1-3 (DEACON_FAST_DEFLATE=0 restores zlib); ratio is comparable
+// (dynamic codes + 32 KiB window) at a multiple of the speed.
+// ---------------------------------------------------------------------------
+
+namespace fastdef {
+
+using fastinf::kDistBase;
+using fastinf::kDistExtra;
+using fastinf::kLenBase;
+using fastinf::kLenExtra;
+
+struct BitWriter {
+  std::vector<uint8_t>& out;
+  uint64_t buf = 0;
+  int cnt = 0;
+  explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+  inline void put(uint32_t bits, int n) {  // n <= 31
+    buf |= (uint64_t)bits << cnt;
+    cnt += n;
+    if (cnt >= 32) {
+      size_t off = out.size();
+      out.resize(off + 4);
+      uint32_t w = (uint32_t)buf;
+      memcpy(out.data() + off, &w, 4);
+      buf >>= 32;
+      cnt -= 32;
+    }
+  }
+  void align_byte() {
+    if (cnt & 7) put(0, 8 - (cnt & 7));
+  }
+  void finish() {  // flush remaining whole/partial bytes
+    while (cnt > 0) {
+      out.push_back((uint8_t)buf);
+      buf >>= 8;
+      cnt -= 8;
+    }
+    buf = 0;
+    cnt = 0;
+  }
+};
+
+// Canonical Huffman code lengths for `n` symbols with the given max bit
+// length, from frequencies. Writes lens[] (0 = unused). Simple pairing
+// heap build + Kraft-repair clamp, then promotion back to an exactly
+// complete code (inflaters reject incomplete litlen/code-length codes).
+// force_complete: a single-symbol code gets a dummy second length-1 code
+// (the lone legal incomplete code is the single-distance-code case).
+static void huff_lengths(const uint32_t* freq, int n, int max_len,
+                         uint8_t* lens, bool force_complete) {
+  struct Node {
+    uint64_t f;
+    int l, r;  // children (<n: leaf sym)
+  };
+  std::vector<Node> nodes;
+  std::vector<int> heap;  // indices into nodes, min-heap by freq
+  nodes.reserve(2 * n);
+  for (int s = 0; s < n; s++) {
+    lens[s] = 0;
+    if (freq[s]) {
+      nodes.push_back({freq[s], s, -1});
+      heap.push_back((int)nodes.size() - 1);
+    }
+  }
+  size_t nsym = heap.size();
+  if (nsym == 0) return;
+  if (nsym == 1) {
+    int only = nodes[heap[0]].l;
+    lens[only] = 1;
+    if (force_complete) lens[only == 0 ? 1 : 0] = 1;  // dummy completes it
+    return;
+  }
+  auto cmp = [&](int a, int b) { return nodes[a].f > nodes[b].f; };
+  std::make_heap(heap.begin(), heap.end(), cmp);
+  while (heap.size() > 1) {
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    int a = heap.back();
+    heap.pop_back();
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    int b = heap.back();
+    heap.pop_back();
+    nodes.push_back({nodes[a].f + nodes[b].f, a | (1 << 30), b | (1 << 30)});
+    heap.push_back((int)nodes.size() - 1);
+    std::push_heap(heap.begin(), heap.end(), cmp);
+  }
+  // depth-first depths (iterative; tree height <= nsym)
+  std::vector<std::pair<int, int>> stack;  // (node index, depth)
+  stack.push_back({heap[0], 0});
+  while (!stack.empty()) {
+    auto [ni, d] = stack.back();
+    stack.pop_back();
+    const Node& nd = nodes[ni];
+    if (nd.r < 0) {
+      lens[nd.l] = (uint8_t)std::min(d ? d : 1, 255);
+      continue;
+    }
+    stack.push_back({nd.l & ~(1 << 30), d + 1});
+    stack.push_back({nd.r & ~(1 << 30), d + 1});
+  }
+  // Kraft repair: clamp to max_len, then demote until the code is valid
+  uint64_t K = 0;  // sum of 2^(max_len - len)
+  for (int s = 0; s < n; s++) {
+    if (!lens[s]) continue;
+    if (lens[s] > max_len) lens[s] = (uint8_t)max_len;
+    K += 1ull << (max_len - lens[s]);
+  }
+  const uint64_t target = 1ull << max_len;
+  while (K > target) {
+    // lengthen the longest still-lengthenable code
+    int pick = -1;
+    for (int s = 0; s < n; s++)
+      if (lens[s] && lens[s] < max_len &&
+          (pick < 0 || lens[s] > lens[pick]))
+        pick = s;
+    // pick always exists: K > target implies some len < max_len
+    K -= 1ull << (max_len - lens[pick] - 1);
+    lens[pick]++;
+  }
+  while (K < target) {
+    // shorten the longest code whose doubled slot still fits; its
+    // increment divides the deficit, so this converges to K == target
+    int pick = -1;
+    for (int s = 0; s < n; s++)
+      if (lens[s] > 1 && (1ull << (max_len - lens[s])) <= target - K &&
+          (pick < 0 || lens[s] > lens[pick]))
+        pick = s;
+    if (pick < 0) break;  // cannot happen for nsym >= 2; stay safe
+    K += 1ull << (max_len - lens[pick]);
+    lens[pick]--;
+  }
+}
+
+// Canonical code assignment (RFC 1951 ordering) + LSB-first bit reversal.
+static void huff_codes(const uint8_t* lens, int n, uint16_t* codes) {
+  int count[16] = {0};
+  for (int s = 0; s < n; s++) count[lens[s]]++;
+  count[0] = 0;
+  uint32_t next[16] = {0}, code = 0;
+  for (int l = 1; l <= 15; l++) {
+    code = (code + count[l - 1]) << 1;
+    next[l] = code;
+  }
+  for (int s = 0; s < n; s++) {
+    if (!lens[s]) {
+      codes[s] = 0;
+      continue;
+    }
+    codes[s] = (uint16_t)fastinf::rev_bits(next[lens[s]]++, lens[s]);
+  }
+}
+
+static inline int dist_sym(uint32_t d) {  // d in [1, 32768]
+  if (d <= 4) return (int)d - 1;
+  int lg = 31 - __builtin_clz(d - 1);
+  return 2 * lg + (int)(((d - 1) >> (lg - 1)) & 1);
+}
+
+struct LenSymTable {
+  uint8_t sym[256];  // len-3 -> litlen sym - 257
+  LenSymTable() {
+    for (int s = 0; s < 29; s++) {
+      int base = kLenBase[s];
+      int span = 1 << kLenExtra[s];
+      for (int l = base; l < base + span && l <= 258; l++)
+        sym[l - 3] = (uint8_t)s;
+    }
+    sym[258 - 3] = 28;  // len 258 is its own code (not 284's range)
+  }
+};
+static const LenSymTable kLenSym;
+
+// token stream: literal = byte value; match = (1<<31) | (len << 16) | dist
+static constexpr uint32_t kMatchBit = 1u << 31;
+
+static inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+
+// Emits stored blocks (final) — the incompressible fallback.
+static void emit_stored(const uint8_t* in, size_t n,
+                        std::vector<uint8_t>& out) {
+  size_t pos = 0;
+  do {
+    size_t take = std::min(n - pos, (size_t)65535);
+    bool final = pos + take == n;
+    out.push_back(final ? 1 : 0);  // BFINAL, BTYPE=00 (byte-aligned here)
+    uint16_t len = (uint16_t)take, nlen = (uint16_t)~take;
+    out.push_back((uint8_t)len);
+    out.push_back((uint8_t)(len >> 8));
+    out.push_back((uint8_t)nlen);
+    out.push_back((uint8_t)(nlen >> 8));
+    out.insert(out.end(), in + pos, in + pos + take);
+    pos += take;
+  } while (pos < n);
+}
+
+static const uint8_t kClOrder[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                                     11, 4, 12,  3, 13, 2, 14, 1, 15};
+
+// One-shot raw-deflate compress of the whole buffer: ONE dynamic-Huffman
+// block (or stored blocks when that is smaller). Appends to `out`.
+static void deflate_buffer(const uint8_t* in, size_t n,
+                           std::vector<uint8_t>& out) {
+  if (n == 0) {
+    // final stored block of length 0
+    static const uint8_t kEmpty[5] = {1, 0, 0, 0xFF, 0xFF};
+    out.insert(out.end(), kEmpty, kEmpty + 5);
+    return;
+  }
+  // --- pass 1: greedy LZ + frequency tally ---
+  constexpr int kHashBits = 15;
+  constexpr uint32_t kWindow = 32768;
+  std::vector<int64_t> table(1u << kHashBits, -(int64_t)kWindow - 1);
+  std::vector<uint32_t> tokens;
+  tokens.reserve(n / 2 + 16);
+  uint32_t freq_ll[288] = {0}, freq_d[30] = {0};
+  auto hash4 = [](uint32_t x) {
+    return (x * 2654435761u) >> (32 - kHashBits);
+  };
+  size_t pos = 0;
+  uint32_t miss_run = 0;
+  const size_t limit = n >= 12 ? n - 12 : 0;  // room for load32 + extension
+  while (pos < limit) {
+    uint32_t v = load32(in + pos);
+    uint32_t h = hash4(v);
+    int64_t cand = table[h];
+    table[h] = (int64_t)pos;
+    if (cand >= 0 && pos - (size_t)cand <= kWindow &&
+        load32(in + (size_t)cand) == v) {
+      // extend (8 bytes at a time; in has >= 12 bytes of tail slack here)
+      size_t len = 4;
+      size_t max_len = std::min((size_t)258, n - pos);
+      while (len + 8 <= max_len) {
+        uint64_t a, b;
+        memcpy(&a, in + pos + len, 8);
+        memcpy(&b, in + (size_t)cand + len, 8);
+        uint64_t x = a ^ b;
+        if (x) {
+          len += (size_t)(__builtin_ctzll(x) >> 3);
+          goto have_len;
+        }
+        len += 8;
+      }
+      while (len < max_len && in[pos + len] == in[(size_t)cand + len]) len++;
+    have_len:;
+      uint32_t dist = (uint32_t)(pos - (size_t)cand);
+      tokens.push_back(kMatchBit | ((uint32_t)len << 16) | dist);
+      freq_ll[257 + kLenSym.sym[len - 3]]++;
+      freq_d[dist_sym(dist)]++;
+      // sparse insertion inside the match keeps long-match throughput high
+      if (len <= 16) {
+        size_t iend = n - pos >= 4 ? std::min(len, n - pos - 3) : 0;
+        for (size_t i = 1; i < iend; i++)
+          table[hash4(load32(in + pos + i))] = (int64_t)(pos + i);
+      } else if (pos + len + 4 <= n) {
+        table[hash4(load32(in + pos + len - 2))] = (int64_t)(pos + len - 2);
+        table[hash4(load32(in + pos + len - 1))] = (int64_t)(pos + len - 1);
+      }
+      pos += len;
+      miss_run = 0;
+    } else {
+      tokens.push_back(in[pos]);
+      freq_ll[in[pos]]++;
+      // adaptive skip: after a run of misses (incompressible region) emit
+      // several literals per hash probe
+      uint32_t skip = 1 + (miss_run++ >> 7);
+      if (skip > 1) {
+        size_t end = std::min(pos + skip, limit);
+        for (size_t i = pos + 1; i < end; i++) {
+          tokens.push_back(in[i]);
+          freq_ll[in[i]]++;
+        }
+        pos = end;
+      } else {
+        pos++;
+      }
+    }
+  }
+  for (; pos < n; pos++) {
+    tokens.push_back(in[pos]);
+    freq_ll[in[pos]]++;
+  }
+  freq_ll[256] = 1;  // EOB
+
+  // --- Huffman codes from the member's actual frequencies ---
+  uint8_t len_ll[288], len_d[30];
+  uint16_t code_ll[288], code_d[30];
+  huff_lengths(freq_ll, 288, 15, len_ll, /*force_complete=*/true);
+  huff_lengths(freq_d, 30, 15, len_d, /*force_complete=*/false);
+  // HDIST >= 1: deflate requires at least one distance code length
+  int hlit = 286;
+  while (hlit > 257 && len_ll[hlit - 1] == 0) hlit--;
+  int hdist = 30;
+  while (hdist > 1 && len_d[hdist - 1] == 0) hdist--;
+  huff_codes(len_ll, 288, code_ll);
+  huff_codes(len_d, 30, code_d);
+
+  // --- code-length-code compression of the header ---
+  uint8_t all[288 + 30];
+  memcpy(all, len_ll, hlit);
+  memcpy(all + hlit, len_d, hdist);
+  int nall = hlit + hdist;
+  // RLE to CL symbols: (sym, extra_val) pairs
+  std::vector<std::pair<uint8_t, uint8_t>> cl;
+  cl.reserve(nall);
+  uint32_t freq_cl[19] = {0};
+  for (int i = 0; i < nall;) {
+    uint8_t v = all[i];
+    int run = 1;
+    while (i + run < nall && all[i + run] == v) run++;
+    if (v == 0) {
+      while (run >= 3) {
+        int take = std::min(run, 138);
+        if (take >= 11) {
+          cl.push_back({18, (uint8_t)(take - 11)});
+          freq_cl[18]++;
+        } else {
+          cl.push_back({17, (uint8_t)(take - 3)});
+          freq_cl[17]++;
+        }
+        run -= take;
+        i += take;
+      }
+      while (run--) {
+        cl.push_back({0, 0});
+        freq_cl[0]++;
+        i++;
+      }
+    } else {
+      cl.push_back({v, 0});
+      freq_cl[v]++;
+      i++;
+      run--;
+      while (run >= 3) {
+        int take = std::min(run, 6);
+        cl.push_back({16, (uint8_t)(take - 3)});
+        freq_cl[16]++;
+        run -= take;
+        i += take;
+      }
+      while (run--) {
+        cl.push_back({v, 0});
+        freq_cl[v]++;
+        i++;
+      }
+    }
+  }
+  uint8_t len_cl[19];
+  uint16_t code_cl[19];
+  huff_lengths(freq_cl, 19, 7, len_cl, /*force_complete=*/true);
+  huff_codes(len_cl, 19, code_cl);
+  int hclen = 19;
+  while (hclen > 4 && len_cl[kClOrder[hclen - 1]] == 0) hclen--;
+
+  // --- emit the dynamic block ---
+  size_t start = out.size();
+  BitWriter bw(out);
+  bw.put(1, 1);  // BFINAL
+  bw.put(2, 2);  // BTYPE = dynamic
+  bw.put((uint32_t)(hlit - 257), 5);
+  bw.put((uint32_t)(hdist - 1), 5);
+  bw.put((uint32_t)(hclen - 4), 4);
+  for (int i = 0; i < hclen; i++) bw.put(len_cl[kClOrder[i]], 3);
+  for (auto [sym, extra] : cl) {
+    bw.put(code_cl[sym], len_cl[sym]);
+    if (sym == 16) bw.put(extra, 2);
+    else if (sym == 17) bw.put(extra, 3);
+    else if (sym == 18) bw.put(extra, 7);
+  }
+  for (uint32_t t : tokens) {
+    if (!(t & kMatchBit)) {
+      bw.put(code_ll[t], len_ll[t]);
+      continue;
+    }
+    uint32_t len = (t >> 16) & 0x7FFF, dist = t & 0xFFFF;
+    int ls = kLenSym.sym[len - 3];
+    bw.put(code_ll[257 + ls], len_ll[257 + ls]);
+    if (kLenExtra[ls]) bw.put(len - kLenBase[ls], kLenExtra[ls]);
+    int ds = dist_sym(dist);
+    bw.put(code_d[ds], len_d[ds]);
+    if (kDistExtra[ds]) bw.put(dist - kDistBase[ds], kDistExtra[ds]);
+  }
+  bw.put(code_ll[256], len_ll[256]);  // EOB
+  bw.finish();
+
+  // incompressible fallback: stored blocks are smaller
+  if (out.size() - start > n + 5 * (n / 65535 + 1)) {
+    out.resize(start);
+    emit_stored(in, n, out);
+  }
+}
+
+// Whole gzip member (header + raw deflate + CRC32 + ISIZE) appended to out.
+static void gzip_member(const uint8_t* in, size_t n,
+                        std::vector<uint8_t>& out) {
+  static const uint8_t kHdr[10] = {0x1F, 0x8B, 8, 0, 0, 0, 0, 0, 0, 0xFF};
+  out.insert(out.end(), kHdr, kHdr + 10);
+  deflate_buffer(in, n, out);
+  uint32_t crc = (uint32_t)crc32(crc32(0, nullptr, 0), in, (uInt)n);
+  uint32_t isize = (uint32_t)n;
+  uint8_t tail[8];
+  memcpy(tail, &crc, 4);
+  memcpy(tail + 4, &isize, 4);
+  out.insert(out.end(), tail, tail + 8);
+}
+
+}  // namespace fastdef
+
+// ---------------------------------------------------------------------------
 // Parallel BGZF (blocked gzip) decoding.
 //
 // bgzip/htslib-style .gz files are sequences of independent gzip members of
@@ -1271,6 +1691,18 @@ struct DxWriter {
 }  // namespace
 
 extern "C" {
+
+// Test hook for the fast raw-deflate compressor: appends nothing to the
+// caller; writes up to out_cap bytes, returns the compressed length or -1
+// if it would not fit.
+int64_t dx_deflate_raw(const uint8_t* in, int64_t in_len, uint8_t* out,
+                       int64_t out_cap) {
+  std::vector<uint8_t> buf;
+  fastdef::deflate_buffer(in, (size_t)in_len, buf);
+  if ((int64_t)buf.size() > out_cap) return -1;
+  memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
 
 // Test hook for the fast raw-deflate decoder: `out` must have
 // kInflateMargin writable bytes beyond out_len. 0 = ok, -1 = error.
@@ -3576,6 +4008,17 @@ static bool compress_member(int codec, int level,
   out.clear();
   if (in.empty() && !emit_empty) return true;
   if (codec == 1) {  // gzip member
+    // fast levels route to the purpose-built one-shot compressor (greedy
+    // LZ + per-member dynamic Huffman); higher levels keep zlib's deeper
+    // match search. DEACON_FAST_DEFLATE=0 forces zlib everywhere.
+    static const bool fast_ok = [] {
+      const char* env = getenv("DEACON_FAST_DEFLATE");
+      return !(env && env[0] == '0' && env[1] == '\0');
+    }();
+    if (fast_ok && level <= 3 && in.size() < (size_t)1 << 31) {
+      fastdef::gzip_member(in.data(), in.size(), out);
+      return true;
+    }
     z_stream zs{};
     if (deflateInit2(&zs, level, Z_DEFLATED, 16 + MAX_WBITS, 8,
                      Z_DEFAULT_STRATEGY) != Z_OK)
