@@ -22,7 +22,9 @@ from .constants import (
 
 def _abs_threshold(value: str) -> int:
     v = int(value)
-    if v < 1:  # ref: src/main.rs:44 (clap range 1..)
+    # ref: src/main.rs:44 — clap value_parser!(u16).range(1..), i.e. the u16
+    # type bounds the top end too
+    if not 1 <= v <= 65535:
         raise argparse.ArgumentTypeError(
             f"{v} is not in 1..=65535"
         )

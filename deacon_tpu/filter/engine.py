@@ -341,7 +341,10 @@ def _run_native_pipeline(
             return False
         saver = None
         if probe is None:
-            probe = native_probe(index.hashes)
+            try:
+                probe = native_probe(index.hashes)
+            except MemoryError:
+                probe = None  # table build failed: slower paths still work
             if probe is None:
                 return False
             # Persist the finished table next to the index so later runs

@@ -24,6 +24,7 @@
 #include <thread>
 #include <vector>
 
+#include <dlfcn.h>
 #include <lzma.h>
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -40,7 +41,44 @@ namespace {
 
 constexpr size_t kBufSize = 1 << 20;
 
-enum class Codec : int { kPlain = 0, kGzip = 1, kZstd = 2, kXz = 3 };
+enum class Codec : int { kPlain = 0, kGzip = 1, kZstd = 2, kXz = 3, kBz2 = 4 };
+
+// bzip2 input support (parity: the reference reads .bz2 via niffler/bzip2).
+// This image ships libbz2.so.1 but no bzlib.h, so the (stable-ABI) stream
+// API is declared here and bound via dlopen at first use; when the library
+// is absent, .bz2 files fall back to the pure-Python bz2 reader.
+struct BzStream {
+  char* next_in;
+  unsigned avail_in, total_in_lo32, total_in_hi32;
+  char* next_out;
+  unsigned avail_out, total_out_lo32, total_out_hi32;
+  void* state;
+  void* (*bzalloc)(void*, int, int);
+  void (*bzfree)(void*, void*);
+  void* opaque;
+};
+constexpr int kBzOk = 0, kBzStreamEnd = 4;
+
+struct Bz2Api {
+  int (*init)(BzStream*, int, int) = nullptr;
+  int (*decomp)(BzStream*) = nullptr;
+  int (*end)(BzStream*) = nullptr;
+  bool ok() const { return init && decomp && end; }
+  static const Bz2Api& get() {
+    static const Bz2Api api = [] {
+      Bz2Api a;
+      void* h = dlopen("libbz2.so.1", RTLD_NOW);
+      if (!h) h = dlopen("libbz2.so", RTLD_NOW);
+      if (h) {
+        a.init = (int (*)(BzStream*, int, int))dlsym(h, "BZ2_bzDecompressInit");
+        a.decomp = (int (*)(BzStream*))dlsym(h, "BZ2_bzDecompress");
+        a.end = (int (*)(BzStream*))dlsym(h, "BZ2_bzDecompressEnd");
+      }
+      return a;
+    }();
+    return api;
+  }
+};
 
 // ---------------------------------------------------------------------------
 // Fast one-shot raw-deflate decoder (dx_inflate).
@@ -1182,6 +1220,9 @@ struct Source {
   std::unique_ptr<BgzfState> bgzf;
   bool gz_mid = false;   // serial gzip: inside a member (truncation check)
   size_t zstd_rc = 0;    // last ZSTD_decompressStream hint (0 = frame done)
+  BzStream bz{};
+  bool bz_init = false;
+  bool bz_mid = false;   // inside a bzip2 member (truncation check)
 
   ~Source() {
     ahead.reset();  // joins the decode thread BEFORE codecs/raw are torn down
@@ -1189,6 +1230,7 @@ struct Source {
     if (zs_init) inflateEnd(&zs);
     if (zds) ZSTD_freeDStream(zds);
     if (lz_init) lzma_end(&lz);
+    if (bz_init) Bz2Api::get().end(&bz);
     if (raw && raw != stdin) fclose(raw);
   }
 
@@ -1213,6 +1255,9 @@ struct Source {
       case Codec::kXz:
         lzma_stream_decoder(&lz, UINT64_MAX, LZMA_CONCATENATED);
         lz_init = true;
+        break;
+      case Codec::kBz2:
+        bz_init = Bz2Api::get().init(&bz, 0, 0) == kBzOk;
         break;
     }
   }
@@ -1488,6 +1533,47 @@ struct Source {
         }
         return (int64_t)out_total;
       }
+      case Codec::kBz2: {
+        if (!bz_init) return -1;
+        const Bz2Api& api = Bz2Api::get();
+        bz.next_out = (char*)dst;
+        bz.avail_out = (unsigned)n;
+        while (bz.avail_out > 0) {
+          if (bz.avail_in == 0) {
+            if (in_pos >= in_len && !fill_raw()) {
+              if (bz_mid) return -1;  // truncated mid-member
+              break;
+            }
+            bz.next_in = (char*)(in_buf.data() + in_pos);
+            bz.avail_in = (unsigned)(in_len - in_pos);
+            in_pos = in_len;
+          }
+          int r = api.decomp(&bz);
+          if (r == kBzStreamEnd) {
+            bz_mid = false;
+            // support concatenated bzip2 members
+            if (bz.avail_in == 0 && in_pos >= in_len && raw_eof) break;
+            char* save_in = bz.next_in;
+            unsigned save_in_avail = bz.avail_in;
+            char* save_out = bz.next_out;
+            unsigned save_out_avail = bz.avail_out;
+            api.end(&bz);
+            memset(&bz, 0, sizeof(bz));
+            if (api.init(&bz, 0, 0) != kBzOk) {
+              bz_init = false;
+              return -1;
+            }
+            bz.next_in = save_in;
+            bz.avail_in = save_in_avail;
+            bz.next_out = save_out;
+            bz.avail_out = save_out_avail;
+            continue;
+          }
+          if (r != kBzOk) return -1;
+          bz_mid = true;
+        }
+        return (int64_t)(n - bz.avail_out);
+      }
       case Codec::kXz: {
         lz.next_out = dst;
         lz.avail_out = n;
@@ -1578,6 +1664,9 @@ struct DxReader {
     bool any = false;
     while (true) {
       if (pos >= len && !refill()) {
+        // final line without a trailing '\n': still strip one '\r' so a
+        // CRLF file's last record matches the Python parser
+        if (dst.size() > start_size && dst.back() == '\r') dst.pop_back();
         int64_t n = (int64_t)(dst.size() - start_size);
         return (any || n > 0) ? n : -1;
       }
@@ -1725,6 +1814,17 @@ DxReader* dx_open(const char* path) {
     codec = Codec::kZstd;
   else if (got >= 6 && magic[0] == 0xfd && memcmp(magic + 1, "7zXZ", 4) == 0)
     codec = Codec::kXz;
+  else if (got >= 4 && memcmp(magic, "BZh", 3) == 0 && magic[3] >= '1' &&
+           magic[3] <= '9') {
+    if (!Bz2Api::get().ok()) {
+      // libbz2 unavailable: hand the file to the pure-Python bz2 reader
+      // (for stdin the sniffed bytes are already consumed — the fallback
+      // will fail loudly rather than parse garbage)
+      if (f != stdin) fclose(f);
+      return nullptr;
+    }
+    codec = Codec::kBz2;
+  }
 
   auto* r = new DxReader();
   r->buf.resize(kBufSize);
@@ -1880,7 +1980,8 @@ int dx_writer_close(DxWriter* w) {
           rc = -1;
           break;
         }
-        if (ob.pos) fwrite(w->out_buf.data(), 1, ob.pos, w->file);
+        if (ob.pos && fwrite(w->out_buf.data(), 1, ob.pos, w->file) != ob.pos)
+          rc = -1;
       } while (remaining > 0);
       ZSTD_freeCStream(w->zcs);
       w->zcs = nullptr;
@@ -1893,7 +1994,7 @@ int dx_writer_close(DxWriter* w) {
         w->lz.avail_out = w->out_buf.size();
         r = lzma_code(&w->lz, LZMA_FINISH);
         size_t got = w->out_buf.size() - w->lz.avail_out;
-        if (got) fwrite(w->out_buf.data(), 1, got, w->file);
+        if (got && fwrite(w->out_buf.data(), 1, got, w->file) != got) rc = -1;
       } while (r == LZMA_OK);
       if (r != LZMA_STREAM_END) rc = -1;
       lzma_end(&w->lz);
@@ -1904,7 +2005,7 @@ int dx_writer_close(DxWriter* w) {
   if (w->file && w->file != stdout) {
     if (fclose(w->file)) rc = -1;
   } else if (w->file) {
-    fflush(w->file);
+    if (fflush(w->file)) rc = -1;
   }
   w->file = nullptr;
   delete w;
@@ -4393,6 +4494,11 @@ static bool filter_reader_chunked(FilterJob& J, DxReader* r,
         if (scanned > 0 && b->arena[scanned - 1] == '\n' &&
             b->arena[scanned] == '\n')
           anomaly = true;
+        // ...or straddling a batch cut: every batch starts right after a
+        // newline (stream start or post-cut carry), so a leading '\n'
+        // here is a blank line whose partner newline left with the
+        // previous batch
+        if (scanned == 0 && b->arena[0] == '\n') anomaly = true;
         if (anomaly) {
           r->replay.assign(b->arena.begin(), b->arena.begin() + filled);
           J.put_batch(b);
@@ -4682,19 +4788,23 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
   if (r2) dx_close(r2);
   // a compressed output with zero members must still be a valid stream
   // (the single-stream writer emits header+trailer even when empty)
+  int rc_empty = 0;
   if (precompress && !J.failed.load()) {
     std::vector<uint8_t> empty_in, member;
     if (J.bytes1 == 0 && out_codec != 0 &&
         compress_member(out_codec, out_level, empty_in, member, true) &&
-        !member.empty())
-      dx_writer_write(J.w1, member.data(), member.size());
+        !member.empty() &&
+        dx_writer_write(J.w1, member.data(), member.size()) != 0)
+      rc_empty = -1;
     if (J.w2 && J.bytes2 == 0 && out2_codec != 0 &&
         compress_member(out2_codec, out2_level, empty_in, member, true) &&
-        !member.empty())
-      dx_writer_write(J.w2, member.data(), member.size());
+        !member.empty() &&
+        dx_writer_write(J.w2, member.data(), member.size()) != 0)
+      rc_empty = -1;
   }
   int rc1 = dx_writer_close(J.w1);
   int rc2 = J.w2 ? dx_writer_close(J.w2) : 0;
+  if (rc_empty) rc1 = -1;
 
   if (J.prof.on) {
     auto ms = [](const std::atomic<int64_t>& v) {

@@ -289,6 +289,12 @@ class NativeProbe:
         self._h = lib.dx_probe_build(
             keys.ctypes.data_as(ctypes.c_void_p), keys.size
         )
+        if not self._h:
+            # mmap/rebuild failure inside the native builder: surface a
+            # Python error instead of a NULL-handle segfault on first query
+            raise MemoryError(
+                f"native probe table build failed for {keys.size} keys"
+            )
 
     def query(self, q: np.ndarray) -> np.ndarray:
         q = np.ascontiguousarray(q, dtype=np.uint64)

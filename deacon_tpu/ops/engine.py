@@ -436,44 +436,12 @@ def engine_core(
 
     member, idxpos = probe_fn(h)
     member, idxpos = lax.optimization_barrier((member & slot_valid, idxpos))
-    member = member
 
-    # slots are in (row, pos) order and rid is non-decreasing over rows, so
-    # srid is already sorted; invalid slots park at num_segments (the end)
-    srid = jnp.where(slot_valid, rid[slot_row], num_segments)
-    seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
-    starts = jnp.searchsorted(srid, seg_ids, side="left")
-    ends = jnp.searchsorted(srid, seg_ids, side="right")
-
-    def boundary_sum(flags_sorted_by_rid, s_rid):
-        c = jnp.cumsum(flags_sorted_by_rid.astype(jnp.int32))
-        c_ex = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
-        st = jnp.searchsorted(s_rid, seg_ids, side="left")
-        en = jnp.searchsorted(s_rid, seg_ids, side="right")
-        return c_ex[en] - c_ex[st]
-
-    def neq_prev(x):
-        return jnp.concatenate([jnp.ones((1,), dtype=bool), x[1:] != x[:-1]])
-
-    # distinct member hashes per read: dedup on (rid, index position)
-    filler = jnp.int32(1 << 30) + jnp.arange(budget, dtype=jnp.int32)
-    poskey = jnp.where(member, idxpos, filler)
-    srid_h, poskey_h = lax.sort((srid, poskey), num_keys=2)
-    hit_flag = (neq_prev(srid_h) | neq_prev(poskey_h)) & (
-        poskey_h < jnp.int32(1 << 30)
+    hits, totals = _count_core(
+        member, idxpos, slot_row, slot_pos, slot_valid, rid, mate,
+        chunk_start, num_segments=num_segments,
+        dedup_positions=dedup_positions,
     )
-    hits = boundary_sum(hit_flag, srid_h)
-
-    if dedup_positions:
-        # chunk rows can re-select a boundary position: dedup totals on
-        # (rid, mate<<30 | global position)
-        matepos = (mate[slot_row] << 30) | (chunk_start[slot_row] + slot_pos)
-        srid_p, matepos_p = lax.sort((srid, matepos), num_keys=2)
-        tot_flag = neq_prev(srid_p) | neq_prev(matepos_p)
-        totals = boundary_sum(tot_flag, srid_p)
-    else:
-        # unchunked tiles: every valid slot is a distinct position
-        totals = ends - starts
     return hits, totals, total
 
 
@@ -611,13 +579,14 @@ def _stage_probe(index_hi, index_lo, hlo, hhi, slot_valid, *, max_run: int):
     return member & slot_valid, pos
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_segments", "dedup_positions")
-)
-def _stage_count(
+def _count_core(
     member, pos, slot_row, slot_pos, slot_valid, rid, mate, chunk_start,
     *, num_segments: int, dedup_positions: bool,
 ):
+    """Distinct-hit + totals counting from probed slots — the ONE copy of
+    this math, traced both by the staged path (_stage_count) and inline by
+    engine_core (single-chip and sharded pipelines must stay bit-identical).
+    """
     budget = member.shape[0]
     srid = jnp.where(slot_valid, rid[slot_row], num_segments)
     seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
@@ -650,6 +619,11 @@ def _stage_count(
         ends = jnp.searchsorted(srid, seg_ids, side="right")
         totals = ends - starts
     return hits, totals
+
+
+_stage_count = functools.partial(
+    jax.jit, static_argnames=("num_segments", "dedup_positions")
+)(_count_core)
 
 
 def _pallas_mode() -> str:

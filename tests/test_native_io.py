@@ -316,3 +316,73 @@ def test_zstd_truncated_errors(tmp_path):
     with pytest.raises(Exception):
         for _ in reader:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Review-fix regressions: bz2 inputs, blank-line seams, CRLF at EOF
+# ---------------------------------------------------------------------------
+
+
+def _fq_with_blank_lines(n=200):
+    text = b""
+    for i in range(n):
+        seq = RNG.choice(_B, size=50).tobytes()
+        text += b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * 50)
+        if i % 7 == 3:
+            text += b"\n"  # blank line between records (serial parser skips)
+    return text
+
+
+def test_blank_line_at_chunk_batch_cut(tmp_path, monkeypatch):
+    # a blank line whose leading newline leaves with the previous batch must
+    # bail to the serial parser, not corrupt the 4-line phase
+    monkeypatch.setenv("DEACON_CHUNK_PARSE", "1")
+    monkeypatch.setenv("DEACON_CHUNK_BYTES", "256")
+    path = tmp_path / "blank.fq"
+    path.write_bytes(_fq_with_blank_lines())
+    got = parse_all(open_native_reader(str(path)))
+    expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
+    assert got == expect and len(got) == 200
+
+
+def test_bz2_input_native(tmp_path):
+    import bz2
+
+    text = _fq_with_blank_lines(80)
+    path = tmp_path / "in.fq.bz2"
+    path.write_bytes(bz2.compress(text))
+    got = parse_all(open_native_reader(str(path)))
+    expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
+    assert got == expect
+
+
+def test_bz2_concatenated_members(tmp_path):
+    import bz2
+
+    text = _fq_with_blank_lines(80)
+    path = tmp_path / "in.fq.bz2"
+    path.write_bytes(bz2.compress(text[:1000]) + bz2.compress(text[1000:]))
+    got = parse_all(open_native_reader(str(path)))
+    expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
+    assert got == expect
+
+
+def test_bz2_truncated_errors(tmp_path):
+    import bz2
+
+    full = bz2.compress(_fq_with_blank_lines(80))
+    path = tmp_path / "in.fq.bz2"
+    path.write_bytes(full[: len(full) // 2])
+    with pytest.raises(Exception):
+        for _ in open_native_reader(str(path)):
+            pass
+
+
+def test_crlf_final_line_without_newline(tmp_path):
+    body = b"ACGT" * 9
+    crlf = b"@r0\r\n" + body + b"\r\n+\r\n" + b"I" * len(body) + b"\r"
+    path = tmp_path / "crlf.fq"
+    path.write_bytes(crlf)
+    got = parse_all(open_native_reader(str(path)))
+    expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
+    assert got == expect
