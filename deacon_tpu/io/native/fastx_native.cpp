@@ -932,6 +932,45 @@ static void gzip_member(const uint8_t* in, size_t n,
   out.insert(out.end(), tail, tail + 8);
 }
 
+// BGZF framing: the same data as bgzip-compatible <= 64 KiB blocks whose
+// compressed size rides a "BC" extra subfield. Still a valid .gz stream,
+// but ALSO block-parallel decodable (by this framework's own reader and
+// by htslib tooling). The canonical 28-byte EOF marker is appended by the
+// writer at stream close, not per member.
+static const uint8_t kBgzfEof[28] = {
+    0x1F, 0x8B, 0x08, 0x04, 0, 0, 0, 0, 0, 0xFF, 0x06, 0x00, 0x42, 0x43,
+    0x02, 0x00, 0x1B, 0x00, 0x03, 0x00, 0, 0, 0, 0, 0, 0, 0, 0};
+
+static bool bgzf_member(const uint8_t* in, size_t n,
+                        std::vector<uint8_t>& out) {
+  constexpr size_t kBlock = 65280;  // bgzip's content size per block
+  size_t pos = 0;
+  std::vector<uint8_t> body;
+  do {
+    size_t take = std::min(n - pos, kBlock);
+    body.clear();
+    deflate_buffer(in + pos, take, body);
+    size_t total = 12 + 6 + body.size() + 8;
+    if (total > 65536) return false;  // cannot satisfy BSIZE: caller falls
+                                      // back to a plain member
+    uint8_t hdr[18] = {0x1F, 0x8B, 8,   4,   0, 0, 0, 0, 0,
+                       0xFF, 6,    0,   'B', 'C', 2, 0, 0, 0};
+    hdr[16] = (uint8_t)((total - 1) & 0xFF);
+    hdr[17] = (uint8_t)((total - 1) >> 8);
+    out.insert(out.end(), hdr, hdr + 18);
+    out.insert(out.end(), body.begin(), body.end());
+    uint32_t crc =
+        (uint32_t)crc32(crc32(0, nullptr, 0), in + pos, (uInt)take);
+    uint32_t isize = (uint32_t)take;
+    uint8_t tail[8];
+    memcpy(tail, &crc, 4);
+    memcpy(tail + 4, &isize, 4);
+    out.insert(out.end(), tail, tail + 8);
+    pos += take;
+  } while (pos < n);
+  return true;
+}
+
 }  // namespace fastdef
 
 // ---------------------------------------------------------------------------
@@ -4097,6 +4136,22 @@ static void format_kept(const FBatch& b, bool split2,
   }
 }
 
+static bool fast_deflate_enabled() {
+  static const bool v = [] {
+    const char* env = getenv("DEACON_FAST_DEFLATE");
+    return !(env && env[0] == '0' && env[1] == '\0');
+  }();
+  return v;
+}
+
+static bool bgzf_out_enabled() {
+  static const bool v = [] {
+    const char* env = getenv("DEACON_BGZF_OUT");
+    return !(env && env[0] == '0' && env[1] == '\0');
+  }();
+  return v;
+}
+
 // One self-contained compressed member/frame/stream from `in` (codec 0:
 // plain bytes move across). Returns false on codec failure.
 static bool compress_member(int codec, int level,
@@ -4112,12 +4167,16 @@ static bool compress_member(int codec, int level,
     // fast levels route to the purpose-built one-shot compressor (greedy
     // LZ + per-member dynamic Huffman); higher levels keep zlib's deeper
     // match search. DEACON_FAST_DEFLATE=0 forces zlib everywhere.
-    static const bool fast_ok = [] {
-      const char* env = getenv("DEACON_FAST_DEFLATE");
-      return !(env && env[0] == '0' && env[1] == '\0');
-    }();
-    if (fast_ok && level <= 3 && in.size() < (size_t)1 << 31) {
-      fastdef::gzip_member(in.data(), in.size(), out);
+    if (fast_deflate_enabled() && level <= 3 &&
+        in.size() < (size_t)1 << 31) {
+      // BGZF framing by default: still a plain .gz to any consumer, but
+      // also bgzip/htslib-compatible and block-parallel decodable
+      // (DEACON_BGZF_OUT=0 emits one plain member instead)
+      if (!bgzf_out_enabled() ||
+          !fastdef::bgzf_member(in.data(), in.size(), out)) {
+        out.clear();
+        fastdef::gzip_member(in.data(), in.size(), out);
+      }
       return true;
     }
     z_stream zs{};
@@ -4800,6 +4859,18 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
         compress_member(out2_codec, out2_level, empty_in, member, true) &&
         !member.empty() &&
         dx_writer_write(J.w2, member.data(), member.size()) != 0)
+      rc_empty = -1;
+  }
+  // BGZF-framed outputs end with the canonical 28-byte EOF marker
+  if (precompress && !J.failed.load() && fast_deflate_enabled() &&
+      bgzf_out_enabled()) {
+    if (out_codec == 1 && out_level <= 3 &&
+        dx_writer_write(J.w1, fastdef::kBgzfEof, sizeof(fastdef::kBgzfEof)) !=
+            0)
+      rc_empty = -1;
+    if (J.w2 && out2_codec == 1 && out2_level <= 3 &&
+        dx_writer_write(J.w2, fastdef::kBgzfEof, sizeof(fastdef::kBgzfEof)) !=
+            0)
       rc_empty = -1;
   }
   int rc1 = dx_writer_close(J.w1);

@@ -280,3 +280,57 @@ def test_probe_sidecar_roundtrip_and_invalidation(tmp_path, monkeypatch):
     # rebuilds and re-saves the sidecar)
     run(tmp_path / "fresh.fq")
     assert native_probe_load_sidecar(str(idx), count2) is not None
+
+
+def test_gz_output_is_bgzf(tmp_path):
+    """gz outputs are BGZF-framed by default: bgzip/htslib-compatible,
+    gzip-readable, end with the canonical EOF marker, and decode through
+    our own parallel block decoder. DEACON_BGZF_OUT=0 emits plain members
+    with identical content."""
+    import gzip
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    B = np.frombuffer(b"ACGT", np.uint8)
+    g = rng.choice(B, size=5000).tobytes()
+    (tmp_path / "g.fa").write_bytes(b">c\n" + g + b"\n")
+    subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "index", "build",
+         str(tmp_path / "g.fa"), "-o", str(tmp_path / "g.idx"), "-q"],
+        check=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    with open(tmp_path / "r.fq", "wb") as f:
+        for i in range(200):
+            s = rng.choice(B, 150).tobytes()
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * 150))
+    repo = os.path.dirname(os.path.dirname(__file__))
+    subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "filter", str(tmp_path / "g.idx"),
+         str(tmp_path / "r.fq"), "-o", str(tmp_path / "o.fq.gz"),
+         "--deplete", "-q"], check=True, cwd=repo,
+    )
+    raw = (tmp_path / "o.fq.gz").read_bytes()
+    from helpers import BGZF_EOF
+
+    assert raw.endswith(BGZF_EOF)
+    assert raw[:4] == b"\x1f\x8b\x08\x04"  # FEXTRA on the first member
+    data = gzip.decompress(raw)
+    assert data.count(b"@r") == 200
+    from deacon_tpu.io.native_loader import open_native_reader
+
+    n = sum(1 for _ in open_native_reader(str(tmp_path / "o.fq.gz")))
+    assert n == 200
+    env = dict(os.environ)
+    env["DEACON_BGZF_OUT"] = "0"
+    subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "filter", str(tmp_path / "g.idx"),
+         str(tmp_path / "r.fq"), "-o", str(tmp_path / "p.fq.gz"),
+         "--deplete", "-q"], check=True, env=env, cwd=repo,
+    )
+    praw = (tmp_path / "p.fq.gz").read_bytes()
+    assert not praw.endswith(BGZF_EOF)
+    assert gzip.decompress(praw) == data
