@@ -512,6 +512,400 @@ static int inflate_block(const uint8_t* in, size_t in_len, uint8_t* out,
   if (op != oend) return dbg_err(28);
   return br.ok() ? 0 : -1;
 }
+// ---------------------------------------------------------------------------
+// Streaming gzip decoder (plain single-stream .gz, the most common real
+// input). Same decode core as inflate_block — 64-bit bit buffer, two-level
+// tables, wide copies — restructured to SUSPEND between symbols when the
+// contiguous input buffer runs low (the owner compacts + refreads and
+// resumes) and to produce straight into the caller's buffer with a 32 KiB
+// history window for matches that reach into earlier read() calls. Handles
+// the full gzip member framing (FEXTRA/FNAME/FCOMMENT/FHCRC, CRC32+ISIZE
+// verification, concatenated members).
+// ---------------------------------------------------------------------------
+
+struct StreamGz {
+  Tables tb;
+  // persistent bit reader state (input offset is owner-managed)
+  uint64_t bitbuf = 0;
+  int bitcnt = 0;
+  // gzip member state machine
+  enum { kHdr, kDeflate, kTrailer, kDone, kBad } gstate = kHdr;
+  // deflate state within a member
+  enum { kBlockHdr, kSymbols, kStored } dstate = kBlockHdr;
+  bool bfinal = false;
+  size_t stored_left = 0;
+  uint32_t crc_run = 0;
+  uint64_t isize_run = 0;
+  // history window: last <= 32 KiB of decoded output
+  uint8_t hist[1 << 15];
+  size_t hist_len = 0;
+
+  static constexpr size_t kInMargin = 64;
+
+  void note_output(const uint8_t* p, size_t n) {
+    crc_run = (uint32_t)crc32(crc_run, p, (uInt)n);
+    isize_run += n;
+    if (n >= sizeof(hist)) {
+      memcpy(hist, p + n - sizeof(hist), sizeof(hist));
+      hist_len = sizeof(hist);
+    } else {
+      size_t keep = std::min(hist_len, sizeof(hist) - n);
+      memmove(hist, hist + hist_len - keep, keep);
+      memcpy(hist + keep, p, n);
+      hist_len = keep + n;
+    }
+  }
+
+  // Decodes from in[*ip .. in_len) into out[*op .. out_cap). `final_in`:
+  // no more input exists beyond in_len. Advances *ip/*op. Returns
+  //  1 = made progress / suspended (needs more input or output space),
+  //  0 = clean end of the last gzip member (all input consumed),
+  // -1 = corrupt stream.
+  int run(const uint8_t* in, size_t in_len, size_t* ip, bool final_in,
+          uint8_t* out, size_t out_cap, size_t* op) {
+    BitReader br(in + *ip, in_len - *ip);
+    br.buf = bitbuf;
+    br.cnt = bitcnt;
+    uint8_t* const obase = out;
+    uint8_t* o = out + *op;
+    uint8_t* const oend = out + out_cap;
+    const uint8_t* out_done = out + *op;  // bytes not yet crc/hist-noted
+
+    auto save = [&]() {
+      bitbuf = br.buf;
+      bitcnt = br.cnt;
+      *ip = in_len - (size_t)(br.end - br.p);
+      if (o != out_done) note_output(out_done, (size_t)(o - out_done));
+      out_done = o;
+      *op = (size_t)(o - obase);
+    };
+    auto in_left = [&]() { return (size_t)(br.end - br.p) + (size_t)(br.cnt >> 3); };
+
+    for (;;) {
+      if (gstate == kDone) {
+        save();
+        return 0;
+      }
+      if (gstate == kBad) return -1;
+      if (!final_in && in_left() < kInMargin) {
+        save();
+        return 1;  // refill input
+      }
+      if (gstate == kHdr) {
+        // byte-aligned: gzip member header (bit buffer holds whole bytes)
+        br.consume(br.cnt & 7);
+        if (!br.ok()) return -1;
+        if (in_left() == 0) {
+          if (final_in) {  // clean EOF at a member boundary
+            gstate = kDone;
+            continue;
+          }
+          save();
+          return 1;
+        }
+        // the header parser cannot suspend mid-field: demand the whole
+        // header be buffered (FEXTRA <= 64 KiB + names; owner buffers are
+        // larger than this margin)
+        if (!final_in && in_left() < (size_t)(1 << 17)) {
+          save();
+          return 1;
+        }
+        if (in_left() < 10) return -1;  // truncated header at EOF
+        uint8_t h[10];
+        for (int i = 0; i < 10; i++)
+          h[i] = br.cnt >= 8 ? (uint8_t)br.bits(8) : *br.p++;
+        if (h[0] != 0x1F || h[1] != 0x8B || h[2] != 8) return -1;
+        uint8_t flg = h[3];
+        auto next_byte = [&](uint8_t* v) -> bool {
+          if (br.cnt >= 8) {
+            *v = (uint8_t)br.bits(8);
+            return true;
+          }
+          if (br.p < br.end) {
+            *v = *br.p++;
+            return true;
+          }
+          return false;
+        };
+        if (flg & 0x04) {  // FEXTRA
+          uint8_t a = 0, b = 0;
+          if (!next_byte(&a) || !next_byte(&b)) return -1;
+          size_t xlen = (size_t)a | ((size_t)b << 8);
+          // skip xlen bytes (suspend-free: input margin may be smaller
+          // than xlen; spill through byte loop, refilling is impossible
+          // mid-header — instead require the owner provide it: xlen max
+          // 64 KiB < owner buffer, so only truncation can fail here)
+          for (size_t i = 0; i < xlen; i++) {
+            uint8_t t;
+            if (!next_byte(&t)) return -1;
+          }
+        }
+        if (flg & 0x08) {  // FNAME: NUL-terminated
+          uint8_t t = 0xFF;
+          do {
+            if (!next_byte(&t)) return -1;
+          } while (t != 0);
+        }
+        if (flg & 0x10) {  // FCOMMENT
+          uint8_t t = 0xFF;
+          do {
+            if (!next_byte(&t)) return -1;
+          } while (t != 0);
+        }
+        if (flg & 0x02) {  // FHCRC
+          uint8_t t;
+          if (!next_byte(&t) || !next_byte(&t)) return -1;
+        }
+        crc_run = 0;
+        isize_run = 0;
+        gstate = kDeflate;
+        dstate = kBlockHdr;
+        bfinal = false;
+        continue;
+      }
+      if (gstate == kTrailer) {
+        br.consume(br.cnt & 7);
+        if (!br.ok()) return -1;
+        if (in_left() < 8) {
+          if (final_in) return -1;  // truncated trailer
+          save();
+          return 1;
+        }
+        uint8_t t[8];
+        for (int i = 0; i < 8; i++)
+          t[i] = br.cnt >= 8 ? (uint8_t)br.bits(8) : *br.p++;
+        // flush this call's produced bytes into crc/hist BEFORE checking
+        if (o != out_done) {
+          note_output(out_done, (size_t)(o - out_done));
+          out_done = o;
+        }
+        uint32_t want_crc, want_isize;
+        memcpy(&want_crc, t, 4);
+        memcpy(&want_isize, t + 4, 4);
+        if (want_crc != crc_run || want_isize != (uint32_t)isize_run)
+          return -1;
+        // concatenated members: more input -> parse another header
+        if (in_left() == 0 && final_in) {
+          gstate = kDone;
+        } else if (in_left() == 0) {
+          // might be EOF or another member; ask for more input
+          gstate = kHdr;
+          save();
+          return 1;
+        } else {
+          gstate = kHdr;
+        }
+        continue;
+      }
+      // gstate == kDeflate
+      if (dstate == kBlockHdr) {
+        // dynamic block headers decode without suspension: hold off until
+        // enough input is buffered (~300 bytes worst case)
+        if (!final_in && in_left() < 1024) {
+          save();
+          return 1;
+        }
+        br.refill();
+        if (!br.ok()) return -1;
+        bfinal = br.bits(1) != 0;
+        uint32_t btype = (uint32_t)br.bits(2);
+        if (btype == 0) {
+          br.consume(br.cnt & 7);
+          uint32_t hdr[4];
+          for (int i = 0; i < 4; i++) {
+            if (br.cnt >= 8) {
+              hdr[i] = (uint32_t)br.bits(8);
+            } else if (br.p < br.end) {
+              hdr[i] = *br.p++;
+            } else {
+              return -1;
+            }
+          }
+          uint32_t len = hdr[0] | (hdr[1] << 8);
+          uint32_t nlen = hdr[2] | (hdr[3] << 8);
+          if ((len ^ 0xFFFF) != nlen) return -1;
+          stored_left = len;
+          dstate = kStored;
+          continue;
+        }
+        if (btype == 3) return -1;
+        uint8_t lit_lens[288], dist_lens[32];
+        int nlit, ndist;
+        if (btype == 1) {
+          for (int i = 0; i < 144; i++) lit_lens[i] = 8;
+          for (int i = 144; i < 256; i++) lit_lens[i] = 9;
+          for (int i = 256; i < 280; i++) lit_lens[i] = 7;
+          for (int i = 280; i < 288; i++) lit_lens[i] = 8;
+          for (int i = 0; i < 32; i++) dist_lens[i] = 5;
+          nlit = 288;
+          ndist = 32;
+        } else {
+          br.refill();
+          nlit = (int)br.bits(5) + 257;
+          ndist = (int)br.bits(5) + 1;
+          int ncl = (int)br.bits(4) + 4;
+          if (nlit > 286 || ndist > 30) return -1;
+          uint8_t cl_lens[19] = {0};
+          for (int i = 0; i < ncl; i++) {
+            br.refill();
+            cl_lens[kClOrder[i]] = (uint8_t)br.bits(3);
+          }
+          if (!br.ok()) return -1;
+          uint32_t cl_table[(1 << 7) + 128];
+          if (build_table(cl_table, 7, cl_lens, 19,
+                          [](int s, int l) {
+                            return mk(kVal, (uint32_t)l, 0, (uint32_t)s);
+                          },
+                          false) < 0)
+            return -1;
+          int n = 0;
+          uint8_t all[288 + 32];
+          while (n < nlit + ndist) {
+            br.refill();
+            if (!br.ok()) return -1;
+            uint32_t e = cl_table[br.peek(7)];
+            if ((e & 0xC0) == kEnd) return -1;
+            br.consume((int)(e & 63));
+            int sym = (int)(e >> 16);
+            if (sym < 16) {
+              all[n++] = (uint8_t)sym;
+            } else if (sym == 16) {
+              if (n == 0) return -1;
+              int rep = 3 + (int)br.bits(2);
+              if (n + rep > nlit + ndist) return -1;
+              uint8_t prev = all[n - 1];
+              while (rep--) all[n++] = prev;
+            } else if (sym == 17) {
+              int rep = 3 + (int)br.bits(3);
+              if (n + rep > nlit + ndist) return -1;
+              while (rep--) all[n++] = 0;
+            } else {
+              int rep = 11 + (int)br.bits(7);
+              if (n + rep > nlit + ndist) return -1;
+              while (rep--) all[n++] = 0;
+            }
+          }
+          if (!br.ok()) return -1;
+          memcpy(lit_lens, all, nlit);
+          memcpy(dist_lens, all + nlit, ndist);
+          if (lit_lens[256] == 0) return -1;
+        }
+        if (build_table(tb.lit, kLitRoot, lit_lens, nlit, lit_entry, false) <
+            0)
+          return -1;
+        int nd = btype == 1 ? 32 : ndist;
+        if (build_table(tb.dist, kDistRoot, dist_lens, nd, dist_entry,
+                        true) < 0) {
+          bool any = false;
+          for (int i = 0; i < nd; i++) any |= dist_lens[i] != 0;
+          if (any) return -1;
+          for (int i = 0; i < (1 << kDistRoot); i++)
+            tb.dist[i] = mk(kEnd, 0, 0, 1);
+        }
+        dstate = kSymbols;
+        continue;
+      }
+      if (dstate == kStored) {
+        br.consume(br.cnt & 7);  // should already be aligned
+        while (stored_left && br.cnt >= 8 && o < oend) {
+          *o++ = (uint8_t)br.bits(8);
+          stored_left--;
+        }
+        size_t take = std::min(
+            {stored_left, (size_t)(br.end - br.p), (size_t)(oend - o)});
+        memcpy(o, br.p, take);
+        o += take;
+        br.p += take;
+        br.buf &= br.cnt ? ((1ull << br.cnt) - 1) : 0;  // p jumped
+        stored_left -= take;
+        if (stored_left) {
+          if (o >= oend || !final_in) {
+            save();
+            return 1;  // need output space or input
+          }
+          return -1;  // truncated stored block at EOF
+        }
+        dstate = kBlockHdr;
+        if (bfinal) gstate = kTrailer;
+        continue;
+      }
+      // dstate == kSymbols
+      for (;;) {
+        // suspend when input is low (not final) or output margin is gone
+        if (!final_in && in_left() < kInMargin) {
+          save();
+          return 1;
+        }
+        if ((size_t)(oend - o) < 300) {
+          save();
+          return 1;  // output space (caller drains)
+        }
+        br.refill();
+        if (!br.ok()) return -1;
+        uint32_t e = decode_entry(br, tb.lit, kLitRoot);
+        uint32_t kind = e & 0xC0;
+        if (kind == kLit) {
+          if (!(e & 0x8000u)) br.consume((int)(e & 63));
+          *o++ = (uint8_t)(e >> 16);
+          while (br.cnt >= 15) {
+            e = tb.lit[br.peek(kLitRoot)];
+            if ((e & 0xC0) != kLit) break;
+            br.consume((int)(e & 63));
+            *o++ = (uint8_t)(e >> 16);
+          }
+          continue;
+        }
+        if (kind == kEnd) {
+          if ((e >> 16) != 0) return -1;
+          if (!(e & 0x8000u)) br.consume((int)(e & 63));
+          dstate = kBlockHdr;
+          if (bfinal) gstate = kTrailer;
+          break;
+        }
+        if (!(e & 0x8000u)) br.consume((int)(e & 63));
+        uint32_t len = (e >> 16) + (uint32_t)br.bits((int)((e >> 8) & 15));
+        br.refill();
+        uint32_t de = decode_entry(br, tb.dist, kDistRoot);
+        if ((de & 0xC0) != kVal) return -1;
+        if (!(de & 0x8000u)) br.consume((int)(de & 63));
+        uint32_t dist = (de >> 16) + (uint32_t)br.bits((int)((de >> 8) & 15));
+        if (!br.ok()) return -1;
+        size_t pos = (size_t)(o - obase);
+        if ((size_t)dist > pos + hist_len) return -1;
+        // note: out_cap has >= kInflateMargin slack for wide copies
+        if ((size_t)dist > pos) {
+          // source starts in the history window (crosses a read boundary)
+          size_t from_hist = (size_t)dist - pos;
+          const uint8_t* hs = hist + hist_len - from_hist;
+          size_t n1 = std::min((size_t)len, from_hist);
+          for (size_t i = 0; i < n1; i++) *o++ = hs[i];
+          len -= (uint32_t)n1;
+          if (!len) continue;
+          dist = (uint32_t)(o - obase);  // continue from output start
+          if (dist == 0) return -1;      // cannot happen; stay safe
+        }
+        const uint8_t* src = o - dist;
+        if (dist >= 8) {
+          uint8_t* d = o;
+          o += len;
+          do {
+            memcpy(d, src, 8);
+            d += 8;
+            src += 8;
+          } while (d < o);
+        } else if (dist == 1) {
+          memset(o, *src, len);
+          o += len;
+        } else {
+          uint8_t* d = o;
+          o += len;
+          while (d < o) *d++ = *src++;
+        }
+      }
+    }
+  }
+};
+
 }  // namespace fastinf
 
 // ---------------------------------------------------------------------------
@@ -1018,6 +1412,14 @@ static int bgzf_parse_header(const uint8_t* p, size_t n, size_t* total,
   return 0;  // FEXTRA without BC: not BGZF
 }
 
+static bool fast_inflate_enabled() {
+  static const bool v = [] {
+    const char* env = getenv("DEACON_FAST_INFLATE");
+    return !(env && env[0] == '0' && env[1] == '\0');
+  }();
+  return v;
+}
+
 struct BgzfBatch {
   std::vector<uint8_t> comp;     // whole members, concatenated
   std::vector<size_t> boff;      // member offset in comp
@@ -1140,10 +1542,7 @@ struct BgzfState {
     int nt = (int)std::min((size_t)nthreads, nblocks);
     std::atomic<size_t> next_blk{0};
     std::atomic<bool> ok{true};
-    static const bool use_fast = [] {
-      const char* env = getenv("DEACON_FAST_INFLATE");
-      return !(env && env[0] == '0' && env[1] == '\0');
-    }();
+    const bool use_fast = fast_inflate_enabled();
     auto work = [&]() {
       z_stream zs{};
       bool zs_ready = false;
@@ -1262,6 +1661,13 @@ struct Source {
   BzStream bz{};
   bool bz_init = false;
   bool bz_mid = false;   // inside a bzip2 member (truncation check)
+  // streaming fast-gz state (serial plain gzip via fastinf::StreamGz)
+  std::unique_ptr<fastinf::StreamGz> sgz;
+  std::vector<uint8_t> gz_carry;   // contiguous unconsumed compressed bytes
+  size_t gz_cpos = 0;
+  std::vector<uint8_t> gz_out;     // staged decoded bytes (+ copy margin)
+  size_t gz_out_pos = 0, gz_out_len = 0;
+  bool sgz_done = false;
 
   ~Source() {
     ahead.reset();  // joins the decode thread BEFORE codecs/raw are torn down
@@ -1355,6 +1761,56 @@ struct Source {
       in_pos = in_len = 0;
     } else {
       gz_mode = 2;  // plain gzip: serial z_stream path
+    }
+  }
+
+  // Serial plain-gzip decode through the resumable fast inflater: the
+  // compressed stream stays contiguous in gz_carry (compact + fread), the
+  // decoder suspends between symbols at low input, and decoded bytes stage
+  // through gz_out (whose tail margin absorbs wide copies). ~1.5-2x zlib's
+  // streaming inflate per core.
+  int64_t read_gz_fast(uint8_t* dst, size_t n) {
+    if (!sgz) {
+      sgz = std::make_unique<fastinf::StreamGz>();
+      gz_carry.assign(in_buf.begin() + in_pos, in_buf.begin() + in_len);
+      in_pos = in_len = 0;
+      gz_out.resize(kBufSize + 512);
+    }
+    size_t out = 0;
+    for (;;) {
+      if (gz_out_pos < gz_out_len) {
+        size_t take = std::min(gz_out_len - gz_out_pos, n - out);
+        memcpy(dst + out, gz_out.data() + gz_out_pos, take);
+        gz_out_pos += take;
+        out += take;
+        if (out == n) return (int64_t)out;
+      }
+      if (sgz_done) return (int64_t)out;
+      // keep >= 256 KiB of compressed bytes buffered (the decoder demands
+      // whole member/block headers without suspension)
+      if (gz_carry.size() - gz_cpos < (size_t)(1 << 18) && !raw_eof) {
+        if (gz_cpos > 0) {
+          gz_carry.erase(gz_carry.begin(), gz_carry.begin() + gz_cpos);
+          gz_cpos = 0;
+        }
+        size_t old = gz_carry.size();
+        size_t want = (size_t)(1 << 19);
+        gz_carry.resize(old + want);
+        size_t got = fread(gz_carry.data() + old, 1, want, raw);
+        gz_carry.resize(old + got);
+        if (got < want) raw_eof = true;
+      }
+      size_t ip = gz_cpos, op = 0;
+      int r = sgz->run(gz_carry.data(), gz_carry.size(), &ip, raw_eof,
+                       gz_out.data(), gz_out.size(), &op);
+      bool in_progress = ip != gz_cpos;
+      gz_cpos = ip;
+      gz_out_pos = 0;
+      gz_out_len = op;
+      if (r < 0) return -1;
+      if (r == 0) sgz_done = true;
+      if (r == 1 && op == 0 && !in_progress && raw_eof)
+        return -1;  // no progress possible: truncated stream
     }
   }
 
@@ -1520,6 +1976,7 @@ struct Source {
         return (int64_t)out;
       }
       case Codec::kGzip: {
+        if (fast_inflate_enabled()) return read_gz_fast(dst, n);
         zs.next_out = dst;
         zs.avail_out = (uInt)n;
         while (zs.avail_out > 0) {
@@ -1914,6 +2371,11 @@ DxWriter* dx_writer_open(const char* path, int codec, int level) {
     delete w;
     return nullptr;
   }
+  if (w->codec == Codec::kBz2) {  // output side is gz/zst/xz only
+    fclose(w->file);
+    delete w;
+    return nullptr;
+  }
   switch (w->codec) {
     case Codec::kPlain:
       break;
@@ -1948,6 +2410,8 @@ DxWriter* dx_writer_open(const char* path, int codec, int level) {
 
 int dx_writer_write(DxWriter* w, const uint8_t* data, int64_t len) {
   switch (w->codec) {
+    case Codec::kBz2:
+      return -1;  // unreachable: open rejects bz2 writers
     case Codec::kPlain:
       return fwrite(data, 1, (size_t)len, w->file) == (size_t)len ? 0 : -1;
     case Codec::kGzip: {
@@ -1994,6 +2458,7 @@ int dx_writer_write(DxWriter* w, const uint8_t* data, int64_t len) {
 int dx_writer_close(DxWriter* w) {
   int rc = 0;
   switch (w->codec) {
+    case Codec::kBz2:
     case Codec::kPlain:
       break;
     case Codec::kGzip: {
