@@ -386,3 +386,60 @@ def test_crlf_final_line_without_newline(tmp_path):
     got = parse_all(open_native_reader(str(path)))
     expect = parse_all(fastx.FastxReader(fastx.open_maybe_compressed(path)))
     assert got == expect
+
+
+def test_gzip_optional_header_fields(tmp_path):
+    """Real-world .gz files (e.g. from the gzip CLI) carry FNAME and other
+    optional header fields that Python's gzip.compress never emits — the
+    streaming fast inflater must skip them all (FEXTRA/FNAME/FCOMMENT/FHCRC).
+    """
+    import struct
+    import zlib as _zlib
+
+    text = make_fastq(300).encode()
+
+    def gz_with_fields(data, fname=None, comment=None, extra=None,
+                       fhcrc=False):
+        flg = ((4 if extra else 0) | (8 if fname else 0)
+               | (16 if comment else 0) | (2 if fhcrc else 0))
+        hdr = struct.pack("<BBBBIBB", 0x1F, 0x8B, 8, flg, 12345, 0, 3)
+        if extra:
+            hdr += struct.pack("<H", len(extra)) + extra
+        if fname:
+            hdr += fname + b"\x00"
+        if comment:
+            hdr += comment + b"\x00"
+        if fhcrc:
+            hdr += struct.pack("<H", _zlib.crc32(hdr) & 0xFFFF)
+        co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+        body = co.compress(data) + co.flush()
+        return hdr + body + struct.pack(
+            "<II", _zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF)
+
+    cases = {
+        "fname": gz_with_fields(text, fname=b"reads.fastq"),
+        "comment": gz_with_fields(text, comment=b"hello world"),
+        "extra": gz_with_fields(text, extra=b"AB\x04\x00abcd"),
+        "fhcrc": gz_with_fields(text, fname=b"x.fq", fhcrc=True),
+        "all": gz_with_fields(text, fname=b"n" * 300, comment=b"c" * 5000,
+                              extra=b"ZZ\x10\x00" + b"\x00" * 16, fhcrc=True),
+    }
+    for name, raw in cases.items():
+        path = tmp_path / "h.fq.gz"
+        path.write_bytes(raw)
+        got = parse_all(open_native_reader(str(path)))
+        expect = parse_all(
+            fastx.FastxReader(fastx.open_maybe_compressed(path)))
+        assert got == expect, name
+
+
+def test_gzip_bad_trailer_crc_errors(tmp_path):
+    import gzip as _gzip
+
+    raw = bytearray(_gzip.compress(make_fastq(300).encode()))
+    raw[-6] ^= 0xFF  # flip a CRC byte in the trailer
+    path = tmp_path / "bad.fq.gz"
+    path.write_bytes(bytes(raw))
+    with pytest.raises(Exception):
+        for _ in open_native_reader(str(path)):
+            pass
