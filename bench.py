@@ -1,38 +1,174 @@
-"""Benchmark: fused filter-engine throughput per chip.
+"""Benchmark: filter-engine throughput, honestly labeled.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Gbp/s", "vs_baseline": N/2.0}
+Prints ONE JSON line. Fields:
+  metric        "filter_throughput_per_chip" on real hardware, where the
+                stop-clock is a materialized result; under the tunneled
+                `axon` backend it is "filter_throughput_per_chip_dispatch_proxy"
+                (the tunnel's speculative record/replay satisfies
+                block_until_ready without confirmed execution — see
+                PERFNOTES.md "cassette"; correctness is proven separately by
+                a materialized oracle check in the warm phase).
+  value/unit    the measured Gbp/s for `metric`.
+  vs_baseline   value / 2.0 (reference: >2 Gbp/s uncompressed per host,
+                BASELINE.md; reference README.md:14).
+  roofline_bound_gbps   (tunnel only) an HBM-bandwidth bound on what the
+                measured program could actually sustain on a v5e chip:
+                ~70 bytes of HBM traffic per base across the fused stages
+                (unpack 5.4 + fused values/argmin 16 + flags 18 + compact 9
+                + budget-domain hash/probe/count ~21) at ~819 GB/s. The
+                dispatch proxy can exceed this; a real chip cannot.
+  e2e           end-to-end numbers measured through the CLI on this host
+                (synthetic FASTQ on disk -> parse -> extract/pack ->
+                decide -> write): "host_gbps" via the default engine and
+                "device_gbps" via --device tpu (full parse->pack->transfer->
+                decide->write device path). Wall-clock is net of the
+                environment's fixed interpreter startup (measured via
+                `python -m deacon_tpu --version`). Disable with
+                DEACON_BENCH_E2E=0.
 
-Baseline: the reference's >2 Gbp/s uncompressed single-host filter throughput
-(BASELINE.md; reference README.md:14). The measured pipeline is the on-device
-fused step (2-bit packing -> selection keys -> window minima -> compaction ->
-canonical values -> XXH3-64 -> sorted-index probe -> distinct-hit counts),
-including host->device transfer of packed rows, on synthetic long reads
-against a panhuman-scale random index.
+`python bench.py --e2e` prints the e2e measurement as its own JSON line
+after the headline line (two lines total).
 
 Env knobs: DEACON_BENCH_INDEX_M (index size in millions, default 100),
-DEACON_BENCH_ROWS / DEACON_BENCH_ROWLEN (tile), DEACON_BENCH_ITERS.
+DEACON_BENCH_ROWS / DEACON_BENCH_ROWLEN (tile), DEACON_BENCH_ITERS,
+DEACON_BENCH_E2E=0, DEACON_BENCH_E2E_MBP (host e2e input size, default 200).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# Rough HBM traffic of the fused engine step, bytes per input base (see
+# module docstring for the per-stage breakdown) and v5e HBM bandwidth.
+HBM_BYTES_PER_BASE = 70.0
+V5E_HBM_BYTES_PER_S = 8.19e11
+
+
+def _best_wall(cmd, env, tries=2, timeout=900):
+    best = None
+    for _ in range(tries):
+        t0 = time.monotonic()
+        try:
+            proc = subprocess.run(
+                cmd, env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        dt = time.monotonic() - t0
+        if proc.returncode != 0:
+            return None
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def run_e2e() -> dict:
+    """End-to-end CLI measurement on synthetic data (host + device paths)."""
+    import tempfile
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    out: dict = {}
+    with tempfile.TemporaryDirectory(prefix="deacon_bench_") as td:
+        genome = rng.choice(bases, size=20_000_000).astype(np.uint8)
+        fa = os.path.join(td, "genome.fa")
+        with open(fa, "wb") as f:
+            f.write(b">chr1\n")
+            f.write(genome.tobytes())
+            f.write(b"\n")
+        env = dict(os.environ)
+        env.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+        idx = os.path.join(td, "genome.idx")
+        t0 = time.monotonic()
+        subprocess.run(
+            [sys.executable, "-m", "deacon_tpu", "index", "build", fa,
+             "-o", idx, "-q"],
+            env=env, check=True, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        out["index_build_20mbp_s"] = round(time.monotonic() - t0, 3)
+
+        # ONT-like reads: half sampled from the genome (matching), half random
+        total_mbp = float(os.environ.get("DEACON_BENCH_E2E_MBP", "200"))
+        read_len = 25_000
+        n_reads = int(total_mbp * 1e6 / read_len)
+        fq = os.path.join(td, "reads.fq")
+        qual = b"I" * read_len
+        with open(fq, "wb") as f:
+            starts = rng.integers(0, genome.size - read_len, size=n_reads)
+            for i in range(n_reads):
+                if i % 2 == 0:
+                    seq = genome[starts[i] : starts[i] + read_len].tobytes()
+                else:
+                    seq = rng.choice(bases, size=read_len).tobytes()
+                f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, qual))
+        total_bp = n_reads * read_len
+
+        # fixed interpreter/env startup cost (this deployment's sitecustomize
+        # imports jax into every python process); e2e rates are net of it
+        t0 = time.monotonic()
+        subprocess.run(
+            [sys.executable, "-m", "deacon_tpu", "--version"], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        startup = time.monotonic() - t0
+        out["startup_overhead_s"] = round(startup, 3)
+
+        base_cmd = [sys.executable, "-m", "deacon_tpu", "filter", idx, fq,
+                    "-o", "/dev/null", "--deplete", "-q"]
+        wall = _best_wall(base_cmd, env, tries=2)
+        if wall is not None:
+            net = max(wall - startup, 1e-6)
+            out["host_gbps"] = round(total_bp / net / 1e9, 4)
+            out["host_wall_s"] = round(wall, 3)
+
+        # device path on a smaller slice (the tunneled backend materializes
+        # per batch at ~100x below chip speed; real hardware does not)
+        n_dev = max(2, n_reads // 6)
+        fq_dev = os.path.join(td, "reads_dev.fq")
+        with open(fq, "rb") as src, open(fq_dev, "wb") as dst:
+            for _ in range(n_dev * 4):
+                dst.write(src.readline())
+        dev_bp = n_dev * read_len
+        if os.environ.get("DEACON_BENCH_E2E_DEVICE", "1") != "0":
+            dev_cmd = list(base_cmd)
+            dev_cmd[dev_cmd.index(fq)] = fq_dev
+            wall = _best_wall(dev_cmd + ["--device", "tpu"], env, tries=1,
+                              timeout=900)
+            if wall is not None:
+                net = max(wall - startup, 1e-6)
+                out["device_gbps"] = round(dev_bp / net / 1e9, 6)
+                out["device_wall_s"] = round(wall, 3)
+                out["device_bp"] = dev_bp
+                try:
+                    from deacon_tpu.jaxenv import default_backend_is_tunneled
+
+                    if default_backend_is_tunneled():
+                        out["device_note"] = (
+                            "tunneled backend: per-batch d2h materializations "
+                            "run ~100x below chip speed (environment "
+                            "artifact, PERFNOTES.md cassette notes)"
+                        )
+                except Exception:
+                    pass
+    return out
+
 
 def main() -> None:
-    # Two-phase protocol: a warm-up subprocess compiles everything into the
-    # persistent cache, then a FRESH subprocess measures. On the axon
-    # backend, any multi-minute compile degrades that process's runtime
-    # dispatch for the rest of its life (see PERFNOTES.md), so the
-    # measurement process must execute only cache-hit compiles.
-    import subprocess
-
-    if os.environ.get("DEACON_BENCH_PHASE") is None:
+    # Multi-phase protocol: a warm-up subprocess compiles everything into the
+    # persistent cache (and runs the materialized oracle gate), an e2e
+    # subprocess drives the real CLI, then a FRESH subprocess measures the
+    # device step. On the axon backend, any multi-minute compile degrades
+    # that process's runtime dispatch for the rest of its life (PERFNOTES.md),
+    # so the measurement process must execute only cache-hit compiles.
+    phase = os.environ.get("DEACON_BENCH_PHASE")
+    if phase is None:
         env = dict(os.environ)
         env["DEACON_BENCH_PHASE"] = "warm"
         env["DEACON_BENCH_ITERS"] = "1"
@@ -44,13 +180,37 @@ def main() -> None:
         if warm.returncode != 0:
             print("bench: warm-up/validation phase FAILED", file=sys.stderr)
             raise SystemExit(warm.returncode)
+
+        e2e: dict = {}
+        if os.environ.get("DEACON_BENCH_E2E", "1") != "0":
+            print("bench: e2e phase (CLI on synthetic data)", file=sys.stderr)
+            env = dict(os.environ)
+            env["DEACON_BENCH_PHASE"] = "e2e"
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE,
+            )
+            if proc.returncode == 0:
+                try:
+                    e2e = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+                except Exception:
+                    e2e = {}
+
         env = dict(os.environ)
         env["DEACON_BENCH_PHASE"] = "measure"
+        env["DEACON_BENCH_E2E_JSON"] = json.dumps(e2e)
         print("bench: measurement phase (fresh process, cached programs)",
               file=sys.stderr)
         raise SystemExit(
-            subprocess.run([sys.executable, os.path.abspath(__file__)], env=env).returncode
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+                env=env,
+            ).returncode
         )
+
+    if phase == "e2e":
+        print(json.dumps(run_e2e()))
+        return
 
     import jax
     import jax.numpy as jnp
@@ -125,7 +285,7 @@ def main() -> None:
 
     tunneled = default_backend_is_tunneled()
 
-    if os.environ.get("DEACON_BENCH_PHASE") == "warm":
+    if phase == "warm":
         # Warm-up process: compile into the persistent cache AND run the
         # correctness gate. The gate materializes a result, which on the
         # axon tunnel permanently degrades THIS process (first d2h costs
@@ -162,7 +322,8 @@ def main() -> None:
         # permanently degrades the process ~100x (a tunnel artifact, not a
         # chip property), so there the free-running dispatch rate is the
         # best available chip-side proxy — with correctness already proven
-        # by the warm phase's materialized oracle check.
+        # by the warm phase's materialized oracle check. The JSON metric
+        # name carries the distinction.
         if tunneled:
             out.block_until_ready()
         else:
@@ -193,12 +354,30 @@ def main() -> None:
     gbps = bases_per_step / dt / 1e9
     print(f"bench: {dt*1e3:.2f} ms/step -> {gbps:.3f} Gbp/s", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "filter_throughput_per_chip",
+    try:
+        e2e = json.loads(os.environ.get("DEACON_BENCH_E2E_JSON", "{}"))
+    except Exception:
+        e2e = {}
+
+    result = {
+        "metric": (
+            "filter_throughput_per_chip_dispatch_proxy" if tunneled
+            else "filter_throughput_per_chip"
+        ),
         "value": round(gbps, 4),
         "unit": "Gbp/s",
         "vs_baseline": round(gbps / 2.0, 4),
-    }))
+    }
+    if tunneled:
+        # what the measured program could actually sustain on a v5e chip
+        result["roofline_bound_gbps"] = round(
+            V5E_HBM_BYTES_PER_S / HBM_BYTES_PER_BASE / 1e9, 1
+        )
+    if e2e:
+        result["e2e"] = e2e
+    print(json.dumps(result))
+    if "--e2e" in sys.argv and e2e:
+        print(json.dumps({"metric": "filter_e2e", "unit": "Gbp/s", **e2e}))
 
 
 if __name__ == "__main__":

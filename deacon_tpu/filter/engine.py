@@ -307,6 +307,30 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
         return host
 
 
+def _engine_desc(decider) -> str:
+    """Human-readable name of the decision engine actually in use
+    (engine-visibility parity: the reference warns on missing SIMD,
+    ref: src/main.rs:238-243; we also say which engine runs)."""
+    if isinstance(decider, DeviceDecider):
+        plat = getattr(decider.pipe.device, "platform", "?")
+        return f"device pipeline ({plat})"
+    if isinstance(decider, ShardedDecider):
+        shape = dict(decider.pipe.mesh.shape)
+        return (
+            f"sharded device pipeline (mesh data={shape.get('data')} x "
+            f"shard={shape.get('shard')})"
+        )
+    from ..io.native_loader import get_lib
+
+    ext = "native C++" if get_lib() is not None else "pure-Python oracle"
+    backend_name = (
+        type(decider.backend).__name__ if decider.backend is not None else ""
+    )
+    if backend_name == "RemoteBackend":
+        return f"remote server decisions ({ext} extraction)"
+    return f"host batch engine ({ext} extraction)"
+
+
 def _run_native_pipeline(
     config: FilterConfig, index, decider, k: int, w: int,
     stats: "FilterStats", quiet: bool, start_time: float,
@@ -319,6 +343,7 @@ def _run_native_pipeline(
     prebuilt sidecar `probe` is passed, in which case the hash array was
     never decoded). Returns True when it ran (stats filled, output files
     written and finished); False to fall back to the Python path."""
+    probe_source = "sidecar cache" if probe is not None else "built at startup"
     if probe is None and (
         index is None or config.debug or not isinstance(decider, HostDecider)
     ):
@@ -372,6 +397,9 @@ def _run_native_pipeline(
         # hash array here halves steady-state memory at panhuman scale (the
         # run finishes through _finish_run without touching the index again).
         object.__setattr__(index, "hashes", None)
+
+    if not quiet:
+        _eprint(f"Engine: native C++ pipeline (probe table: {probe_source})")
 
     import signal
     import threading
@@ -485,6 +513,9 @@ def run(config: FilterConfig) -> None:
     # ------------------------------------------------------------------
     sidecar_probe = None
     if config.minimizers_path is not None:
+        from ..index.store import warn_if_foreign_index
+
+        warn_if_foreign_index(config.minimizers_path)
         if getattr(config, "mesh", None) == "pod":
             # pod mode never materializes the full index on any host —
             # the decider stream-decodes per-shard slices from the file
@@ -562,6 +593,13 @@ def run(config: FilterConfig) -> None:
         _finish_run(config, stats, start_time, quiet, tool_version,
                     summary_index, k, w)
         return
+
+    from ..io.native_loader import warn_if_native_unavailable
+
+    if isinstance(decider, HostDecider):
+        warn_if_native_unavailable("filtering")
+    if not quiet:
+        _eprint(f"Engine: {_engine_desc(decider)}")
 
     writer = get_writer(config.output_path, config.compression_level)
     writer2: FastxWriter | None = None

@@ -205,6 +205,15 @@ def build(config: IndexConfig) -> None:
         config.entropy_threshold,
         device,
     )
+    if extractor._pipe is not None:
+        plat = getattr(extractor._pipe.device, "platform", None)
+        _eprint(f"Engine: device extraction pipeline ({plat or 'default'})")
+    else:
+        from ..io.native_loader import get_lib, warn_if_native_unavailable
+
+        warn_if_native_unavailable("index build")
+        ext = "native C++" if get_lib() is not None else "pure-Python oracle"
+        _eprint(f"Engine: host extraction ({ext})")
     use_raw = False
     if extractor._pipe is None:
         # host route + native reader: feed the parser's raw record arena
@@ -357,11 +366,20 @@ def info(index_path: str) -> None:
     ~20 s at panhuman scale for the same four lines of output)."""
     start = time.monotonic()
     header, count = store.load_header_and_count(index_path)
+    scheme = store.read_provenance(index_path)
     _eprint("Index information:")
     _eprint(f"  Format version: {header.format_version}")
     _eprint(f"  K-mer length (k): {header.kmer_length}")
     _eprint(f"  Window size (w): {header.window_size}")
     _eprint(f"  Distinct minimizer count: {count}")
+    if scheme is not None:
+        name = store.SCHEME_NAMES.get(scheme, f"id {scheme}")
+        _eprint(f"  Origin: deacon-tpu (selection scheme: {name})")
+    else:
+        _eprint(
+            "  Origin: unknown (no deacon-tpu provenance trailer — likely "
+            "built by upstream deacon; selection schemes differ, see INTEROP.md)"
+        )
     _eprint(f"Retrieved index info in {time.monotonic() - start:.2f}s")
 
 
@@ -400,6 +418,14 @@ def union(inputs: list[str], output: str | None, capacity_millions: int | None) 
                 f"k={header.kmer_length}, w={header.window_size}"
             )
 
+    # output provenance: ours only if EVERY input carries our trailer
+    # (content from a foreign index stays foreign-schemed)
+    out_scheme = store.SCHEME_DXTP_FMIX32_V1
+    for path in inputs:
+        if store.read_provenance(path) != store.SCHEME_DXTP_FMIX32_V1:
+            store.warn_if_foreign_index(path)
+            out_scheme = None
+
     merged = np.empty(0, dtype=np.uint64)
     for i, path in enumerate(inputs):
         idx = store.load_index(path)
@@ -412,7 +438,7 @@ def union(inputs: list[str], output: str | None, capacity_millions: int | None) 
             f"added {merged.size - before} new, total: {merged.size}"
         )
 
-    store.write_index(merged, header, output)
+    store.write_index(merged, header, output, scheme=out_scheme)
     _eprint(
         f"United {len(inputs)} indexes with {merged.size} total minimizers "
         f"in {time.monotonic() - start:.2f}s"
@@ -479,10 +505,15 @@ def diff(
     first_idx = store.load_index(first)
     _eprint(f"First index: loaded {len(first_idx)} minimizers")
     before = len(first_idx)
+    # the output's content is a subset of the first index: it keeps the
+    # first index's provenance (foreign first index -> no trailer + warning)
+    out_scheme = store.read_provenance(first)
+    if out_scheme is None:
+        store.warn_if_foreign_index(first)
 
     def finish(remaining: np.ndarray):
         _eprint(f"Removed {before - remaining.size} minimizers, {remaining.size} remaining")
-        store.write_index(remaining, first_idx.header, output)
+        store.write_index(remaining, first_idx.header, output, scheme=out_scheme)
         _eprint(f"Completed difference operation in {time.monotonic() - start:.2f}s")
 
     if kmer_length is not None and window_size is not None:
@@ -509,6 +540,7 @@ def diff(
         return
 
     _eprint(f"Second index: loaded {len(second_idx)} minimizers")
+    store.warn_if_foreign_index(second)
     if (
         second_idx.header.kmer_length != first_idx.header.kmer_length
         or second_idx.header.window_size != first_idx.header.window_size

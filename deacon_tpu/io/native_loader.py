@@ -38,6 +38,28 @@ def _build() -> bool:
         return False
 
 
+_warned_unavailable = False
+
+
+def warn_if_native_unavailable(context: str = "") -> bool:
+    """One-shot stderr warning when the native C++ library is unavailable
+    (analogue of the reference's SIMD-absent warning, ref:
+    src/main.rs:238-243). Returns True when the warning fired."""
+    global _warned_unavailable
+    if get_lib() is not None or _warned_unavailable:
+        return False
+    _warned_unavailable = True
+    where = f" for {context}" if context else ""
+    print(
+        "Warning: native acceleration library is unavailable"
+        f"{where}; falling back to the pure-Python engine (orders of "
+        "magnitude slower). Check the C++ toolchain (g++, make) or unset "
+        "DEACON_TPU_NO_NATIVE.",
+        file=sys.stderr,
+    )
+    return True
+
+
 def get_lib():
     """Returns the loaded native library or None."""
     global _lib, _lib_failed

@@ -284,11 +284,14 @@ class DeviceHashProbe:
             shard = NamedSharding(mesh, P("shard"))
             self.index_hi = jax.device_put(jnp.asarray(hi), shard)
             self.index_lo = jax.device_put(jnp.asarray(lo), shard)
-        self._fns: dict[int, object] = {}
+        self._jitted = None
         self._lock = threading.Lock()
 
-    def _fn(self, n_pad: int):
-        f = self._fns.get(n_pad)
+    def _fn(self):
+        # ONE jitted callable: jax.jit is shape-polymorphic (it retraces
+        # per input shape internally), so keying a cache by n_pad would
+        # only store duplicates of the same wrapper.
+        f = self._jitted
         if f is not None:
             return f
         max_run = self.max_run
@@ -322,7 +325,7 @@ class DeviceHashProbe:
                 )
                 return lax.psum(member_l.astype(jnp.int32), "shard") >= 1
 
-        self._fns[n_pad] = run
+        self._jitted = run
         return run
 
     def __call__(self, hashes: np.ndarray) -> np.ndarray:
@@ -337,10 +340,10 @@ class DeviceHashProbe:
         q[:n] = np.asarray(hashes, dtype=np.uint64)
         qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
         qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
-        # lock only the compile-cache dict; jitted execution is thread-safe
-        # and serializing it would bottleneck the threaded HTTP server
+        # lock only the wrapper construction; jitted execution is
+        # thread-safe and serializing it would bottleneck the HTTP server
         with self._lock:
-            fn = self._fn(n_pad)
+            fn = self._fn()
         member = np.asarray(fn(self.index_hi, self.index_lo, qlo, qhi))
         return member[:n]
 

@@ -53,6 +53,9 @@ class ServerState:
         os.environ.setdefault("DEACON_PROBE_THP", "1")
         self.version = f"{index_path}@{_file_sha256(index_path)}"
         print(f"Loading index from: {index_path}", file=sys.stderr)
+        from ..index.store import warn_if_foreign_index
+
+        warn_if_foreign_index(index_path)
         self.header, self.count = load_header_and_count(index_path)
         # the raw hash array stays resident ONLY when no probe owns the
         # keys (pure-Python fallback); every probe path below drops it —

@@ -59,10 +59,12 @@ def fastq_text(records) -> str:
     return "".join(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n" for rid, seq in records)
 
 
-def run_cli(args, stdin_data=None, cwd=None, expect_ok=True):
+def run_cli(args, stdin_data=None, cwd=None, expect_ok=True, env_extra=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)
     env.setdefault("JAX_PLATFORMS", "cpu")
+    if env_extra:
+        env.update(env_extra)
     proc = subprocess.run(
         [sys.executable, "-m", "deacon_tpu", *[str(a) for a in args]],
         input=stdin_data,

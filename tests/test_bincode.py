@@ -63,8 +63,10 @@ def test_index_tiny_values_format(tmp_path):
     path = tmp_path / "small.idx"
     store.write_index(np.array([1, 2, 3, 4, 5], dtype=np.uint64), header, path)
     data = path.read_bytes()
-    # header(3) + count(1) + five 1-byte hashes
-    assert data == bytes([2, 5, 3, 5, 1, 2, 3, 4, 5])
+    # header(3) + count(1) + five 1-byte hashes + 9-byte provenance trailer
+    assert data == bytes([2, 5, 3, 5, 1, 2, 3, 4, 5]) + (
+        store.PROVENANCE_MAGIC + bytes([store.SCHEME_DXTP_FMIX32_V1])
+    )
     idx = store.load_index(path)
     assert list(idx.hashes) == [1, 2, 3, 4, 5]
 

@@ -434,3 +434,41 @@ def test_empty_input(ctx):
     assert read_output(out) == ""
     s = load_summary(summ)
     assert s["seqs_in"] == 0 and s["seqs_out_proportion"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# engine visibility (native-unavailable warning + active-engine banner line)
+# ---------------------------------------------------------------------------
+
+
+def test_native_unavailable_warning_fires(ctx):
+    tmp, idx, genome = ctx
+    reads = make_reads(tmp, genome)
+    proc = run_cli(
+        ["filter", idx, reads, "-o", tmp / "o.fq"],
+        env_extra={"DEACON_TPU_NO_NATIVE": "1"},
+    )
+    err = proc.stderr.decode()
+    assert "native acceleration library is unavailable" in err
+    assert "Engine: host batch engine (pure-Python oracle extraction)" in err
+
+
+def test_engine_line_printed_and_suppressed_by_quiet(ctx):
+    tmp, idx, genome = ctx
+    reads = make_reads(tmp, genome)
+    proc = run_cli(["filter", idx, reads, "-o", tmp / "o.fq"])
+    assert "Engine: " in proc.stderr.decode()
+    proc_q = run_cli(["filter", idx, reads, "-o", tmp / "o2.fq", "-q"])
+    assert "Engine: " not in proc_q.stderr.decode()
+
+
+def test_index_build_warns_without_native(tmp_path):
+    ref = tmp_path / "ref.fa"
+    write_fasta(ref, [("g", random_dna(400))])
+    proc = run_cli(
+        ["index", "build", ref, "-o", tmp_path / "x.idx"],
+        env_extra={"DEACON_TPU_NO_NATIVE": "1"},
+    )
+    err = proc.stderr.decode()
+    assert "native acceleration library is unavailable" in err
+    assert "Engine: host extraction (pure-Python oracle)" in err

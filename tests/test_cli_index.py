@@ -7,11 +7,14 @@ import numpy as np
 import pytest
 
 from deacon_tpu.index import store
+from pathlib import Path
+
 from helpers import (
     build_index,
     random_dna,
     run_cli,
     write_fasta,
+    write_fastq,
 )
 
 
@@ -191,3 +194,80 @@ def test_build_malformed_mid_stream_fails_cleanly(tmp_path):
     proc = run_cli(["index", "build", bad, "-o", tmp_path / "bad.idx"],
                    expect_ok=False)
     assert b"separator" in proc.stderr or b"Expected" in proc.stderr
+
+
+# ---------------------------------------------------------------------------
+# provenance trailer (foreign-index guard; VERDICT r1 #1)
+# ---------------------------------------------------------------------------
+
+
+def _strip_trailer(path_in, path_out):
+    """Simulate a reference-built index: same payload, no trailer."""
+    data = Path(path_in).read_bytes()
+    assert data[-9:-1] == store.PROVENANCE_MAGIC
+    Path(path_out).write_bytes(data[:-9])
+
+
+def test_provenance_written_and_reported(tmp_path):
+    ref = tmp_path / "ref.fa"
+    write_fasta(ref, [("g", random_dna(600))])
+    idx = tmp_path / "g.idx"
+    build_index(ref, idx)
+    assert store.read_provenance(idx) == store.SCHEME_DXTP_FMIX32_V1
+    proc = run_cli(["index", "info", idx])
+    assert b"Origin: deacon-tpu (selection scheme: dxtp-fmix32-v1)" in proc.stderr
+
+
+def test_foreign_index_load_is_compatible_and_warns(tmp_path):
+    ref = tmp_path / "ref.fa"
+    genome = random_dna(600)
+    write_fasta(ref, [("g", genome)])
+    idx = tmp_path / "g.idx"
+    build_index(ref, idx)
+    foreign = tmp_path / "foreign.idx"
+    _strip_trailer(idx, foreign)
+    # same payload decodes identically
+    assert np.array_equal(
+        store.load_index(idx).hashes, store.load_index(foreign).hashes
+    )
+    assert store.read_provenance(foreign) is None
+    # info reports unknown origin
+    proc = run_cli(["index", "info", foreign])
+    assert b"Origin: unknown" in proc.stderr
+    # filter fires the one-shot warning
+    reads = tmp_path / "r.fq"
+    write_fastq(reads, [("r1", genome[:100])])
+    proc = run_cli(["filter", foreign, reads, "-o", tmp_path / "o.fq"])
+    assert b"was not built by deacon-tpu" in proc.stderr
+    proc2 = run_cli(["filter", idx, reads, "-o", tmp_path / "o2.fq"])
+    assert b"was not built by deacon-tpu" not in proc2.stderr
+
+
+def test_union_diff_provenance_propagation(tmp_path):
+    ref1, ref2 = tmp_path / "a.fa", tmp_path / "b.fa"
+    write_fasta(ref1, [("a", random_dna(600))])
+    write_fasta(ref2, [("b", random_dna(600))])
+    ia, ib = tmp_path / "a.idx", tmp_path / "b.idx"
+    build_index(ref1, ia)
+    build_index(ref2, ib)
+    # ours + ours -> trailer kept
+    u = tmp_path / "u.idx"
+    run_cli(["index", "union", ia, ib, "-o", u])
+    assert store.read_provenance(u) == store.SCHEME_DXTP_FMIX32_V1
+    d = tmp_path / "d.idx"
+    run_cli(["index", "diff", ia, ib, "-o", d])
+    assert store.read_provenance(d) == store.SCHEME_DXTP_FMIX32_V1
+    # foreign input poisons union provenance + warns
+    fb = tmp_path / "fb.idx"
+    _strip_trailer(ib, fb)
+    u2 = tmp_path / "u2.idx"
+    proc = run_cli(["index", "union", ia, fb, "-o", u2])
+    assert store.read_provenance(u2) is None
+    assert b"was not built by deacon-tpu" in proc.stderr
+    # foreign FIRST index -> diff output foreign + warns
+    fa_ = tmp_path / "fa.idx"
+    _strip_trailer(ia, fa_)
+    d2 = tmp_path / "d2.idx"
+    proc = run_cli(["index", "diff", fa_, ib, "-o", d2])
+    assert store.read_provenance(d2) is None
+    assert b"was not built by deacon-tpu" in proc.stderr
