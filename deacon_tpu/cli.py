@@ -80,13 +80,16 @@ def _add_filter_like_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--device", default="auto",
                    choices=["auto", "tpu", "cpu", "numpy"],
                    help="compute backend (TPU-native extension flag)")
-    p.add_argument("--mesh", default=None, metavar="DATAxSHARD|pod",
+    p.add_argument("--mesh", default=None, metavar="DATAxSHARD|pod|pod-data",
                    help="device mesh, e.g. 2x4: reads data-parallel over "
                         "DATA chips, index range-sharded over SHARD chips. "
                         "'pod': jax.distributed multi-host mode (DEACON_COORD/"
                         "DEACON_NUM_PROC/DEACON_PROC_ID env) — every host "
                         "holds only its index slice and must be fed the same "
-                        "input (TPU-native extension flag)")
+                        "input. 'pod-data': each host filters its own byte "
+                        "range of the input on a rank-local mesh — aggregate "
+                        "reads/s scales with hosts (single-end file inputs; "
+                        "TPU-native extension flag)")
 
 
 def build_parser() -> argparse.ArgumentParser:

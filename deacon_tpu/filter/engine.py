@@ -169,11 +169,18 @@ class ShardedDecider:
     per value-range shard straight from the file (each host holds only its
     slice; parallel/multihost.py), shards run across hosts, and every rank
     must be fed the same input (outputs replicate across ranks).
+
+    mesh_spec "pod-data": jax.distributed data-parallel mode — each rank
+    runs this decider over a RANK-LOCAL mesh (index sharded across local
+    devices only; no cross-host collectives in the hot loop) and is fed a
+    disjoint byte range of the input by filter/pod_data.py, so aggregate
+    reads/s scales with hosts.
     """
 
     def __init__(self, index, k: int, w: int, mesh_spec: str, fallback,
                  index_path=None):
         from ..parallel.multihost import (
+            make_local_pipeline_from_file,
             make_pod_pipeline_from_file,
             maybe_init_distributed,
         )
@@ -183,6 +190,8 @@ class ShardedDecider:
         from ..parallel.sharded import ShardedPipeline, make_mesh, parse_mesh_spec
         if mesh_spec == "pod":
             self.pipe = make_pod_pipeline_from_file(str(index_path))
+        elif mesh_spec == "pod-data":
+            self.pipe = make_local_pipeline_from_file(str(index_path))
         else:
             n_data, n_shard = parse_mesh_spec(mesh_spec)
             self.pipe = ShardedPipeline(
@@ -218,35 +227,65 @@ class ShardedDecider:
                 )
 
     def decide_unpaired(self, seqs, prefix_length, cfg: FilterConfig):
-        try:
-            hits, totals = self._counts_with_regrow(
-                "counts_single", seqs, prefix_length
-            )
-        except self._overflow:
-            if self.fallback is None:
-                raise
-            return self.fallback.decide_unpaired(seqs, prefix_length, cfg)
-        return self._decide(hits, totals, cfg)
+        return self.launch_unpaired(seqs, prefix_length, cfg)()
 
     def decide_paired(self, pairs, prefix_length, cfg: FilterConfig):
-        try:
-            hits, totals = self._counts_with_regrow(
-                "counts_paired", pairs, prefix_length
-            )
-        except self._overflow:
-            if self.fallback is None:
-                raise
-            return self.fallback.decide_paired(pairs, prefix_length, cfg)
-        return self._decide(hits, totals, cfg)
+        return self.launch_paired(pairs, prefix_length, cfg)()
 
-    # synchronous: the sharded pipeline resolves within the call
+    # async launch: every global batch is packed + dispatched up front and
+    # stays in flight until the closure is called, giving the sharded path
+    # the same read/compute/write overlap as DeviceDecider
     def launch_unpaired(self, seqs, prefix_length, cfg):
-        result = self.decide_unpaired(seqs, prefix_length, cfg)
-        return lambda: result
+        return self._launch(
+            "launch_single", "counts_single", list(seqs), prefix_length, cfg,
+            "launch_unpaired", "decide_unpaired",
+        )
 
     def launch_paired(self, pairs, prefix_length, cfg):
-        result = self.decide_paired(pairs, prefix_length, cfg)
-        return lambda: result
+        return self._launch(
+            "launch_paired", "counts_paired", list(pairs), prefix_length, cfg,
+            "launch_paired", "decide_paired",
+        )
+
+    def _launch(self, launch_name, counts_name, units, prefix_length, cfg,
+                fb_launch, fb_decide):
+        while True:
+            try:
+                resolve = getattr(self.pipe, launch_name)(units, prefix_length)
+                break
+            except self._overflow:
+                # a unit wider than Rs rows: detected before dispatch
+                if self.pipe.Rs >= self._MAX_ROWS_PER_SHARD:
+                    if self.fallback is None:
+                        raise
+                    return getattr(self.fallback, fb_launch)(
+                        units, prefix_length, cfg
+                    )
+                self.pipe = self.pipe.regeometry(rows_per_shard=self.pipe.Rs * 2)
+
+        def done():
+            try:
+                hits, totals = resolve()
+            except self._overflow:
+                # device-side minimizer budget exceeded: regrow (which also
+                # raises the budget) and rerun this batch synchronously
+                if self.pipe.Rs < self._MAX_ROWS_PER_SHARD:
+                    self.pipe = self.pipe.regeometry(
+                        rows_per_shard=self.pipe.Rs * 2
+                    )
+                try:
+                    hits, totals = self._counts_with_regrow(
+                        counts_name, units, prefix_length
+                    )
+                except self._overflow:
+                    if self.fallback is None:
+                        raise
+                    return getattr(self.fallback, fb_decide)(
+                        units, prefix_length, cfg
+                    )
+            return self._decide(hits, totals, cfg)
+
+        return done
 
 
 def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
@@ -266,10 +305,11 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     real TPU hosts. `--device tpu` (or any non-auto device) bypasses the
     sidecar path and lands here.
     """
-    if getattr(cfg, "mesh", None) == "pod" and cfg.minimizers_path is not None:
+    mesh_spec = getattr(cfg, "mesh", None)
+    if mesh_spec in ("pod", "pod-data") and cfg.minimizers_path is not None:
         if cfg.debug:
-            raise ValueError("--debug is not supported with --mesh pod")
-        return ShardedDecider(None, k, w, "pod", None,
+            raise ValueError(f"--debug is not supported with --mesh {mesh_spec}")
+        return ShardedDecider(None, k, w, mesh_spec, None,
                               index_path=cfg.minimizers_path)
     if getattr(cfg, "mesh", None) and cfg.minimizers_path is None:
         print(
@@ -480,7 +520,13 @@ def _run_native_pipeline(
     return True
 
 
-def run(config: FilterConfig) -> None:
+def run(config: FilterConfig, _byte_range=None, _return_stats=False):
+    if getattr(config, "mesh", None) == "pod-data" and _byte_range is None:
+        # multi-host data-parallel mode: split the input across ranks and
+        # re-enter run() per rank with a byte range (filter/pod_data.py)
+        from .pod_data import run_pod_data
+
+        return run_pod_data(config)
     start_time = time.monotonic()
     tool_version = f"{TOOL_NAME} {VERSION}"
     quiet = config.quiet or config.debug  # ref: src/local_filter.rs:581
@@ -516,8 +562,8 @@ def run(config: FilterConfig) -> None:
         from ..index.store import warn_if_foreign_index
 
         warn_if_foreign_index(config.minimizers_path)
-        if getattr(config, "mesh", None) == "pod":
-            # pod mode never materializes the full index on any host —
+        if getattr(config, "mesh", None) in ("pod", "pod-data"):
+            # pod modes never materialize the full index on any host —
             # the decider stream-decodes per-shard slices from the file
             from ..index.store import load_header_and_count
 
@@ -688,7 +734,14 @@ def run(config: FilterConfig) -> None:
     try:
         pending = None
         if input_type == "single":
-            reader = FastxReader.from_path(config.input_path)
+            if _byte_range is not None:
+                from ..io.split import RangeStream
+
+                reader = FastxReader(
+                    RangeStream(config.input_path, *_byte_range)
+                )
+            else:
+                reader = FastxReader.from_path(config.input_path)
             while True:
                 records = read_batch(reader, config.batch_size)
                 fut = (
@@ -739,6 +792,10 @@ def run(config: FilterConfig) -> None:
     if writer2 is not None:
         writer2.finish()
 
+    if _return_stats:
+        # pod-data sub-run: the caller aggregates stats across ranks and
+        # prints the final line/summary once on rank 0
+        return stats, k, w
     _finish_run(config, stats, start_time, quiet, tool_version, summary_index,
                 k, w)
 

@@ -1,0 +1,199 @@
+"""``--mesh pod-data``: multi-host data-parallel filtering.
+
+Where ``--mesh pod`` shards the INDEX across hosts (memory scaling; every
+rank streams the same input), pod-data shards the INPUT: each rank filters
+its own record-aligned byte range of the input file on a rank-local device
+mesh (no cross-host collectives in the hot loop), so aggregate reads/s
+scales with the number of hosts. This is the scaling axis the reference
+cannot offer — its engines are single-process and the index is replicated
+per process (ref: src/index.rs:96-107).
+
+Rank identity comes from ``DEACON_NUM_PROC`` / ``DEACON_PROC_ID`` directly,
+NOT from the JAX backend: pod-data has no cross-host collectives, so it
+works with any launcher (mpirun, GNU parallel, k8s) and no coordinator.
+``DEACON_COORD`` is still honored when set because multi-host TPU slices
+require jax.distributed to initialize their local chips at all.
+
+Per-rank outputs are written as ``<output>.podN[.gz|.zst|.xz]`` part files
+whose compressed members concatenate to a valid stream. Completion is
+signaled through ``<part>.stats.json`` sidecars on the shared filesystem
+(written atomically after the part is finished); rank 0 waits for all of
+them, aggregates the stats, concatenates the parts into the final output,
+and cleans up — so the result is byte-identical to a single-process run.
+On clusters without a shared filesystem set ``DEACON_POD_PARTS=keep`` to
+leave each rank's part in place and skip the merge (rank 0 then reports
+rank-local stats only).
+
+The index is never fully materialized on any host: each rank stream-decodes
+only the value-range shards its local mesh needs (parallel/multihost.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+from ..config import FilterConfig
+
+_STATS_FIELDS = (
+    "total_seqs", "filtered_seqs", "total_bp", "output_bp", "filtered_bp",
+    "output_seq_counter",
+)
+
+
+def _codec_suffix(output_path: str) -> str:
+    for ext in (".gz", ".zst", ".xz"):
+        if output_path.endswith(ext):
+            return ext
+    return ""
+
+
+def part_path(output_path: str, rank: int) -> str:
+    """Per-rank part file; keeps the compression extension last so the
+    part is encoded with the final output's codec (gz/zst/xz members
+    concatenate to a valid stream)."""
+    return f"{output_path}.pod{rank}{_codec_suffix(output_path)}"
+
+
+def pod_rank() -> tuple[int, int]:
+    """(nproc, rank) from DEACON_NUM_PROC / DEACON_PROC_ID (default 1, 0)."""
+    nproc = int(os.environ.get("DEACON_NUM_PROC", "1"))
+    rank = int(os.environ.get("DEACON_PROC_ID", "0"))
+    if not 0 <= rank < nproc:
+        raise ValueError(
+            f"DEACON_PROC_ID={rank} out of range for DEACON_NUM_PROC={nproc}"
+        )
+    return nproc, rank
+
+
+def _validate(config: FilterConfig) -> None:
+    if config.minimizers_path is None:
+        raise ValueError("--mesh pod-data requires a local index file")
+    if config.debug:
+        raise ValueError("--debug is not supported with --mesh pod-data")
+    if config.rename:
+        raise ValueError(
+            "--rename is not supported with --mesh pod-data: output "
+            "sequence numbers are global but ranks write their parts "
+            "concurrently; use --mesh pod"
+        )
+    if config.input2_path is not None:
+        raise ValueError(
+            "--mesh pod-data supports single-end input only (paired files "
+            "cannot be byte-range split consistently); use --mesh pod"
+        )
+    if config.output_path == "-":
+        raise ValueError(
+            "--mesh pod-data writes per-rank part files and concatenates "
+            "them; give -o a file path"
+        )
+
+
+def _input_token(path: str) -> list[int]:
+    st = os.stat(path)
+    return [int(st.st_size), int(st.st_mtime_ns)]
+
+
+def _write_stats_sidecar(part: str, stats, token: list[int]) -> None:
+    payload = {f: getattr(stats, f) for f in _STATS_FIELDS}
+    payload["input"] = token
+    tmp = part + ".stats.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, part + ".stats.json")  # atomic: barrier signal
+
+
+def _await_stats(output_path: str, nproc: int, token: list[int],
+                 timeout: float):
+    """Rank 0: wait for every rank's stats sidecar (the completion barrier),
+    validating each against this run's input token (guards against stale
+    sidecars from a different input)."""
+    deadline = time.monotonic() + timeout
+    payloads = [None] * nproc
+    while True:
+        for r in range(nproc):
+            if payloads[r] is not None:
+                continue
+            p = part_path(output_path, r) + ".stats.json"
+            try:
+                with open(p) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if data.get("input") != token:
+                raise RuntimeError(
+                    f"stale pod-data sidecar {p}: it was written for a "
+                    "different input file; remove leftover .pod* files"
+                )
+            payloads[r] = data
+        if all(p is not None for p in payloads):
+            return payloads
+        if time.monotonic() > deadline:
+            missing = [r for r in range(nproc) if payloads[r] is None]
+            raise RuntimeError(
+                f"pod-data barrier timeout ({timeout:.0f}s): no stats "
+                f"sidecar from rank(s) {missing}. If ranks run on hosts "
+                "without a shared filesystem, set DEACON_POD_PARTS=keep."
+            )
+        time.sleep(0.05)
+
+
+def run_pod_data(config: FilterConfig) -> None:
+    """Entry point called by filter.engine.run for ``--mesh pod-data``."""
+    from ..io.split import split_fastx_ranges
+    from . import engine
+
+    _validate(config)
+    start_time = time.monotonic()
+    nproc, rank = pod_rank()
+
+    # every rank computes the same split (boundary probes only — O(n) seeks)
+    ranges = split_fastx_ranges(config.input_path, nproc)
+    token = _input_token(config.input_path)
+    part = part_path(config.output_path, rank)
+
+    sub = dataclasses.replace(
+        config,
+        output_path=part,
+        summary_path=None,
+        quiet=config.quiet or rank != 0,
+    )
+    stats, k, w = engine.run(sub, _byte_range=ranges[rank], _return_stats=True)
+
+    keep_parts = os.environ.get("DEACON_POD_PARTS") == "keep"
+    quiet = config.quiet or config.debug
+    if keep_parts:
+        if rank == 0 and not quiet:
+            print(
+                "DEACON_POD_PARTS=keep: per-rank outputs left in place; "
+                "stats below are rank 0's shard only",
+                file=sys.stderr,
+            )
+    else:
+        _write_stats_sidecar(part, stats, token)
+        if rank == 0:
+            timeout = float(os.environ.get("DEACON_POD_TIMEOUT", "86400"))
+            payloads = _await_stats(config.output_path, nproc, token, timeout)
+            for f in _STATS_FIELDS:
+                setattr(stats, f, sum(p[f] for p in payloads))
+            with open(config.output_path, "wb") as out:
+                for r in range(nproc):
+                    p = part_path(config.output_path, r)
+                    with open(p, "rb") as src:
+                        while True:
+                            chunk = src.read(1 << 22)
+                            if not chunk:
+                                break
+                            out.write(chunk)
+                    os.unlink(p)
+                    os.unlink(p + ".stats.json")
+
+    if rank == 0:
+        engine._finish_run(
+            config, stats, start_time, quiet,
+            f"{engine.TOOL_NAME} {engine.VERSION}",
+            str(config.minimizers_path), k, w,
+        )

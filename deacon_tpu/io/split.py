@@ -1,0 +1,175 @@
+"""Record-aligned byte-range splitting of FASTX inputs for pod data
+parallelism (``--mesh pod-data``).
+
+Each jax.distributed rank streams only its own contiguous slice of the
+input file, so aggregate reads/s scales with the number of hosts — the
+scaling axis the reference cannot offer (its engines are single-process;
+ref: src/local_filter.rs:575, src/remote_filter.rs:431). Ranges are exact
+record starts, so every range is a whole number of records and rank
+outputs concatenate to the single-process result.
+
+Only plain (uncompressed) FASTA/FASTQ files are splittable: serial codecs
+(gz/zst/xz/bz2) have no mid-stream entry points. BGZF would allow block
+splits but records still straddle blocks; compressed pod inputs should be
+decompressed first or run through ``--mesh pod``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .fastx import _MAGICS
+
+_CHUNK = 1 << 20
+
+
+class SplitError(ValueError):
+    pass
+
+
+def _read_at(f, off: int, n: int) -> bytes:
+    f.seek(off)
+    return f.read(n)
+
+
+def _line_starts_from(f, off: int, size: int):
+    """Yield offsets of line starts at/after ``off`` (first yield is ``off``
+    itself when it is a line start, i.e. off==0 or preceded by a newline)."""
+    if off == 0:
+        yield 0
+    else:
+        prev = _read_at(f, off - 1, 1)
+        if prev == b"\n":
+            yield off
+    pos = off
+    while pos < size:
+        chunk = _read_at(f, pos, _CHUNK)
+        if not chunk:
+            return
+        idx = -1
+        while True:
+            idx = chunk.find(b"\n", idx + 1)
+            if idx < 0:
+                break
+            if pos + idx + 1 < size:
+                yield pos + idx + 1
+        pos += len(chunk)
+
+
+def _readline_at(f, off: int, size: int) -> tuple[bytes, int]:
+    """Read one newline-terminated line starting at ``off``; returns
+    (line_without_newline, offset_after_newline). EOF counts as a line end."""
+    parts = []
+    pos = off
+    while pos < size:
+        chunk = _read_at(f, pos, min(_CHUNK, size - pos))
+        nl = chunk.find(b"\n")
+        if nl >= 0:
+            parts.append(chunk[:nl])
+            return b"".join(parts).rstrip(b"\r"), pos + nl + 1
+        parts.append(chunk)
+        pos += len(chunk)
+    return b"".join(parts).rstrip(b"\r"), size
+
+
+def _validate_fastq_start(f, off: int, size: int, depth: int = 3) -> bool:
+    """True when ``off`` parses as a FASTQ record start for ``depth``
+    consecutive records (or a clean EOF). A quality line that begins with
+    '@' cannot validate: parsing from it reads the next header as the
+    sequence and the next sequence as the '+' line, and sequence lines
+    never start with '+'."""
+    pos = off
+    for _ in range(depth):
+        if pos >= size:
+            return True
+        hdr, pos = _readline_at(f, pos, size)
+        if not hdr.startswith(b"@"):
+            return False
+        seq, pos = _readline_at(f, pos, size)
+        plus, pos = _readline_at(f, pos, size)
+        if not plus.startswith(b"+"):
+            return False
+        qual, pos = _readline_at(f, pos, size)
+        if len(qual) != len(seq):
+            return False
+    return True
+
+
+def _boundary_at(f, target: int, size: int, is_fastq: bool) -> int:
+    """First exact record-start offset at/after ``target`` (or ``size``)."""
+    if target <= 0:
+        return 0
+    if target >= size:
+        return size
+    if not is_fastq:
+        # FASTA: a '>' at a line start is always a record start (sequence
+        # and header lines never start with '>')
+        for ls in _line_starts_from(f, target, size):
+            if _read_at(f, ls, 1) == b">":
+                return ls
+        return size
+    for ls in _line_starts_from(f, target, size):
+        if _read_at(f, ls, 1) == b"@" and _validate_fastq_start(f, ls, size):
+            return ls
+    return size
+
+
+def split_fastx_ranges(path: str | os.PathLike, n: int) -> list[tuple[int, int]]:
+    """Split ``path`` into ``n`` contiguous byte ranges, each an exact whole
+    number of FASTX records (possibly empty). Raises SplitError for stdin
+    or compressed inputs."""
+    if path is None or str(path) == "-":
+        raise SplitError(
+            "--mesh pod-data requires a seekable input file (stdin cannot "
+            "be range-split across ranks)"
+        )
+    with open(path, "rb") as f:
+        head = f.read(8)
+        for magic, kind in _MAGICS:
+            if head.startswith(magic):
+                raise SplitError(
+                    f"--mesh pod-data cannot range-split {kind}-compressed "
+                    "input; decompress first or use --mesh pod"
+                )
+        if not head:
+            return [(0, 0)] * n
+        if head[:1] not in (b">", b"@"):
+            raise SplitError(
+                f"Unrecognized FASTX record start: {head[:1]!r}"
+            )
+        is_fastq = head[:1] == b"@"
+        size = os.fstat(f.fileno()).st_size
+        bounds = [0]
+        for r in range(1, n):
+            target = max(size * r // n, bounds[-1])
+            bounds.append(_boundary_at(f, target, size, is_fastq))
+        bounds.append(size)
+    return [(bounds[r], bounds[r + 1]) for r in range(n)]
+
+
+class RangeStream:
+    """Binary stream over ``path[start:end)`` (a whole number of records)
+    satisfying the readline/read protocol FastxReader needs."""
+
+    def __init__(self, path: str | os.PathLike, start: int, end: int):
+        self._f = open(path, "rb", buffering=1 << 20)
+        self._f.seek(start)
+        self._left = end - start
+
+    def readline(self) -> bytes:
+        if self._left <= 0:
+            return b""
+        line = self._f.readline(self._left)
+        self._left -= len(line)
+        return line
+
+    def read(self, n: int = -1) -> bytes:
+        if self._left <= 0:
+            return b""
+        n = self._left if n < 0 else min(n, self._left)
+        data = self._f.read(n)
+        self._left -= len(data)
+        return data
+
+    def close(self) -> None:
+        self._f.close()

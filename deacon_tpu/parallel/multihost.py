@@ -15,9 +15,13 @@ batch is identical on all ranks, each host holds only its 1/N value-range
 slice of the index, and the shard-axis psum merges per-slice membership
 bits for the same global rows (see ShardedDecider and tools/pod_worker.py).
 Feeding different read shards per rank would silently sum membership bits
-of unrelated reads. What scales across hosts is the INDEX (memory), not the
-input stream; split inputs across independent jobs if data parallelism
-over files is wanted.
+of unrelated reads. What scales across hosts in pod mode is the INDEX
+(memory), not the input stream.
+
+``--mesh pod-data`` is the complementary mode: each rank filters its OWN
+record-aligned byte range of the input over a rank-local mesh (index
+sharded across local devices only), so aggregate reads/s scales with the
+number of hosts (filter/pod_data.py, io/split.py).
 """
 
 from __future__ import annotations
@@ -27,14 +31,21 @@ import os
 import numpy as np
 
 
+_distributed_initialized = False
+
+
 def maybe_init_distributed() -> bool:
     """Initialize jax.distributed from DEACON_* env vars when present.
 
+    Idempotent (pod-data calls it from both the runner and the decider).
     Returns True if a multi-process runtime was initialized.
     """
+    global _distributed_initialized
     coord = os.environ.get("DEACON_COORD")
     if not coord:
         return False
+    if _distributed_initialized:
+        return True
     import jax
 
     jax.distributed.initialize(
@@ -42,6 +53,7 @@ def maybe_init_distributed() -> bool:
         num_processes=int(os.environ["DEACON_NUM_PROC"]),
         process_id=int(os.environ["DEACON_PROC_ID"]),
     )
+    _distributed_initialized = True
     return True
 
 
@@ -78,13 +90,55 @@ def make_pod_pipeline_from_file(index_path: str, mesh=None, **kwargs):
     pad_to and max_run are derived from the file's header count, identical
     on every process, so all processes compile the same program.
     """
+    if mesh is None:
+        mesh = make_pod_mesh()
+    return _pipeline_from_file(index_path, mesh, **kwargs)
+
+
+def make_local_data_mesh():
+    """Rank-local mesh for ``--mesh pod-data``: reads data-parallel over
+    this host's devices, index replicated per device by default (panhuman's
+    3.3 GB probe fits a single v5e chip's 16 GB HBM with room to spare).
+    DEACON_POD_LOCAL_MESH=DxS (e.g. 4x2) trades rows for per-device index
+    memory when an index outgrows one chip.
+    """
+    import jax
+
+    from jax.sharding import Mesh
+
+    devs = jax.local_devices()
+    spec = os.environ.get("DEACON_POD_LOCAL_MESH")
+    if spec:
+        from .sharded import parse_mesh_spec
+
+        n_data, n_shard = parse_mesh_spec(spec)
+        if n_data * n_shard > len(devs):
+            raise ValueError(
+                f"DEACON_POD_LOCAL_MESH={spec} needs {n_data * n_shard} local "
+                f"devices, have {len(devs)}"
+            )
+    else:
+        n_data, n_shard = len(devs), 1
+    arr = np.asarray(devs[: n_data * n_shard], dtype=object)
+    return Mesh(arr.reshape(n_data, n_shard), ("data", "shard"))
+
+
+def make_local_pipeline_from_file(index_path: str, mesh=None, **kwargs):
+    """Pipeline for pod-data mode: same per-shard streaming index load as
+    pod mode, but over a RANK-LOCAL mesh — no cross-host collectives in the
+    hot loop, so each rank filters its own input shard at full local speed
+    and aggregate reads/s scales with the number of hosts."""
+    if mesh is None:
+        mesh = make_local_data_mesh()
+    return _pipeline_from_file(index_path, mesh, **kwargs)
+
+
+def _pipeline_from_file(index_path: str, mesh, **kwargs):
     import jax
 
     from ..index.store import load_header_and_count, load_index_shard
     from .sharded import ShardedPipeline
 
-    if mesh is None:
-        mesh = make_pod_mesh()
     n_shard = int(mesh.shape["shard"])
 
     header, count = load_header_and_count(index_path)

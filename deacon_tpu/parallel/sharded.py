@@ -329,7 +329,12 @@ class ShardedPipeline:
     def _compile(self, max_run: int, idx_sharding):
         self._max_run = max_run
         mesh = self.mesh
-        gather_out = jax.process_count() > 1
+        # outputs only need replication when the mesh itself spans processes
+        # (pod mode); a rank-local mesh in a multi-process runtime (pod-data)
+        # reads its own P("data") outputs directly
+        gather_out = (
+            len({d.process_index for d in mesh.devices.flat}) > 1
+        )
         row_sharding = NamedSharding(mesh, P("data"))
         self._in_shardings = (
             row_sharding,  # codes (R, L)
@@ -379,10 +384,15 @@ class ShardedPipeline:
             k=self.k, l=self.l, stride=self._stride, max_len=self.L,
         )
 
-    def _counts(self, units, n_logical: int, prefix_length: int):
-        hits = np.zeros(n_logical, dtype=np.int64)
-        totals = np.zeros(n_logical, dtype=np.int64)
+    def _launch_counts(self, units, n_logical: int, prefix_length: int):
+        """Pack + dispatch every global batch, returning a resolver.
 
+        Dispatch is async (JAX only blocks on materialization), so the
+        caller overlaps host read/format/write of neighboring batches with
+        device compute — the same two-deep pipeline DevicePipeline has.
+        BudgetOverflow may surface here (a unit wider than Rs rows) or at
+        resolve time (minimizer budget exceeded on device).
+        """
         # Assign whole units round-robin to data shards, capacity Rs rows each.
         # Each data shard keeps its own local rid numbering (< Rs).
         groups: list[list[eng._Row]] = []
@@ -397,6 +407,7 @@ class ShardedPipeline:
                     )
                 groups.append(rows)
 
+        batches = []  # (shard_gids, hits_dev, totals_dev, used_dev)
         gi = 0
         while gi < len(groups):
             # fill one global batch: n_data shards x Rs rows
@@ -418,14 +429,36 @@ class ShardedPipeline:
                         shard_gids[tgt].append(groups[gi][0].rid)
                         gi += 1
                         progressed = True
-            h, t = self._run_global_batch(shard_rows)
-            for d in range(self.n_data):
-                for li, g in enumerate(shard_gids[d]):
-                    hits[g] += h[d * self.Rs + li]
-                    totals[g] += t[d * self.Rs + li]
-        return hits, totals
+            batches.append(
+                (shard_gids, *self._launch_global_batch(shard_rows))
+            )
 
-    def _run_global_batch(self, shard_rows: list[list[eng._Row]]):
+        def resolve():
+            hits = np.zeros(n_logical, dtype=np.int64)
+            totals = np.zeros(n_logical, dtype=np.int64)
+            for shard_gids, h_dev, t_dev, used_dev in batches:
+                used = np.asarray(used_dev)
+                if int(used.max()) > self.budget_per_shard:
+                    raise eng.BudgetOverflow(
+                        f"minimizer budget exceeded: {used.max()} > "
+                        f"{self.budget_per_shard}"
+                    )
+                h = np.asarray(h_dev, dtype=np.int64)
+                t = np.asarray(t_dev, dtype=np.int64)
+                if self._empty_index:
+                    h = np.zeros_like(h)
+                for d in range(self.n_data):
+                    for li, g in enumerate(shard_gids[d]):
+                        hits[g] += h[d * self.Rs + li]
+                        totals[g] += t[d * self.Rs + li]
+            return hits, totals
+
+        return resolve
+
+    def _counts(self, units, n_logical: int, prefix_length: int):
+        return self._launch_counts(units, n_logical, prefix_length)()
+
+    def _launch_global_batch(self, shard_rows: list[list[eng._Row]]):
         R, L = self.R, self.L
         codes_p = np.zeros((R, L // 4), dtype=np.uint8)
         valid_p = np.zeros((R, L // 8), dtype=np.uint8)
@@ -442,26 +475,25 @@ class ShardedPipeline:
              cstart[base : base + self.Rs]) = eng.pack_rows_packed(
                 rows, self.Rs, L, self.k, self.l
             )
-        hits, totals, used = self._fn(
+        return self._fn(
             jnp.asarray(codes_p), jnp.asarray(valid_p), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
             jnp.asarray(cstart), self.index_hi, self.index_lo, self._n_valid,
         )
-        used = np.asarray(used)
-        if int(used.max()) > self.budget_per_shard:
-            raise eng.BudgetOverflow(
-                f"minimizer budget exceeded: {used.max()} > {self.budget_per_shard}"
-            )
-        hits = np.asarray(hits, dtype=np.int64)
-        if self._empty_index:
-            hits = np.zeros_like(hits)
-        return hits, np.asarray(totals, dtype=np.int64)
 
     # ------------------------------------------------------------------
     def counts_single(self, seqs, prefix_length: int = 0):
-        units = ((i, [(0, s)]) for i, s in enumerate(seqs))
-        return self._counts(units, len(seqs), prefix_length)
+        return self.launch_single(seqs, prefix_length)()
 
     def counts_paired(self, pairs, prefix_length: int = 0):
+        return self.launch_paired(pairs, prefix_length)()
+
+    def launch_single(self, seqs, prefix_length: int = 0):
+        seqs = list(seqs)
+        units = ((i, [(0, s)]) for i, s in enumerate(seqs))
+        return self._launch_counts(units, len(seqs), prefix_length)
+
+    def launch_paired(self, pairs, prefix_length: int = 0):
+        pairs = list(pairs)
         units = ((i, [(0, s1), (1, s2)]) for i, (s1, s2) in enumerate(pairs))
-        return self._counts(units, len(pairs), prefix_length)
+        return self._launch_counts(units, len(pairs), prefix_length)

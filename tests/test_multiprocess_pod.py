@@ -106,6 +106,9 @@ def test_two_process_pod_cli(tmp_path):
         env = dict(os.environ)
         env.update({
             "JAX_PLATFORMS": "cpu",
+            # scrub the deployment's axon site hook: it forces the tunneled
+            # TPU platform regardless of JAX_PLATFORMS (conftest.py note)
+            "PYTHONPATH": REPO,
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
             "DEACON_COORD": f"127.0.0.1:{port}",
             "DEACON_NUM_PROC": "2",
@@ -132,3 +135,164 @@ def test_two_process_pod_cli(tmp_path):
     assert (tmp_path / "pod0.fq").read_bytes() == ref
     assert (tmp_path / "pod1.fq").read_bytes() == ref
     assert ref.count(b"@x") == 30 and ref.count(b"@m") == 0
+
+
+def test_two_process_pod_data_cli(tmp_path):
+    """`filter --mesh pod-data` across two jax.distributed ranks: each rank
+    streams a DISJOINT record-aligned byte range of the input, filters it on
+    a rank-local mesh, and rank 0 concatenates the parts — output and
+    summary equal to a single-process run (aggregate reads/s scales with
+    ranks; VERDICT r1 item 2)."""
+    import json
+
+    rng = np.random.default_rng(17)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4000).astype(np.uint8)
+    gpath = tmp_path / "g.fa"
+    with open(gpath, "wb") as f:
+        f.write(b">g\n" + genome.tobytes() + b"\n")
+
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(genome.tobytes(), 31, 15),
+        IndexHeader.new(31, 15),
+        idx,
+    )
+    g = genome.tobytes()
+    reads = tmp_path / "reads.fq"
+    with open(reads, "wb") as f:
+        for i in range(40):
+            s = (i * 97) % 3800
+            seq = g[s : s + 150]
+            f.write(b"@m%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+        for i in range(40):
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 150))
+            f.write(b"@x%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+
+    # single-process truth
+    out_ref = tmp_path / "ref.fq"
+    env1 = dict(os.environ)
+    env1["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "filter", str(idx), str(reads),
+         "-o", str(out_ref), "--deplete", "-q"],
+        capture_output=True, env=env1, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+
+    port = str(22000 + (os.getpid() % 9000))
+    out = tmp_path / "pod.fq"
+    summary = tmp_path / "pod_summary.json"
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            # scrub the deployment's axon site hook: it forces the tunneled
+            # TPU platform regardless of JAX_PLATFORMS (conftest.py note)
+            "PYTHONPATH": REPO,
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "DEACON_COORD": f"127.0.0.1:{port}",
+            "DEACON_NUM_PROC": "2",
+            "DEACON_PROC_ID": str(i),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "deacon_tpu", "filter", str(idx),
+             str(reads), "-o", str(out), "--deplete", "-q",
+             "--mesh", "pod-data", "-s", str(summary)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o.decode())
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{o}"
+    ref = out_ref.read_bytes()
+    assert out.read_bytes() == ref
+    assert ref.count(b"@x") == 40 and ref.count(b"@m") == 0
+    # part files were cleaned up after the concat
+    assert not (tmp_path / "pod.fq.pod0").exists()
+    assert not (tmp_path / "pod.fq.pod1").exists()
+    # rank-0 summary carries the aggregated (global) stats
+    s = json.loads(summary.read_text())
+    assert s["seqs_in"] == 80 and s["seqs_out"] == 40
+    assert s["seqs_removed"] == 40
+
+
+def test_pod_data_single_process(tmp_path):
+    """pod-data without any DEACON_* env: one rank, whole file, output equal
+    to a plain run; also exercises part concat + sidecar cleanup in-process."""
+    import json
+
+    from deacon_tpu.config import FilterConfig
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    rng = np.random.default_rng(23)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 3000).astype(np.uint8)
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(genome.tobytes(), 31, 15),
+        IndexHeader.new(31, 15),
+        idx,
+    )
+    g = genome.tobytes()
+    reads = tmp_path / "reads.fq"
+    with open(reads, "wb") as f:
+        for i in range(10):
+            seq = g[i * 120 : i * 120 + 150]
+            f.write(b"@m%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+        for i in range(10):
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 150))
+            f.write(b"@x%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+
+    out_ref = tmp_path / "ref.fq"
+    FilterConfig(
+        minimizers_path=str(idx), input_path=str(reads),
+        output_path=str(out_ref), deplete=True, quiet=True,
+    ).execute()
+    out = tmp_path / "pod.fq"
+    summary = tmp_path / "s.json"
+    FilterConfig(
+        minimizers_path=str(idx), input_path=str(reads),
+        output_path=str(out), deplete=True, quiet=True, mesh="pod-data",
+        summary_path=str(summary),
+    ).execute()
+    assert out.read_bytes() == out_ref.read_bytes()
+    assert not (tmp_path / "pod.fq.pod0").exists()
+    assert not (tmp_path / "pod.fq.pod0.stats.json").exists()
+    s = json.loads(summary.read_text())
+    assert s["seqs_in"] == 20 and s["seqs_out"] == 10
+
+
+def test_pod_data_validation(tmp_path):
+    from deacon_tpu.config import FilterConfig
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(b"ACGT" * 300, 31, 15),
+        IndexHeader.new(31, 15), idx,
+    )
+    reads = tmp_path / "r.fq"
+    reads.write_bytes(b"@a\n" + b"ACGT" * 40 + b"\n+\n" + b"I" * 160 + b"\n")
+
+    base = dict(minimizers_path=str(idx), input_path=str(reads),
+                output_path=str(tmp_path / "o.fq"), mesh="pod-data", quiet=True)
+    with pytest.raises(ValueError, match="rename"):
+        FilterConfig(**base, rename=True).execute()
+    with pytest.raises(ValueError, match="single-end"):
+        FilterConfig(**{**base, "input2_path": str(reads)}).execute()
+    with pytest.raises(ValueError, match="file path"):
+        FilterConfig(**{**base, "output_path": "-"}).execute()
+    with pytest.raises(ValueError, match="seekable"):
+        FilterConfig(**{**base, "input_path": "-"}).execute()

@@ -1,0 +1,108 @@
+"""Record-aligned input splitting for pod-data mode (io/split.py).
+
+Invariant under test: for any n, parsing each range independently and
+concatenating yields exactly the records of parsing the whole file — so
+per-rank outputs concatenate to the single-process result.
+"""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from deacon_tpu.io.fastx import FastxReader
+from deacon_tpu.io.split import RangeStream, SplitError, split_fastx_ranges
+
+
+def _parse(path, start=None, end=None):
+    if start is None:
+        reader = FastxReader(open(path, "rb"))
+    else:
+        reader = FastxReader(RangeStream(path, start, end))
+    return [(r.id, r.seq, r.qual) for r in reader]
+
+
+def _check_split(path, n):
+    whole = _parse(path)
+    ranges = split_fastx_ranges(path, n)
+    assert ranges[0][0] == 0
+    joined = []
+    for (s, e), (ps, pe) in zip(ranges, ranges[1:]):
+        assert e == ps  # contiguous
+    for s, e in ranges:
+        joined.extend(_parse(path, s, e))
+    assert joined == whole
+    return ranges
+
+
+def test_fastq_split_exact(tmp_path):
+    rng = np.random.default_rng(7)
+    path = tmp_path / "r.fq"
+    with open(path, "wb") as f:
+        for i in range(101):
+            n = int(rng.integers(20, 200))
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+            f.write(b"@read%d some desc\n%s\n+\n%s\n" % (i, seq, b"I" * n))
+    for n in (1, 2, 3, 5, 16):
+        _check_split(str(path), n)
+
+
+def test_fastq_quality_lines_starting_with_at(tmp_path):
+    # '@' (0x40) is a legal PHRED quality char; a boundary probe landing on
+    # such a quality line must not mistake it for a record header
+    path = tmp_path / "at.fq"
+    with open(path, "wb") as f:
+        for i in range(60):
+            seq = b"ACGTACGTACGTACGTACGT"
+            qual = b"@" * len(seq)  # every quality line starts with '@'
+            f.write(b"@q%d\n%s\n+extra\n%s\n" % (i, seq, qual))
+    for n in (2, 3, 7):
+        _check_split(str(path), n)
+
+
+def test_fasta_multiline_split(tmp_path):
+    rng = np.random.default_rng(11)
+    path = tmp_path / "m.fa"
+    with open(path, "wb") as f:
+        for i in range(40):
+            n = int(rng.integers(50, 500))
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+            f.write(b">contig%d\n" % i)
+            for j in range(0, n, 60):
+                f.write(seq[j : j + 60] + b"\n")
+    for n in (1, 2, 4, 9):
+        _check_split(str(path), n)
+
+
+def test_more_ranks_than_records(tmp_path):
+    path = tmp_path / "tiny.fq"
+    with open(path, "wb") as f:
+        f.write(b"@a\nACGT\n+\nIIII\n@b\nTTTT\n+\nIIII\n")
+    ranges = _check_split(str(path), 8)
+    nonempty = [r for r in ranges if r[0] < r[1]]
+    assert 1 <= len(nonempty) <= 2
+
+
+def test_empty_file(tmp_path):
+    path = tmp_path / "e.fq"
+    path.write_bytes(b"")
+    assert split_fastx_ranges(str(path), 3) == [(0, 0)] * 3
+
+
+def test_stdin_rejected():
+    with pytest.raises(SplitError):
+        split_fastx_ranges("-", 2)
+
+
+def test_compressed_rejected(tmp_path):
+    path = tmp_path / "r.fq.gz"
+    path.write_bytes(gzip.compress(b"@a\nACGT\n+\nIIII\n"))
+    with pytest.raises(SplitError):
+        split_fastx_ranges(str(path), 2)
+
+
+def test_garbage_rejected(tmp_path):
+    path = tmp_path / "x.bin"
+    path.write_bytes(b"\x00\x01\x02")
+    with pytest.raises(SplitError):
+        split_fastx_ranges(str(path), 2)
