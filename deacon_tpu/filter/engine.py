@@ -374,7 +374,7 @@ def _engine_desc(decider) -> str:
 def _run_native_pipeline(
     config: FilterConfig, index, decider, k: int, w: int,
     stats: "FilterStats", quiet: bool, start_time: float,
-    probe=None,
+    probe=None, byte_range=None,
 ) -> bool:
     """Fully native C++ pipeline (io/native dx_filter_run): reader thread ->
     extraction/probe/decide worker pool -> ordered writer, with zero
@@ -390,6 +390,8 @@ def _run_native_pipeline(
         return False
     if config.device != "auto":
         return False  # numpy = pure-Python oracle path; tpu/cpu = device path
+    if byte_range is not None and config.input2_path is not None:
+        return False  # range reads are single-end only (pod-data)
     from ..io.writers import resolve_codec
 
     # level validation must propagate (ref: src/local_filter.rs:95-107)
@@ -496,6 +498,7 @@ def _run_native_pipeline(
             config.rename,
             config.threads,
             progress,
+            byte_range=byte_range,
         )
     except ValueError:
         if interrupted:
@@ -620,8 +623,10 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
     if sidecar_probe is not None:
         if _run_native_pipeline(
             config, None, None, k, w, stats, quiet, filtering_start,
-            probe=sidecar_probe,
+            probe=sidecar_probe, byte_range=_byte_range,
         ):
+            if _return_stats:
+                return stats, k, w
             _finish_run(config, stats, start_time, quiet, tool_version,
                         summary_index, k, w)
             return
@@ -634,8 +639,11 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
 
     filtering_start = time.monotonic()
     if _run_native_pipeline(
-        config, index, decider, k, w, stats, quiet, filtering_start
+        config, index, decider, k, w, stats, quiet, filtering_start,
+        byte_range=_byte_range,
     ):
+        if _return_stats:
+            return stats, k, w
         _finish_run(config, stats, start_time, quiet, tool_version,
                     summary_index, k, w)
         return

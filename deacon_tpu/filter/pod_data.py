@@ -2,11 +2,13 @@
 
 Where ``--mesh pod`` shards the INDEX across hosts (memory scaling; every
 rank streams the same input), pod-data shards the INPUT: each rank filters
-its own record-aligned byte range of the input file on a rank-local device
-mesh (no cross-host collectives in the hot loop), so aggregate reads/s
-scales with the number of hosts. This is the scaling axis the reference
-cannot offer — its engines are single-process and the index is replicated
-per process (ref: src/index.rs:96-107).
+its own record-aligned byte range of the input file with rank-local compute
+only (host engine, single-chip device pipeline, or a rank-local sharded
+mesh via DEACON_POD_ENGINE/DEACON_POD_LOCAL_MESH — never cross-host
+collectives), so aggregate reads/s scales with the number of hosts. This is
+the scaling axis the reference cannot offer — its engines are
+single-process and the index is replicated per process
+(ref: src/index.rs:96-107).
 
 Rank identity comes from ``DEACON_NUM_PROC`` / ``DEACON_PROC_ID`` directly,
 NOT from the JAX backend: pod-data has no cross-host collectives, so it
@@ -155,8 +157,19 @@ def run_pod_data(config: FilterConfig) -> None:
     token = _input_token(config.input_path)
     part = part_path(config.output_path, rank)
 
+    # Per-rank engine: by default each rank follows the normal device policy
+    # over its range (host C++ extraction / single-chip device pipeline).
+    # DEACON_POD_ENGINE=sharded (implied by DEACON_POD_LOCAL_MESH) keeps the
+    # rank-local sharded device pipeline instead: index range-sharded across
+    # local chips with a memory-lean streaming load — for indexes that
+    # outgrow host RAM or one chip's HBM.
+    engine_mode = os.environ.get("DEACON_POD_ENGINE", "auto")
+    if engine_mode not in ("auto", "sharded"):
+        raise ValueError(f"DEACON_POD_ENGINE must be auto|sharded, got {engine_mode!r}")
+    sharded = engine_mode == "sharded" or bool(os.environ.get("DEACON_POD_LOCAL_MESH"))
     sub = dataclasses.replace(
         config,
+        mesh="pod-data" if sharded else None,
         output_path=part,
         summary_path=None,
         quiet=config.quiet or rank != 0,

@@ -1645,8 +1645,17 @@ struct Source {
   FILE* raw = nullptr;
   Codec codec = Codec::kPlain;
   bool raw_eof = false;
+  // remaining raw bytes this source may consume (-1 = unbounded); set by
+  // dx_open_range for record-aligned byte-range reads (pod-data input
+  // sharding). Plain files only — serial codecs have no mid-stream entry.
+  int64_t raw_limit = -1;
   std::vector<uint8_t> in_buf;
   size_t in_pos = 0, in_len = 0;
+
+  size_t capped(size_t want) {
+    if (raw_limit < 0) return want;
+    return want > (size_t)raw_limit ? (size_t)raw_limit : want;
+  }
 
   z_stream zs{};
   bool zs_init = false;
@@ -1709,9 +1718,15 @@ struct Source {
 
   bool fill_raw() {
     if (raw_eof) return false;
-    in_len = fread(in_buf.data(), 1, in_buf.size(), raw);
+    size_t want = capped(in_buf.size());
+    in_len = want ? fread(in_buf.data(), 1, want, raw) : 0;
     in_pos = 0;
-    if (in_len < in_buf.size() && (feof(raw) || ferror(raw))) raw_eof = true;
+    if (raw_limit >= 0) {
+      raw_limit -= (int64_t)in_len;
+      if (raw_limit <= 0) raw_eof = true;
+    }
+    if (in_len < want && (feof(raw) || ferror(raw))) raw_eof = true;
+    if (want == 0) raw_eof = true;
     return in_len > 0;
   }
 
@@ -1960,7 +1975,8 @@ struct Source {
     switch (codec) {
       case Codec::kPlain: {
         size_t out = 0;
-        // replay sniffed magic first
+        // replay sniffed magic first (already counted against raw_limit
+        // by dx_open_range)
         if (in_pos < in_len) {
           size_t take = in_len - in_pos;
           if (take > n) take = n;
@@ -1969,8 +1985,10 @@ struct Source {
           out = take;
         }
         if (out < n) {
-          size_t got = fread(dst + out, 1, n - out, raw);
-          if (got == 0 && ferror(raw)) return -1;
+          size_t want = capped(n - out);
+          size_t got = want ? fread(dst + out, 1, want, raw) : 0;
+          if (got == 0 && want && ferror(raw)) return -1;
+          if (raw_limit >= 0) raw_limit -= (int64_t)got;
           out += got;
         }
         return (int64_t)out;
@@ -2325,6 +2343,39 @@ DxReader* dx_open(const char* path) {
   auto* r = new DxReader();
   r->buf.resize(kBufSize);
   r->src.init(f, codec, magic, got);
+  return r;
+}
+
+// Open `path[start:end)` as a plain (uncompressed) FASTX range — start/end
+// must be exact record boundaries (io/split.py computes them). Used by
+// pod-data input sharding: each rank's pipeline reads only its slice.
+DxReader* dx_open_range(const char* path, int64_t start, int64_t end) {
+  if (!path || strcmp(path, "-") == 0 || start < 0 || end < start)
+    return nullptr;
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  // range semantics are only defined for plain files; verify the file
+  // doesn't carry a compression magic (the splitter enforces this too)
+  uint8_t magic[6] = {0};
+  size_t got0 = fread(magic, 1, sizeof(magic), f);
+  if ((got0 >= 2 && magic[0] == 0x1f && magic[1] == 0x8b) ||
+      (got0 >= 4 && magic[0] == 0x28 && magic[1] == 0xb5 && magic[2] == 0x2f &&
+       magic[3] == 0xfd) ||
+      (got0 >= 6 && magic[0] == 0xfd && memcmp(magic + 1, "7zXZ", 4) == 0) ||
+      (got0 >= 4 && memcmp(magic, "BZh", 3) == 0 && magic[3] >= '1' &&
+       magic[3] <= '9')) {
+    fclose(f);
+    return nullptr;
+  }
+  if (fseek(f, (long)start, SEEK_SET) != 0) {
+    fclose(f);
+    return nullptr;
+  }
+  auto* r = new DxReader();
+  r->buf.resize(kBufSize);
+  r->src.init(f, Codec::kPlain, nullptr, 0);
+  r->src.raw_limit = end - start;
+  if (r->src.raw_limit == 0) r->src.raw_eof = true;
   return r;
 }
 
@@ -5199,6 +5250,8 @@ extern "C" {
 // plus [6], a cancel-request flag the caller may set (e.g. from a SIGINT
 // handler) to abort the run promptly with an "Interrupted" error.
 // mode: 0 single (input), 1 paired (input+input2), 2 interleaved (input).
+// range_start/range_end: when range_end >= 0, read only input[start:end)
+// (plain single-end files at exact record boundaries — pod-data sharding).
 int dx_filter_run(const char* input, const char* input2, const char* output,
                   const char* output2, int out_codec, int out_level,
                   int out2_codec, int out2_level, const uint64_t* index_keys,
@@ -5206,7 +5259,8 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
                   int64_t prefix_len, int64_t abs_threshold,
                   double rel_threshold, int32_t deplete, int32_t rename,
                   int32_t n_threads, int64_t* progress, char* errbuf,
-                  int64_t errbuf_cap) {
+                  int64_t errbuf_cap, int64_t range_start,
+                  int64_t range_end) {
   auto set_err = [&](const std::string& m) {
     if (errbuf && errbuf_cap > 0)
       snprintf(errbuf, (size_t)errbuf_cap, "%s", m.c_str());
@@ -5214,7 +5268,12 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
   int mode = input2 == nullptr ? 0
              : (strcmp(input, "-") == 0 && strcmp(input2, "-") == 0) ? 2
                                                                      : 1;
-  DxReader* r1 = dx_open(input);
+  if (range_end >= 0 && mode != 0) {
+    set_err("byte-range filtering supports single-end input only");
+    return -1;
+  }
+  DxReader* r1 = range_end >= 0 ? dx_open_range(input, range_start, range_end)
+                                : dx_open(input);
   if (!r1) {
     set_err(std::string("Failed to open ") + input);
     return -1;

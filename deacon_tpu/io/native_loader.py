@@ -176,6 +176,11 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_double, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.dx_open_range.restype = ctypes.c_void_p
+        lib.dx_open_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ]
         lib.dx_extract_batch.restype = ctypes.c_int64
         lib.dx_extract_batch.argtypes = [
@@ -358,6 +363,7 @@ def native_filter_run(
     rename: bool,
     n_threads: int,
     progress: np.ndarray,
+    byte_range: tuple[int, int] | None = None,
 ) -> None:
     """Run the full native filter pipeline (reader -> extraction workers ->
     ordered writer; the C++ twin of filter/engine.py's host path). `progress`
@@ -381,6 +387,8 @@ def native_filter_run(
         1 if deplete else 0, 1 if rename else 0, n_threads,
         progress.ctypes.data_as(ctypes.c_void_p),
         errbuf, len(errbuf),
+        -1 if byte_range is None else byte_range[0],
+        -1 if byte_range is None else byte_range[1],
     )
     if rc != 0:
         raise ValueError(errbuf.value.decode("utf-8", "replace") or "native filter failed")

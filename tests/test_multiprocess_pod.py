@@ -197,6 +197,10 @@ def test_two_process_pod_data_cli(tmp_path):
             "DEACON_COORD": f"127.0.0.1:{port}",
             "DEACON_NUM_PROC": "2",
             "DEACON_PROC_ID": str(i),
+            # exercise the rank-local sharded device pipeline (the default
+            # per-rank engine is the host path); also proves pod-data
+            # coexists with a jax.distributed coordinator
+            "DEACON_POD_ENGINE": "sharded",
         })
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "deacon_tpu", "filter", str(idx),

@@ -106,3 +106,64 @@ def test_garbage_rejected(tmp_path):
     path.write_bytes(b"\x00\x01\x02")
     with pytest.raises(SplitError):
         split_fastx_ranges(str(path), 2)
+
+
+def test_native_range_reader_matches_split(tmp_path):
+    """dx_open_range + the native batch parser over split ranges yields
+    exactly the whole file's records (the pod-data native fast path)."""
+    import ctypes
+
+    from deacon_tpu.io.native_loader import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(31)
+    path = tmp_path / "r.fq"
+    with open(path, "wb") as f:
+        for i in range(83):
+            n = int(rng.integers(30, 300))
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+            f.write(b"@n%d\n%s\n+\n%s\n" % (i, seq, b"@" * n))
+
+    def parse_range(start, end):
+        h = lib.dx_open_range(str(path).encode(), start, end)
+        assert h, "dx_open_range failed"
+        recs = []
+        try:
+            arena = ctypes.POINTER(ctypes.c_uint8)()
+            alen = ctypes.c_int64()
+            meta = ctypes.POINTER(ctypes.c_int64)()
+            lib.dx_next_batch_view.restype = ctypes.c_int64
+            lib.dx_next_batch_view.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ]
+            while True:
+                n = lib.dx_next_batch_view(
+                    h, 7, 1 << 20, ctypes.byref(arena),
+                    ctypes.byref(alen), ctypes.byref(meta))
+                assert n >= 0
+                if n == 0:
+                    break
+                buf = bytes(ctypes.cast(
+                    arena, ctypes.POINTER(ctypes.c_uint8 * alen.value)
+                ).contents)
+                for j in range(n):
+                    m = [meta[j * 6 + t] for t in range(6)]
+                    recs.append((buf[m[0]:m[0]+m[1]], buf[m[2]:m[2]+m[3]]))
+        finally:
+            lib.dx_close(h)
+        return recs
+
+    size = path.stat().st_size
+    whole = parse_range(0, size)
+    assert len(whole) == 83
+    for nr in (2, 3, 8):
+        ranges = split_fastx_ranges(str(path), nr)
+        joined = []
+        for s, e in ranges:
+            joined.extend(parse_range(s, e))
+        assert joined == whole
