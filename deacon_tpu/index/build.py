@@ -144,6 +144,20 @@ def build(config: IndexConfig) -> None:
             )
         except Exception:
             cset = None
+    # Quiet path (no per-seq totals): scatter raw hashes into the native
+    # accumulator as they arrive — the final stage sorts 256 cache-sized
+    # buckets and streams the encoded index to disk, replacing the
+    # concat + giant-sort + Python-encode tail (~66 s at 381M keys).
+    runacc = None
+    if config.quiet and str(config.output_path) != "-":
+        try:
+            from ..io.native_loader import NativeRunAcc
+
+            runacc = NativeRunAcc(
+                capacity_hint=config.capacity_millions * 1_000_000
+            )
+        except Exception:
+            runacc = None
     staging: np.ndarray = np.empty(0, dtype=np.uint64)
     pending: list[np.ndarray] = []
     pending_size = 0
@@ -235,7 +249,9 @@ def build(config: IndexConfig) -> None:
         seq_count += 1
         total_bp += blen
         if config.quiet:
-            if hashes.size:
+            if runacc is not None:
+                runacc.add(hashes)
+            elif hashes.size:
                 pending.append(hashes)
                 pending_size += hashes.size
             return
@@ -267,13 +283,39 @@ def build(config: IndexConfig) -> None:
         batch_q: "queue.Queue" = queue.Queue(maxsize=2)
         stop = threading.Event()  # set when the consumer bails out early
 
+        from ..io.native_loader import empty_huge
+
+        # Detach buffers recycle through free_q (the consumer returns them
+        # after extraction): allocating ~130 MB fresh per batch causes a
+        # page-fault + munmap TLB-shootdown storm that shows up as tens of
+        # seconds of kernel time per genome on fault-expensive VMs.
+        free_q: "queue.Queue" = queue.Queue()
+
+        def _detach(meta, arena):
+            try:
+                bufs = free_q.get_nowait()
+            except queue.Empty:
+                bufs = [None, None]
+            m, a = bufs
+            if m is None or m.size < meta.size:
+                m = empty_huge(max(meta.size, 1), np.int64)
+            if a is None or a.size < arena.size:
+                a = empty_huge(max(arena.size, 1), np.uint8)
+            m[: meta.size] = meta.ravel()
+            a[: arena.size] = arena
+            return (
+                m[: meta.size].reshape(meta.shape),
+                a[: arena.size],
+                [m, a],  # returned to free_q by the consumer
+            )
+
         def _producer():
             try:
                 while not stop.is_set():
                     meta, arena, _fq = reader.read_batch_raw(INDEX_BUILD_BATCH)
                     item = (
                         None if meta.shape[0] == 0
-                        else (meta.copy(), arena.copy())
+                        else _detach(meta, arena)
                     )
                     # bounded put that aborts if the consumer died (a raise
                     # in extraction/merge would otherwise leave this thread
@@ -300,6 +342,11 @@ def build(config: IndexConfig) -> None:
 
         producer = threading.Thread(target=_producer, daemon=True)
         producer.start()
+        # output-buffer reuse is safe whenever every consumer of the batch's
+        # hash views copies before the next batch (runacc.add and
+        # cset.insert do; the quiet non-runacc fallback STORES the views in
+        # `pending`, so it keeps fresh buffers)
+        ext_scratch = {} if (runacc is not None or not config.quiet) else None
         try:
             while True:
                 item = batch_q.get()
@@ -307,7 +354,7 @@ def build(config: IndexConfig) -> None:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                meta, arena = item
+                meta, arena, bufs = item
                 n = meta.shape[0]
                 starts = np.ascontiguousarray(meta[:, 2])
                 lens = np.ascontiguousarray(meta[:, 3])
@@ -316,17 +363,25 @@ def build(config: IndexConfig) -> None:
                     index_mode=True,
                     entropy_threshold=config.entropy_threshold,
                     n_threads=config.threads,
+                    scratch=ext_scratch,
                 )
-                off = 0
-                for i in range(n):
-                    c = int(counts[i])
-                    rid = (
-                        bytes(arena[int(meta[i, 0]):int(meta[i, 0]) + int(meta[i, 1])])
-                        if not config.quiet
-                        else b""
-                    )
-                    handle_seq(rid, int(lens[i]), hashes_all[off:off + c])
-                    off += c
+                if config.quiet and runacc is not None:
+                    # whole-batch fold: no per-record Python slicing
+                    runacc.add(hashes_all)
+                    seq_count += n
+                    total_bp += int(lens.sum())
+                else:
+                    off = 0
+                    for i in range(n):
+                        c = int(counts[i])
+                        rid = (
+                            bytes(arena[int(meta[i, 0]):int(meta[i, 0]) + int(meta[i, 1])])
+                            if not config.quiet
+                            else b""
+                        )
+                        handle_seq(rid, int(lens[i]), hashes_all[off:off + c])
+                        off += c
+                free_q.put(bufs)  # recycle the detach buffers
                 if pending_size > merge_watermark:
                     merge_pending()
         finally:
@@ -347,13 +402,42 @@ def build(config: IndexConfig) -> None:
             if pending_size > merge_watermark:
                 merge_pending()
 
+    header = store.IndexHeader.new(config.kmer_length, config.window_size)
+    if runacc is not None:
+        import os
+
+        trailer = store.PROVENANCE_MAGIC + bytes([store.SCHEME_DXTP_FMIX32_V1])
+        tmp = str(config.output_path) + f".tmp{os.getpid()}"
+        try:
+            count = runacc.finish_write(
+                tmp, header.format_version, config.kmer_length,
+                config.window_size, trailer, config.threads,
+            )
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        if count is not None:
+            os.replace(tmp, config.output_path)
+            runacc.close()
+            _eprint(
+                f"Indexed {count} minimizers from {seq_count} sequence(s) "
+                f"({total_bp}bp)"
+            )
+            _eprint(f"Completed in {time.monotonic() - start:.2f}s")
+            return
+        # count has no canonical patched form (tiny index): generic path
+        accumulated = runacc.export_sorted()
+        runacc.close()
+
     merge_pending()
     total_unique = int(accumulated.size)
     _eprint(
         f"Indexed {total_unique} minimizers from {seq_count} sequence(s) ({total_bp}bp)"
     )
 
-    header = store.IndexHeader.new(config.kmer_length, config.window_size)
     store.write_index(accumulated, header, config.output_path)
     _eprint(f"Completed in {time.monotonic() - start:.2f}s")
 

@@ -304,14 +304,36 @@ def write_index(
     ``output_path`` of None or "-" writes to stdout.
     """
     uniq = _sorted_unique(np.asarray(hashes, dtype=np.uint64))
+    trailer = (
+        PROVENANCE_MAGIC + bytes([scheme]) if scheme is not None else b""
+    )
+    if output_path is not None and str(output_path) != "-":
+        # native streaming writer: parallel chunk encode + sequential write
+        # (~8x the Python encode-then-write path at panhuman scale),
+        # byte-identical output
+        tmp = str(output_path) + f".tmp{os.getpid()}"
+        try:
+            from ..io.native_loader import native_index_write_sorted
+
+            if native_index_write_sorted(
+                uniq, tmp, header.format_version, header.kmer_length,
+                header.window_size, trailer,
+            ):
+                os.replace(tmp, output_path)
+                return
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        except Exception:
+            pass
     head = (
         bytes([header.format_version, header.kmer_length, header.window_size])
         + bincode.encode_uint(int(uniq.size))
     )
     payload = bincode.encode_u64_array(uniq)  # bytes-like; may be GBs
-    trailer = (
-        PROVENANCE_MAGIC + bytes([scheme]) if scheme is not None else b""
-    )
     if output_path is None or str(output_path) == "-":
         sys.stdout.buffer.write(head)
         sys.stdout.buffer.write(payload)

@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <functional>
 #include <map>
 #include <memory>
 #include <mutex>
@@ -2935,6 +2936,297 @@ int64_t dx_u64_sort_unique(uint64_t* vals, int64_t n, int32_t n_threads) {
 }
 
 // ---------------------------------------------------------------------------
+// Streaming index writers. The index stream is bincode-standard
+// [fv,k,w][count varint][hash varints] + an optional raw trailer
+// (provenance). Python's encode-then-write path cost ~31 s at 381M keys;
+// these encode in parallel chunks and keep the file write sequential.
+// ---------------------------------------------------------------------------
+
+// Advise THP for a big buffer: on VMs with expensive nested-paging faults
+// (~10-20 us each here) and THP in madvise mode, 2 MB pages cut first-touch
+// fault counts ~500x. Safe no-op when unsupported.
+// Measured on this VM (THP defrag=madvise): direct compaction makes
+// MADV_HUGEPAGE a net LOSS on these progressively-touched buffers (A/B:
+// 85/69 s vs 62/46 s quiet genome build), so the advice is opt-in.
+static void advise_huge(void* p, size_t n) {
+#ifdef MADV_HUGEPAGE
+  static const bool on = [] {
+    const char* e = getenv("DEACON_THP");
+    return e && e[0] == '1';
+  }();
+  if (!on || !p || n < (4u << 20)) return;
+  uintptr_t lo = ((uintptr_t)p + 4095) & ~(uintptr_t)4095;
+  uintptr_t hi = ((uintptr_t)p + n) & ~(uintptr_t)4095;
+  if (hi > lo) madvise((void*)lo, hi - lo, MADV_HUGEPAGE);
+#endif
+}
+
+static inline size_t encode_varint_into(uint64_t v, uint8_t* p) {
+  if (v <= 250) {
+    p[0] = (uint8_t)v;
+    return 1;
+  }
+  if (v <= 0xFFFF) {
+    p[0] = 251;
+    uint16_t x = (uint16_t)v;
+    memcpy(p + 1, &x, 2);
+    return 3;
+  }
+  if (v <= 0xFFFFFFFFULL) {
+    p[0] = 252;
+    uint32_t x = (uint32_t)v;
+    memcpy(p + 1, &x, 4);
+    return 5;
+  }
+  p[0] = 253;
+  memcpy(p + 1, &v, 8);
+  return 9;
+}
+
+static void encode_block(const uint64_t* v, int64_t n,
+                         std::vector<uint8_t>& out) {
+  out.resize((size_t)n * 9);
+  uint8_t* p = out.data();
+  for (int64_t i = 0; i < n; i++) p += encode_varint_into(v[i], p);
+  out.resize((size_t)(p - out.data()));
+}
+
+// Ordered parallel encode+write of pre-built blocks. `get` fills block i's
+// keys (ptr, len); workers encode ahead, the caller's thread writes blocks
+// strictly in order. Returns false on I/O error.
+namespace idxw {
+struct Ctx {
+  std::function<void(int, const uint64_t**, int64_t*)> get;
+  int n_blocks = 0;
+  std::atomic<int> next{0};
+  std::vector<std::vector<uint8_t>> bufs;
+  std::vector<std::atomic<int>> done;  // 0 pending, 1 ready
+  std::mutex mu;
+  std::condition_variable cv;
+  // written buffers recycle through here instead of being freed — each
+  // fresh allocation would re-fault its pages (expensive on this VM)
+  std::vector<std::vector<uint8_t>> pool;
+};
+}  // namespace idxw
+
+static bool write_blocks_ordered(FILE* f, int n_blocks, int n_threads,
+                                 const std::function<void(int, const uint64_t**,
+                                                          int64_t*)>& get) {
+  idxw::Ctx c;
+  c.get = get;
+  c.n_blocks = n_blocks;
+  c.bufs.resize(n_blocks);
+  c.done = std::vector<std::atomic<int>>(n_blocks);
+  for (auto& d : c.done) d.store(0);
+  if (n_threads < 1) n_threads = 1;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && n_threads > hw) n_threads = hw;
+  // cap look-ahead memory: workers stall until the writer catches up
+  std::atomic<int> written{0};
+  const int ahead = n_threads * 2 + 2;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; t++)
+    ts.emplace_back([&] {
+      for (;;) {
+        int i = c.next.fetch_add(1);
+        if (i >= c.n_blocks) return;
+        while (i - written.load(std::memory_order_acquire) > ahead)
+          std::this_thread::yield();
+        const uint64_t* keys;
+        int64_t n;
+        c.get(i, &keys, &n);
+        std::vector<uint8_t> buf;
+        {
+          std::lock_guard<std::mutex> g(c.mu);
+          if (!c.pool.empty()) {
+            buf = std::move(c.pool.back());
+            c.pool.pop_back();
+          }
+        }
+        size_t old_cap = buf.capacity();
+        encode_block(keys, n, buf);
+        if (buf.capacity() != old_cap) advise_huge(buf.data(), buf.capacity());
+        std::lock_guard<std::mutex> g(c.mu);
+        c.bufs[i] = std::move(buf);
+        c.done[i].store(1, std::memory_order_release);
+        c.cv.notify_all();
+      }
+    });
+  bool ok = true;
+  for (int i = 0; i < n_blocks; i++) {
+    {
+      std::unique_lock<std::mutex> g(c.mu);
+      c.cv.wait(g, [&] { return c.done[i].load(std::memory_order_acquire) != 0; });
+    }
+    if (ok && !c.bufs[i].empty() &&
+        fwrite(c.bufs[i].data(), 1, c.bufs[i].size(), f) != c.bufs[i].size())
+      ok = false;
+    {
+      std::lock_guard<std::mutex> g(c.mu);
+      c.pool.emplace_back(std::move(c.bufs[i]));
+    }
+    written.store(i + 1, std::memory_order_release);
+  }
+  for (auto& t : ts) t.join();
+  return ok;
+}
+
+// Write a full index stream from an already sorted-unique key array.
+// Returns 0 on success, -1 on I/O error (message in errbuf).
+int dx_index_write_sorted(const uint64_t* keys, int64_t n, const char* path,
+                          int32_t fv, int32_t k, int32_t w,
+                          const uint8_t* trailer, int64_t trailer_len,
+                          int32_t n_threads, char* errbuf,
+                          int64_t errbuf_cap) {
+  auto set_err = [&](const char* m) {
+    if (errbuf && errbuf_cap > 0) snprintf(errbuf, (size_t)errbuf_cap, "%s", m);
+  };
+  FILE* f = fopen(path, "wb");
+  if (!f) {
+    set_err("Failed to create index file");
+    return -1;
+  }
+  uint8_t head[12];
+  head[0] = (uint8_t)fv;
+  head[1] = (uint8_t)k;
+  head[2] = (uint8_t)w;
+  size_t hlen = 3 + encode_varint_into((uint64_t)n, head + 3);
+  bool ok = fwrite(head, 1, hlen, f) == hlen;
+  const int64_t kChunk = 4'000'000;
+  int n_blocks = (int)((n + kChunk - 1) / kChunk);
+  if (ok && n_blocks > 0)
+    ok = write_blocks_ordered(
+        f, n_blocks, n_threads,
+        [&](int i, const uint64_t** kp, int64_t* np) {
+          int64_t lo = (int64_t)i * kChunk;
+          *kp = keys + lo;
+          *np = std::min<int64_t>(kChunk, n - lo);
+        });
+  if (ok && trailer_len > 0)
+    ok = fwrite(trailer, 1, (size_t)trailer_len, f) == (size_t)trailer_len;
+  if (fclose(f) != 0) ok = false;
+  if (!ok) {
+    set_err("index write failed");
+    return -1;
+  }
+  return 0;
+}
+
+// Scatter-accumulator for index build: batches of raw (duplicate-bearing)
+// hashes are scattered by top byte as they arrive, so the final stage
+// sorts 256 small cache-friendly buckets instead of one giant array (no
+// concat, no global scatter passes) and streams them to disk in order.
+struct RunAcc {
+  std::vector<uint64_t> buckets[256];
+  // per-bucket sorted-unique lengths after finish()
+  int64_t uniq[256];
+  size_t advised_cap[256] = {};
+};
+
+void* dx_runacc_new(int64_t capacity_hint) {
+  auto* a = new RunAcc();
+  if (capacity_hint > 0) {
+    size_t per = (size_t)(capacity_hint / 256 + capacity_hint / 2048 + 1024);
+    for (int b = 0; b < 256; b++) {
+      a->buckets[b].reserve(per);
+      advise_huge(a->buckets[b].data(), per * 8);
+      a->advised_cap[b] = a->buckets[b].capacity();
+    }
+  }
+  return a;
+}
+
+void dx_runacc_free(void* h) { delete static_cast<RunAcc*>(h); }
+
+void dx_runacc_add(void* h, const uint64_t* keys, int64_t n) {
+  auto* a = static_cast<RunAcc*>(h);
+  for (int64_t i = 0; i < n; i++) a->buckets[keys[i] >> 56].push_back(keys[i]);
+  for (int b = 0; b < 256; b++)
+    if (a->buckets[b].capacity() != a->advised_cap[b]) {
+      advise_huge(a->buckets[b].data(), a->buckets[b].capacity() * 8);
+      a->advised_cap[b] = a->buckets[b].capacity();
+    }
+}
+
+// Sort+dedup each bucket (parallel), then stream the encoded index to
+// `path` with a patched count. Returns the distinct-key count, or -1 on
+// I/O error, or -2 when the count cannot be patched canonically (caller
+// falls back; only possible for counts <= 0xFFFF or > 0xFFFFFFFF).
+int64_t dx_runacc_finish_write(void* h, const char* path, int32_t fv,
+                               int32_t k, int32_t w, const uint8_t* trailer,
+                               int64_t trailer_len, int32_t n_threads,
+                               char* errbuf, int64_t errbuf_cap) {
+  auto* a = static_cast<RunAcc*>(h);
+  auto set_err = [&](const char* m) {
+    if (errbuf && errbuf_cap > 0) snprintf(errbuf, (size_t)errbuf_cap, "%s", m);
+  };
+  if (n_threads < 1) n_threads = 1;
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw > 0 && n_threads > hw) n_threads = hw;
+  FILE* f = fopen(path, "wb");
+  if (!f) {
+    set_err("Failed to create index file");
+    return -1;
+  }
+  // header + 252-form count placeholder, patched after the stream. Sort +
+  // dedup run lazily inside the encode workers, so late buckets sort
+  // while early buckets are being written — the sort phase hides behind
+  // the disk write instead of preceding it.
+  uint8_t head[8] = {(uint8_t)fv, (uint8_t)k, (uint8_t)w, 252, 0, 0, 0, 0};
+  bool ok = fwrite(head, 1, 8, f) == 8;
+  static thread_local std::vector<uint64_t> sort_scratch;
+  if (ok)
+    ok = write_blocks_ordered(
+        f, 256, n_threads, [&](int i, const uint64_t** kp, int64_t* np) {
+          auto& v = a->buckets[i];
+          radix_sort_u64_low56(v.data(), (int64_t)v.size(), sort_scratch);
+          int64_t out = v.empty() ? 0 : 1;
+          for (size_t j = 1; j < v.size(); j++)
+            if (v[j] != v[out - 1]) v[out++] = v[j];
+          a->uniq[i] = out;
+          *kp = v.data();
+          *np = out;
+        });
+  int64_t total = 0;
+  for (int b = 0; b < 256; b++) total += a->uniq[b];
+  if (ok && trailer_len > 0)
+    ok = fwrite(trailer, 1, (size_t)trailer_len, f) == (size_t)trailer_len;
+  if (ok && total > 0xFFFF && total <= 0xFFFFFFFFLL) {
+    uint32_t cnt = (uint32_t)total;
+    ok = fseek(f, 4, SEEK_SET) == 0 && fwrite(&cnt, 1, 4, f) == 4;
+  }
+  if (fclose(f) != 0) ok = false;
+  if (!ok) {
+    set_err("index write failed");
+    return -1;
+  }
+  // non-patchable count (tiny or >2^32): discovered post-sort here; the
+  // file is discarded and the caller exports + takes the generic path
+  if (total <= 0xFFFF || total > 0xFFFFFFFFLL) {
+    remove(path);
+    return -2;
+  }
+  return total;
+}
+
+// After a finish attempt returned -2: distinct count and sorted export
+// (bucket order == global order) so the caller can take the generic path.
+int64_t dx_runacc_unique_count(void* h) {
+  auto* a = static_cast<RunAcc*>(h);
+  int64_t total = 0;
+  for (int b = 0; b < 256; b++) total += a->uniq[b];
+  return total;
+}
+
+void dx_runacc_export_sorted(void* h, uint64_t* out) {
+  auto* a = static_cast<RunAcc*>(h);
+  for (int b = 0; b < 256; b++) {
+    memcpy(out, a->buckets[b].data(), (size_t)a->uniq[b] * 8);
+    out += a->uniq[b];
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Counting insert set (dx_cset_*): the reference's FxHashSet role on the
 // BUILD side (ref: src/index.rs:96-107, 266-284) — batch inserts return how
 // many keys were new, so the per-sequence running total `index build`
@@ -2972,6 +3264,7 @@ struct CSet {
     void* m = mmap(nullptr, ns * 8, PROT_READ | PROT_WRITE,
                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
     if (m == MAP_FAILED) return false;
+    advise_huge(m, ns * 8);  // opt-in via DEACON_THP=1
     p.slots = (uint64_t*)m;
     p.n_slots = ns;
     p.mask = (uint32_t)(ns - 1);
@@ -3073,8 +3366,16 @@ int64_t dx_cset_insert(void* h, const uint64_t* keys, int64_t n,
   if (T < 1) T = 1;
   if (T > 16) T = 16;
   // bucket the batch by top byte (one pass), then threads own disjoint
-  // contiguous partition ranges of the scratch array
-  std::vector<uint64_t> tmp((size_t)n);
+  // contiguous partition ranges of the scratch array. The scratch is
+  // reused across calls (one caller thread under the GIL): a fresh
+  // value-initialized vector per insert cost a 100+ MB memset plus a
+  // page-fault storm per batch at genome scale.
+  static thread_local std::vector<uint64_t> tmp_tls;
+  auto& tmp = tmp_tls;  // bind the caller's instance: the worker lambdas
+  if (tmp.size() < (size_t)n) {  // below must NOT re-resolve thread_local
+    tmp.resize((size_t)n);
+    advise_huge(tmp.data(), tmp.size() * 8);
+  }
   std::array<int64_t, 257> starts{};
   {
     std::array<int64_t, 256> cnt{};

@@ -182,6 +182,31 @@ def get_lib():
         lib.dx_open_range.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.dx_index_write_sorted.restype = ctypes.c_int
+        lib.dx_index_write_sorted.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.dx_runacc_new.restype = ctypes.c_void_p
+        lib.dx_runacc_new.argtypes = [ctypes.c_int64]
+        lib.dx_runacc_free.argtypes = [ctypes.c_void_p]
+        lib.dx_runacc_add.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.dx_runacc_finish_write.restype = ctypes.c_int64
+        lib.dx_runacc_finish_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.dx_runacc_unique_count.restype = ctypes.c_int64
+        lib.dx_runacc_unique_count.argtypes = [ctypes.c_void_p]
+        lib.dx_runacc_export_sorted.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.dx_extract_batch.restype = ctypes.c_int64
         lib.dx_extract_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -193,12 +218,41 @@ def get_lib():
         return _lib
 
 
+_MADV_HUGEPAGE = 14  # linux
+
+
+def empty_huge(n: int, dtype) -> np.ndarray:
+    """np.empty with MADV_HUGEPAGE advice on big buffers: first-touch page
+    faults cost ~10-20 us on VM nested paging, and genome-scale pipelines
+    allocate GBs of scratch — 2 MB pages cut the fault count ~500x."""
+    arr = np.empty(n, dtype=dtype)
+    if arr.nbytes >= (4 << 20) and os.environ.get("DEACON_THP") == "1":
+        try:
+            libc = ctypes.CDLL(None, use_errno=True)
+            addr = arr.ctypes.data
+            base = addr & ~0xFFF  # page-align down (advice is page-granular)
+            libc.madvise(
+                ctypes.c_void_p(base),
+                ctypes.c_size_t(arr.nbytes + (addr - base)),
+                _MADV_HUGEPAGE,
+            )
+        except Exception:
+            pass
+    return arr
+
+
 def native_extract_batch(arena: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                          k: int, w: int, index_mode: bool,
-                         entropy_threshold: float = 0.0, n_threads: int = 0):
+                         entropy_threshold: float = 0.0, n_threads: int = 0,
+                         scratch: dict | None = None):
     """Batched host minimizer extraction (C++ engine; bit-identical to the
     NumPy oracle). Returns (hashes u64, positions u32, counts i64) or None
-    if the native lib is unavailable."""
+    if the native lib is unavailable.
+
+    ``scratch``: an empty dict owned by the caller to reuse the output
+    buffers across calls (the returned arrays are then views into them —
+    consume or copy before the next call). Saves a GB-scale page-fault
+    storm per genome on fault-expensive VMs."""
     lib = get_lib()
     if lib is None:
         return None
@@ -208,9 +262,18 @@ def native_extract_batch(arena: np.ndarray, starts: np.ndarray, lens: np.ndarray
     counts = np.empty(n, dtype=np.int64)
     # ~2m/(w+1) expected; start at a safe margin and double on overflow
     cap = max(1024, int(int(lens.sum()) * 2 // (w + 1) + 64 * n))
+    if scratch is not None and scratch.get("hashes") is not None:
+        cap = max(cap, scratch["hashes"].size)
     while True:
-        hashes = np.empty(cap, dtype=np.uint64)
-        pos = np.empty(cap, dtype=np.uint32)
+        if scratch is not None:
+            hashes, pos = scratch.get("hashes"), scratch.get("pos")
+            if hashes is None or hashes.size < cap:
+                hashes = empty_huge(cap, np.uint64)
+                pos = empty_huge(cap, np.uint32)
+                scratch["hashes"], scratch["pos"] = hashes, pos
+        else:
+            hashes = empty_huge(cap, np.uint64)
+            pos = empty_huge(cap, np.uint32)
         total = lib.dx_extract_batch(
             arena.ctypes.data_as(ctypes.c_void_p),
             starts.ctypes.data_as(ctypes.c_void_p),
@@ -483,6 +546,88 @@ def native_u64_merge_sorted_unique(a: np.ndarray, b: np.ndarray):
     # (matters at panhuman scale: union of two near-identical 3.2 GB
     # indexes would otherwise hold 6.4 GB alive)
     return out[:cnt].copy() if cnt < out.size // 2 else out[:cnt]
+
+
+def native_index_write_sorted(
+    keys: np.ndarray, path: str, format_version: int, k: int, w: int,
+    trailer: bytes, n_threads: int = 0,
+) -> bool:
+    """Write a full bincode index stream (header, count, varint hashes,
+    raw trailer) from a sorted-unique u64 array — parallel chunk encode,
+    sequential write. Returns False when the native lib is unavailable;
+    raises OSError on write failure."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    errbuf = ctypes.create_string_buffer(256)
+    rc = lib.dx_index_write_sorted(
+        keys.ctypes.data_as(ctypes.c_void_p), keys.size, path.encode(),
+        format_version, k, w, trailer, len(trailer),
+        n_threads if n_threads > 0 else (os.cpu_count() or 1),
+        errbuf, len(errbuf),
+    )
+    if rc != 0:
+        raise OSError(errbuf.value.decode("utf-8", "replace") or "index write failed")
+    return True
+
+
+class NativeRunAcc:
+    """Scatter-accumulator for index build (dx_runacc_*): raw hash batches
+    are bucketed by top byte as they arrive; finish_write() sorts + dedups
+    the buckets in parallel and streams the encoded index to disk — no
+    concatenation and no giant global sort. finish_write() returns the
+    distinct count, or None when the count has no canonical 252-form varint
+    (tiny or >2^32 — call export_sorted() and take the generic path)."""
+
+    def __init__(self, capacity_hint: int = 0):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        self._h = lib.dx_runacc_new(capacity_hint)
+        if not self._h:
+            raise MemoryError("dx_runacc_new failed")
+
+    def add(self, hashes: np.ndarray) -> None:
+        hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+        if hashes.size:
+            self._lib.dx_runacc_add(
+                self._h, hashes.ctypes.data_as(ctypes.c_void_p), hashes.size
+            )
+
+    def finish_write(self, path: str, format_version: int, k: int, w: int,
+                     trailer: bytes, n_threads: int = 0):
+        rc = self._finish_rc = self._lib.dx_runacc_finish_write(
+            self._h, path.encode(), format_version, k, w,
+            trailer, len(trailer),
+            n_threads if n_threads > 0 else (os.cpu_count() or 1),
+            None, 0,
+        )
+        if rc == -1:
+            raise OSError("index write failed")
+        return None if rc == -2 else int(rc)
+
+    def export_sorted(self) -> np.ndarray:
+        """Valid after finish_write() returned None: the sorted-unique keys."""
+        n = int(self._lib.dx_runacc_unique_count(self._h))
+        out = np.empty(n, dtype=np.uint64)
+        if n:
+            self._lib.dx_runacc_export_sorted(
+                self._h, out.ctypes.data_as(ctypes.c_void_p)
+            )
+        return out
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.dx_runacc_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeCountingSet:
