@@ -31,6 +31,8 @@ import tempfile
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 BASES = np.frombuffer(b"ACGT", np.uint8)
 
 
@@ -89,25 +91,32 @@ def mutate_ont(rng, read: np.ndarray, rate: float) -> np.ndarray:
     return np.concatenate(out)
 
 
-def sim_reads(rng, genome: np.ndarray, n: int, platform: str):
-    """Yield (name, bytes) reads drawn from `genome` with platform errors;
-    half are reverse-complemented (canonical matching must be strand
-    symmetric)."""
+def sim_reads(rng, genome: np.ndarray, n: int, platform: str,
+              err: float | None = None, keep_clean: bool = False):
+    """Yield (name, bytes[, clean_bytes]) reads drawn from `genome` with
+    platform errors; half are reverse-complemented (canonical matching must
+    be strand symmetric). `err=None` uses the platform default;
+    `keep_clean` additionally returns the error-free source read (same
+    strand) for forensics."""
     g = len(genome)
     out = []
     for i in range(n):
         if platform == "ill":
             ln = 150
-            err = 0.005
+            e = 0.005 if err is None else err
         else:
             ln = int(np.clip(rng.lognormal(8.5, 0.7), 500, 50_000))
-            err = 0.05
+            e = 0.05 if err is None else err
         start = int(rng.integers(0, max(1, g - ln)))
-        read = genome[start : start + ln]
-        read = mutate_subs(rng, read, err) if platform == "ill" else mutate_ont(rng, read, err)
+        clean = genome[start : start + ln]
+        read = mutate_subs(rng, clean, e) if platform == "ill" else mutate_ont(rng, clean, e)
         if rng.random() < 0.5:
             read = revcomp(read)
-        out.append((f"{platform}{i}", read.tobytes()))
+            clean = revcomp(clean)
+        if keep_clean:
+            out.append((f"{platform}{i}", read.tobytes(), clean.tobytes()))
+        else:
+            out.append((f"{platform}{i}", read.tobytes()))
     return out
 
 
@@ -130,75 +139,176 @@ def read_ids(path: str) -> set[str]:
     return ids
 
 
+def load_fasta_seqs(path: str) -> list[np.ndarray]:
+    """All sequences of a (plain) FASTA as uint8 arrays."""
+    seqs, cur = [], []
+    with open(path, "rb") as f:
+        for line in f:
+            if line.startswith(b">"):
+                if cur:
+                    seqs.append(np.frombuffer(b"".join(cur), np.uint8))
+                    cur = []
+            else:
+                cur.append(line.rstrip(b"\n"))
+    if cur:
+        seqs.append(np.frombuffer(b"".join(cur), np.uint8))
+    return seqs
+
+
+def distinct_hits(idx, seq: bytes, k: int, w: int) -> tuple[int, int]:
+    """(distinct index hits, total minimizers) via the filter-side
+    extraction — the exact quantities the engine thresholds on."""
+    import deacon_tpu as dt
+
+    h, _pos, _eff = dt.get_minimizer_hashes_and_positions(seq, 0, k, w)
+    if h.size == 0:
+        return 0, 0
+    uniq = np.unique(h)
+    return int(idx.contains(uniq).sum()), int(h.size)
+
+
+def forensics(idx, k, w, escaped, abs_threshold=2):
+    """Classify escaped host reads: for each, distinct hits of the errored
+    read (must be < required — the filter is exact) and of its error-free
+    source (>= required proves the simulated errors destroyed the evidence,
+    i.e. the miss is information-theoretic, not a scheme weakness)."""
+    n_info, n_scheme = 0, 0
+    hist = {}
+    for name, read, clean in escaped:
+        he, te = distinct_hits(idx, read, k, w)
+        from deacon_tpu.filter.thresholds import calculate_required_hits
+
+        req = calculate_required_hits(abs_threshold, 0.01, te)
+        assert he < req, f"{name}: kept with hits {he} >= required {req}?!"
+        hc, tc = distinct_hits(idx, clean, k, w)
+        req_c = calculate_required_hits(abs_threshold, 0.01, tc)
+        if hc >= req_c:
+            n_info += 1  # clean source matches: errors caused the miss
+        else:
+            n_scheme += 1  # clean source itself below threshold
+        hist[he] = hist.get(he, 0) + 1
+    return n_info, n_scheme, hist
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-mbp", type=float, default=20.0)
     ap.add_argument("--reads", type=int, default=20_000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--keep", action="store_true", help="keep temp dir")
+    ap.add_argument("--host-fasta", default=None,
+                    help="reuse an existing host FASTA instead of simulating "
+                         "one (enables genome-scale studies)")
+    ap.add_argument("--host-index", default=None,
+                    help="reuse a prebuilt index of --host-fasta")
+    ap.add_argument("--forensics", action="store_true",
+                    help="classify escaped host reads: errors-destroyed-"
+                         "evidence vs scheme-miss (loads the index in-process)")
+    ap.add_argument("--err-sweep", default=None,
+                    help="comma-separated Illumina substitution rates, e.g. "
+                         "'0,0.001,0.005,0.01' — prints a sensitivity curve")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     td = tempfile.mkdtemp(prefix="deacon_acc_")
-    host = rng.choice(BASES, size=int(args.genome_mbp * 1e6)).astype(np.uint8)
+    if args.host_fasta:
+        host_seqs = load_fasta_seqs(args.host_fasta)
+        host_fa = args.host_fasta
+    else:
+        host_seqs = [rng.choice(BASES, size=int(args.genome_mbp * 1e6)).astype(np.uint8)]
+        host_fa = f"{td}/host.fa"
+        write_fasta(host_fa, {"host1": host_seqs[0].tobytes()})
     other = rng.choice(BASES, size=int(args.genome_mbp * 1e6)).astype(np.uint8)
-    write_fasta(f"{td}/host.fa", {"host1": host.tobytes()})
 
     cli = [sys.executable, "-m", "deacon_tpu"]
-    subprocess.run(
-        cli + ["index", "build", f"{td}/host.fa", "-o", f"{td}/host.idx", "--quiet"],
-        check=True,
-    )
+    if args.host_index:
+        host_idx = args.host_index
+    else:
+        host_idx = f"{td}/host.idx"
+        subprocess.run(
+            cli + ["index", "build", host_fa, "-o", host_idx, "--quiet"],
+            check=True,
+        )
+
+    idx = None
+    if args.forensics:
+        import deacon_tpu as dt
+
+        idx = dt.load_index(host_idx)
+        k, w = idx.header.kmer_length, idx.header.window_size
+
+    def sim_host(n, platform, err=None):
+        """Reads spread across host sequences proportionally to length.
+        Renamed globally: per-chromosome sim_reads restarts its counter,
+        and duplicate read ids would corrupt the kept-set accounting."""
+        lens = np.array([len(s) for s in host_seqs], dtype=np.float64)
+        picks = rng.choice(len(host_seqs), size=n, p=lens / lens.sum())
+        out = []
+        for ci in range(len(host_seqs)):
+            m = int((picks == ci).sum())
+            if m:
+                out.extend(sim_reads(rng, host_seqs[ci], m, platform,
+                                     err=err, keep_clean=True))
+        return [(f"{platform}{j}", s, c) for j, (_nm, s, c) in enumerate(out)]
+
+    def run_filter(tag, mixed):
+        write_fastq(f"{td}/{tag}.fq", [(n, s) for n, s, *_ in mixed])
+        subprocess.run(
+            cli + ["filter", host_idx, f"{td}/{tag}.fq", "-o",
+                   f"{td}/{tag}.out.fq", "--deplete", "--quiet"],
+            check=True,
+        )
+        return read_ids(f"{td}/{tag}.out.fq")
 
     for platform, ref_sens, ref_spec in (
         ("ill", 0.9999889, 0.9999883),
         ("ont", 0.9999581, 0.9999559),
     ):
         n = args.reads if platform == "ill" else max(200, args.reads // 10)
-        host_reads = sim_reads(rng, host, n, platform)
+        host_reads = sim_host(n, platform)
         other_reads = sim_reads(rng, other, n, platform)
-        mixed = host_reads + [(f"x{name}", s) for name, s in other_reads]
-        write_fastq(f"{td}/{platform}.fq", mixed)
-        subprocess.run(
-            cli
-            + [
-                "filter",
-                f"{td}/host.idx",
-                f"{td}/{platform}.fq",
-                "-o",
-                f"{td}/{platform}.out.fq",
-                "--deplete",
-                "--quiet",
-            ],
-            check=True,
-        )
-        kept = read_ids(f"{td}/{platform}.out.fq")
-        host_bp = {name: len(s) for name, s in host_reads}
-        other_bp = {f"x{name}": len(s) for name, s in other_reads}
+        mixed = host_reads + [(f"x{nm}", s) for nm, s in other_reads]
+        kept = run_filter(platform, mixed)
+        host_bp = {nm: len(s) for nm, s, _c in host_reads}
+        other_bp = {f"x{nm}": len(s) for nm, s in other_reads}
         removed_host_bp = sum(bp for i, bp in host_bp.items() if i not in kept)
         kept_other_bp = sum(bp for i, bp in other_bp.items() if i in kept)
         sens = removed_host_bp / max(1, sum(host_bp.values()))
         spec = kept_other_bp / max(1, sum(other_bp.values()))
-        print(
-            json.dumps(
-                {
-                    "metric": f"depletion_sensitivity_bp_{platform}",
-                    "value": round(sens, 7),
-                    "unit": "TPR_bp",
-                    "vs_baseline": round(sens / ref_sens, 7),
-                }
-            )
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": f"retention_specificity_bp_{platform}",
-                    "value": round(spec, 7),
-                    "unit": "TPR_bp",
-                    "vs_baseline": round(spec / ref_spec, 7),
-                }
-            )
-        )
+        print(json.dumps({
+            "metric": f"depletion_sensitivity_bp_{platform}",
+            "value": round(sens, 7), "unit": "TPR_bp",
+            "vs_baseline": round(sens / ref_sens, 7),
+        }))
+        print(json.dumps({
+            "metric": f"retention_specificity_bp_{platform}",
+            "value": round(spec, 7), "unit": "TPR_bp",
+            "vs_baseline": round(spec / ref_spec, 7),
+        }))
+        if args.forensics:
+            escaped = [(nm, s, c) for nm, s, c in host_reads if nm in kept]
+            n_info, n_scheme, hist = forensics(idx, k, w, escaped)
+            print(json.dumps({
+                "metric": f"escape_forensics_{platform}",
+                "escaped_reads": len(escaped), "host_reads": len(host_reads),
+                "errors_destroyed_evidence": n_info,
+                "clean_source_below_threshold": n_scheme,
+                "escaped_hit_histogram": hist,
+            }))
+
+    if args.err_sweep is not None:
+        rates = [float(x) for x in args.err_sweep.split(",")]
+        n = args.reads
+        for rate in rates:
+            host_reads = sim_host(n, "ill", err=rate)
+            kept = run_filter(f"sweep{rate}", host_reads)
+            removed = sum(1 for nm, _s, _c in host_reads if nm not in kept)
+            print(json.dumps({
+                "metric": "illumina_sensitivity_vs_error_rate",
+                "substitution_rate": rate, "reads": n,
+                "sensitivity_reads": round(removed / n, 7),
+            }))
+
     if not args.keep:
         import shutil
 

@@ -106,6 +106,55 @@ def check_index_build() -> None:
         print(f"  IndexBuildPipeline e={ent}: {len(seqs)} records == oracle")
 
 
+def check_cli_e2e() -> None:
+    """Full CLI on the device path: `filter --device tpu` output must be
+    byte-identical to the pure-Python oracle (`--device numpy`) on a mixed
+    host/random read set — the end-to-end regression gate VERDICT r1 asked
+    for (previously only the unit layers ran against the chip)."""
+    import subprocess
+    import tempfile
+
+    rng = np.random.default_rng(3)
+    a = np.frombuffer(b"ACGT", dtype=np.uint8)
+    td = tempfile.mkdtemp(prefix="deacon_tpu_gate_")
+    genome = rng.choice(a, 200_000).astype(np.uint8).tobytes()
+    with open(f"{td}/g.fa", "wb") as f:
+        f.write(b">g\n" + genome + b"\n")
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    with open(f"{td}/reads.fq", "wb") as f:
+        for i in range(200):
+            s = genome[i * 900 : i * 900 + 400]
+            if i % 2:
+                s = s[::-1].translate(comp)
+            f.write(b"@h%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+        for i in range(200):
+            s = rng.choice(a, 400).astype(np.uint8).tobytes()
+            f.write(b"@x%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    cli = [sys.executable, "-m", "deacon_tpu"]
+    subprocess.run(
+        cli + ["index", "build", f"{td}/g.fa", "-o", f"{td}/g.idx", "-q"],
+        check=True,
+    )
+    outs = {}
+    for devname in ("numpy", jax.devices()[0].platform):
+        subprocess.run(
+            cli + ["filter", f"{td}/g.idx", f"{td}/reads.fq",
+                   "-o", f"{td}/out.{devname}.fq", "--deplete", "-q",
+                   "--device", devname],
+            check=True,
+        )
+        with open(f"{td}/out.{devname}.fq", "rb") as f:
+            outs[devname] = f.read()
+    vals = list(outs.values())
+    assert vals[0] == vals[1], "device CLI output != oracle CLI output"
+    assert vals[0].count(b"@x") == 200 and vals[0].count(b"@h") == 0
+    print(f"  CLI e2e: filter --device {jax.devices()[0].platform} == "
+          f"--device numpy ({len(vals[0])} bytes)")
+    import shutil
+
+    shutil.rmtree(td, ignore_errors=True)
+
+
 def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})")
@@ -114,6 +163,7 @@ def main() -> int:
     check_kernels()
     check_pipeline()
     check_index_build()
+    check_cli_e2e()
     print("ALL ON-CHIP CHECKS PASSED")
     return 0
 
