@@ -87,9 +87,10 @@ def _add_filter_like_args(p: argparse.ArgumentParser) -> None:
                         "DEACON_NUM_PROC/DEACON_PROC_ID env) — every host "
                         "holds only its index slice and must be fed the same "
                         "input. 'pod-data': each host filters its own byte "
-                        "range of the input on a rank-local mesh — aggregate "
-                        "reads/s scales with hosts (single-end file inputs; "
-                        "TPU-native extension flag)")
+                        "range of the input(s) on a rank-local mesh — "
+                        "aggregate reads/s scales with hosts (plain "
+                        "single-end or paired file inputs; TPU-native "
+                        "extension flag)")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -371,6 +371,16 @@ def _engine_desc(decider) -> str:
     return f"host batch engine ({ext} extraction)"
 
 
+def _split_byte_range(br):
+    """Normalize a pod-data byte range: ``(s, e)`` for single-end input,
+    ``((s1, e1), (s2, e2))`` for paired files. Returns (range1, range2)."""
+    if br is None:
+        return None, None
+    if isinstance(br[0], tuple):
+        return br[0], br[1]
+    return br, None
+
+
 def _run_native_pipeline(
     config: FilterConfig, index, decider, k: int, w: int,
     stats: "FilterStats", quiet: bool, start_time: float,
@@ -390,8 +400,10 @@ def _run_native_pipeline(
         return False
     if config.device != "auto":
         return False  # numpy = pure-Python oracle path; tpu/cpu = device path
-    if byte_range is not None and config.input2_path is not None:
-        return False  # range reads are single-end only (pod-data)
+    byte_range, byte_range2 = _split_byte_range(byte_range)
+    if byte_range is not None and config.input2_path is not None \
+            and byte_range2 is None:
+        return False  # paired ranges must come as a pair (pod-data)
     from ..io.writers import resolve_codec
 
     # level validation must propagate (ref: src/local_filter.rs:95-107)
@@ -499,6 +511,7 @@ def _run_native_pipeline(
             config.threads,
             progress,
             byte_range=byte_range,
+            byte_range2=byte_range2,
         )
     except ValueError:
         if interrupted:
@@ -741,12 +754,13 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
     # reference's reader/worker/writer thread pipeline, SURVEY §2.3).
     try:
         pending = None
+        _br1, _br2 = _split_byte_range(_byte_range)
         if input_type == "single":
-            if _byte_range is not None:
+            if _br1 is not None:
                 from ..io.split import RangeStream
 
                 reader = FastxReader(
-                    RangeStream(config.input_path, *_byte_range)
+                    RangeStream(config.input_path, *_br1)
                 )
             else:
                 reader = FastxReader.from_path(config.input_path)
@@ -768,6 +782,12 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
             if input_type == "interleaved":
                 reader = FastxReader.from_path("-")
                 pair_iter = _interleaved_pairs(reader)
+            elif _br2 is not None:
+                from ..io.split import RangeStream
+
+                r1 = FastxReader(RangeStream(config.input_path, *_br1))
+                r2 = FastxReader(RangeStream(config.input2_path, *_br2))
+                pair_iter = zip(r1, r2)
             else:
                 r1 = FastxReader.from_path(config.input_path)
                 r2 = FastxReader.from_path(config.input2_path)

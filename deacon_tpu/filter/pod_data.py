@@ -2,7 +2,10 @@
 
 Where ``--mesh pod`` shards the INDEX across hosts (memory scaling; every
 rank streams the same input), pod-data shards the INPUT: each rank filters
-its own record-aligned byte range of the input file with rank-local compute
+its own record-aligned byte range of the input file (for paired two-file
+inputs, both files are split at the SAME record indices — io/split.py
+``split_paired_ranges`` — so every rank pairs mate i with mate i exactly as
+a single process would) with rank-local compute
 only (host engine, single-chip device pipeline, or a rank-local sharded
 mesh via DEACON_POD_ENGINE/DEACON_POD_LOCAL_MESH — never cross-host
 collectives), so aggregate reads/s scales with the number of hosts. This is
@@ -82,10 +85,10 @@ def _validate(config: FilterConfig) -> None:
             "sequence numbers are global but ranks write their parts "
             "concurrently; use --mesh pod"
         )
-    if config.input2_path is not None:
+    if config.input_path == "-" or config.input2_path == "-":
         raise ValueError(
-            "--mesh pod-data supports single-end input only (paired files "
-            "cannot be byte-range split consistently); use --mesh pod"
+            "--mesh pod-data requires seekable input files (stdin cannot "
+            "be range-split across ranks); use --mesh pod"
         )
     if config.output_path == "-":
         raise ValueError(
@@ -145,17 +148,33 @@ def _await_stats(output_path: str, nproc: int, token: list[int],
 
 def run_pod_data(config: FilterConfig) -> None:
     """Entry point called by filter.engine.run for ``--mesh pod-data``."""
-    from ..io.split import split_fastx_ranges
+    from ..io.split import split_fastx_ranges, split_paired_ranges
     from . import engine
 
     _validate(config)
     start_time = time.monotonic()
     nproc, rank = pod_rank()
 
-    # every rank computes the same split (boundary probes only — O(n) seeks)
-    ranges = split_fastx_ranges(config.input_path, nproc)
-    token = _input_token(config.input_path)
+    # every rank computes the same split (single-end: boundary probes only —
+    # O(1) seeks per boundary; paired: file1 boundary probes plus one
+    # counting scan of each file to align file2 at the same record indices)
+    paired = config.input2_path is not None
+    if paired:
+        ranges = split_paired_ranges(
+            config.input_path, config.input2_path, nproc
+        )
+        token = _input_token(config.input_path) + _input_token(
+            config.input2_path
+        )
+    else:
+        ranges = split_fastx_ranges(config.input_path, nproc)
+        token = _input_token(config.input_path)
     part = part_path(config.output_path, rank)
+    part2 = (
+        part_path(config.output2_path, rank)
+        if paired and config.output2_path is not None
+        else None
+    )
 
     # Per-rank engine: by default each rank follows the normal device policy
     # over its range (host C++ extraction / single-chip device pipeline).
@@ -171,6 +190,7 @@ def run_pod_data(config: FilterConfig) -> None:
         config,
         mesh="pod-data" if sharded else None,
         output_path=part,
+        output2_path=part2,
         summary_path=None,
         quiet=config.quiet or rank != 0,
     )
@@ -192,17 +212,22 @@ def run_pod_data(config: FilterConfig) -> None:
             payloads = _await_stats(config.output_path, nproc, token, timeout)
             for f in _STATS_FIELDS:
                 setattr(stats, f, sum(p[f] for p in payloads))
-            with open(config.output_path, "wb") as out:
-                for r in range(nproc):
-                    p = part_path(config.output_path, r)
-                    with open(p, "rb") as src:
-                        while True:
-                            chunk = src.read(1 << 22)
-                            if not chunk:
-                                break
-                            out.write(chunk)
-                    os.unlink(p)
-                    os.unlink(p + ".stats.json")
+            finals = [config.output_path]
+            if part2 is not None:
+                finals.append(config.output2_path)
+            for final in finals:
+                with open(final, "wb") as out:
+                    for r in range(nproc):
+                        p = part_path(final, r)
+                        with open(p, "rb") as src:
+                            while True:
+                                chunk = src.read(1 << 22)
+                                if not chunk:
+                                    break
+                                out.write(chunk)
+                        os.unlink(p)
+                        if final == config.output_path:
+                            os.unlink(p + ".stats.json")
 
     if rank == 0:
         engine._finish_run(

@@ -5552,7 +5552,10 @@ extern "C" {
 // handler) to abort the run promptly with an "Interrupted" error.
 // mode: 0 single (input), 1 paired (input+input2), 2 interleaved (input).
 // range_start/range_end: when range_end >= 0, read only input[start:end)
-// (plain single-end files at exact record boundaries — pod-data sharding).
+// (plain files at exact record boundaries — pod-data sharding). Paired mode
+// additionally takes range2_start/range2_end for input2, split at the SAME
+// record indices (io/split.py split_paired_ranges); interleaved stdin is
+// not range-splittable.
 int dx_filter_run(const char* input, const char* input2, const char* output,
                   const char* output2, int out_codec, int out_level,
                   int out2_codec, int out2_level, const uint64_t* index_keys,
@@ -5561,7 +5564,8 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
                   double rel_threshold, int32_t deplete, int32_t rename,
                   int32_t n_threads, int64_t* progress, char* errbuf,
                   int64_t errbuf_cap, int64_t range_start,
-                  int64_t range_end) {
+                  int64_t range_end, int64_t range2_start,
+                  int64_t range2_end) {
   auto set_err = [&](const std::string& m) {
     if (errbuf && errbuf_cap > 0)
       snprintf(errbuf, (size_t)errbuf_cap, "%s", m.c_str());
@@ -5569,8 +5573,12 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
   int mode = input2 == nullptr ? 0
              : (strcmp(input, "-") == 0 && strcmp(input2, "-") == 0) ? 2
                                                                      : 1;
-  if (range_end >= 0 && mode != 0) {
-    set_err("byte-range filtering supports single-end input only");
+  if (range_end >= 0 && mode == 2) {
+    set_err("byte-range filtering does not support interleaved stdin");
+    return -1;
+  }
+  if (range_end >= 0 && mode == 1 && range2_end < 0) {
+    set_err("paired byte-range filtering needs a range for input2");
     return -1;
   }
   DxReader* r1 = range_end >= 0 ? dx_open_range(input, range_start, range_end)
@@ -5581,7 +5589,8 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
   }
   DxReader* r2 = nullptr;
   if (mode == 1) {
-    r2 = dx_open(input2);
+    r2 = range2_end >= 0 ? dx_open_range(input2, range2_start, range2_end)
+                         : dx_open(input2);
     if (!r2) {
       dx_close(r1);
       set_err(std::string("Failed to open ") + input2);

@@ -176,7 +176,7 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_double, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
         lib.dx_open_range.restype = ctypes.c_void_p
         lib.dx_open_range.argtypes = [
@@ -427,6 +427,7 @@ def native_filter_run(
     n_threads: int,
     progress: np.ndarray,
     byte_range: tuple[int, int] | None = None,
+    byte_range2: tuple[int, int] | None = None,
 ) -> None:
     """Run the full native filter pipeline (reader -> extraction workers ->
     ordered writer; the C++ twin of filter/engine.py's host path). `progress`
@@ -452,6 +453,8 @@ def native_filter_run(
         errbuf, len(errbuf),
         -1 if byte_range is None else byte_range[0],
         -1 if byte_range is None else byte_range[1],
+        -1 if byte_range2 is None else byte_range2[0],
+        -1 if byte_range2 is None else byte_range2[1],
     )
     if rc != 0:
         raise ValueError(errbuf.value.decode("utf-8", "replace") or "native filter failed")

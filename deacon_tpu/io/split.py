@@ -114,6 +114,25 @@ def _boundary_at(f, target: int, size: int, is_fastq: bool) -> int:
     return size
 
 
+def _sniff_plain(f, path) -> tuple[bool | None, int]:
+    """(is_fastq, size) for an open plain FASTX file; is_fastq is None for
+    an empty file. Raises SplitError for compressed or unrecognized input."""
+    f.seek(0)
+    head = f.read(8)
+    for magic, kind in _MAGICS:
+        if head.startswith(magic):
+            raise SplitError(
+                f"--mesh pod-data cannot range-split {kind}-compressed "
+                "input; decompress first or use --mesh pod"
+            )
+    size = os.fstat(f.fileno()).st_size
+    if not head:
+        return None, size
+    if head[:1] not in (b">", b"@"):
+        raise SplitError(f"Unrecognized FASTX record start: {head[:1]!r}")
+    return head[:1] == b"@", size
+
+
 def split_fastx_ranges(path: str | os.PathLike, n: int) -> list[tuple[int, int]]:
     """Split ``path`` into ``n`` contiguous byte ranges, each an exact whole
     number of FASTX records (possibly empty). Raises SplitError for stdin
@@ -124,20 +143,9 @@ def split_fastx_ranges(path: str | os.PathLike, n: int) -> list[tuple[int, int]]
             "be range-split across ranks)"
         )
     with open(path, "rb") as f:
-        head = f.read(8)
-        for magic, kind in _MAGICS:
-            if head.startswith(magic):
-                raise SplitError(
-                    f"--mesh pod-data cannot range-split {kind}-compressed "
-                    "input; decompress first or use --mesh pod"
-                )
-        if not head:
+        is_fastq, _ = _sniff_plain(f, path)
+        if is_fastq is None:
             return [(0, 0)] * n
-        if head[:1] not in (b">", b"@"):
-            raise SplitError(
-                f"Unrecognized FASTX record start: {head[:1]!r}"
-            )
-        is_fastq = head[:1] == b"@"
         size = os.fstat(f.fileno()).st_size
         bounds = [0]
         for r in range(1, n):
@@ -145,6 +153,134 @@ def split_fastx_ranges(path: str | os.PathLike, n: int) -> list[tuple[int, int]]
             bounds.append(_boundary_at(f, target, size, is_fastq))
         bounds.append(size)
     return [(bounds[r], bounds[r + 1]) for r in range(n)]
+
+
+def _records_at_offsets(f, size: int, offsets: list[int], is_fastq: bool):
+    """Record index at each byte offset (each an exact record start, sorted
+    ascending). One chunked forward scan; FASTQ counts newlines (4 lines per
+    record), FASTA counts '>' at line starts."""
+    out = []
+    pos = 0
+    count = 0  # newlines (FASTQ) or records (FASTA) in [0, pos)
+    prev = b"\n"  # virtual newline before offset 0 (FASTA line-start carry)
+    for off in offsets:
+        while pos < off:
+            chunk = f.read(min(_CHUNK, off - pos))
+            if not chunk:
+                break
+            if is_fastq:
+                count += chunk.count(b"\n")
+            else:
+                count += (prev + chunk).count(b"\n>")
+                prev = chunk[-1:]
+            pos += len(chunk)
+        if is_fastq:
+            if count % 4:
+                raise SplitError(
+                    f"offset {off} is not a FASTQ record boundary "
+                    "(records must be exactly 4 lines)"
+                )
+            out.append(count // 4)
+        else:
+            out.append(count)
+    return out
+
+
+def _offsets_at_records(f, size: int, indices: list[int], is_fastq: bool):
+    """Byte offset of the start of record ``n`` for each n (sorted
+    ascending), clamped to ``size`` when the file has fewer records. One
+    chunked forward scan."""
+    out = []
+    pos = 0  # file offset of the next unread byte
+    found = 0  # newlines (FASTQ) or '>' line-starts (FASTA) located so far
+    chunk = b""
+    chunk_at = 0  # file offset of chunk[0]
+    scan = 0  # scan cursor within chunk (bytes before it are consumed)
+    prev = b"\n"  # byte before chunk[0] (FASTA line-start carry)
+    for n in indices:
+        target = 4 * n if is_fastq else n + 1
+        off = None
+        if n == 0:
+            out.append(0 if size > 0 else 0)
+            continue
+        while True:
+            if is_fastq:
+                while found < target:
+                    idx = chunk.find(b"\n", scan)
+                    if idx < 0:
+                        break
+                    scan = idx + 1
+                    found += 1
+                if found == target:
+                    off = chunk_at + scan
+                    break
+            else:
+                # record start = '>' preceded by newline (or file start)
+                while found < target:
+                    if scan == 0 and prev == b"\n" and chunk[:1] == b">":
+                        scan = 1
+                        found += 1
+                        continue
+                    idx = chunk.find(b"\n>", scan - 1 if scan else 0)
+                    if idx < 0:
+                        break
+                    scan = idx + 2
+                    found += 1
+                if found == target:
+                    off = chunk_at + scan - 1
+                    break
+            if pos >= size:
+                off = size
+                break
+            prev = chunk[-1:] if chunk else prev
+            chunk = f.read(_CHUNK)
+            chunk_at = pos
+            scan = 0
+            pos += len(chunk)
+            if not chunk:
+                off = size
+                break
+        out.append(off)
+    return out
+
+
+def split_paired_ranges(path1, path2, n: int):
+    """Split a paired-end input (two parallel FASTX files) into ``n``
+    rank ranges: file1 is byte-split at record boundaries, then file2 is
+    split at the SAME record indices so each rank pairs mate i of file1
+    with mate i of file2 exactly as a single-process run would. Returns
+    ``[((s1, e1), (s2, e2)), ...]``. When file2 has fewer records than
+    file1 (the reference stops pairing at the shorter file,
+    ref src/remote_filter.rs:931-955), trailing ranks get empty file2
+    ranges and produce no output, matching the global semantics."""
+    for p in (path1, path2):
+        if p is None or str(p) == "-":
+            raise SplitError(
+                "--mesh pod-data requires seekable input files (stdin "
+                "cannot be range-split across ranks)"
+            )
+    ranges1 = split_fastx_ranges(path1, n)
+    interior = [r[0] for r in ranges1[1:]]
+    recs: list[int] = []
+    if interior:
+        with open(path1, "rb") as f1:
+            is_fq1, size1 = _sniff_plain(f1, path1)
+            if is_fq1 is None:
+                recs = [0] * len(interior)
+            else:
+                f1.seek(0)
+                recs = _records_at_offsets(f1, size1, interior, is_fq1)
+    with open(path2, "rb") as f2:
+        is_fq2, size2 = _sniff_plain(f2, path2)
+        if is_fq2 is None:
+            bounds2 = [0] * (n + 1)
+        else:
+            f2.seek(0)
+            bounds2 = (
+                [0] + _offsets_at_records(f2, size2, recs, is_fq2) + [size2]
+            )
+    ranges2 = [(bounds2[r], bounds2[r + 1]) for r in range(n)]
+    return list(zip(ranges1, ranges2))
 
 
 class RangeStream:

@@ -294,9 +294,91 @@ def test_pod_data_validation(tmp_path):
                 output_path=str(tmp_path / "o.fq"), mesh="pod-data", quiet=True)
     with pytest.raises(ValueError, match="rename"):
         FilterConfig(**base, rename=True).execute()
-    with pytest.raises(ValueError, match="single-end"):
-        FilterConfig(**{**base, "input2_path": str(reads)}).execute()
+    with pytest.raises(ValueError, match="seekable"):
+        FilterConfig(
+            **{**base, "input_path": "-", "input2_path": "-"}
+        ).execute()
     with pytest.raises(ValueError, match="file path"):
         FilterConfig(**{**base, "output_path": "-"}).execute()
     with pytest.raises(ValueError, match="seekable"):
         FilterConfig(**{**base, "input_path": "-"}).execute()
+
+
+def test_two_process_pod_data_paired(tmp_path):
+    """Paired `--mesh pod-data`: two ranks (env-identified only — no
+    coordinator; the host engine needs no jax), each filtering the SAME
+    record-index range of r1.fq and r2.fq, separate -O outputs; both final
+    outputs and the summary must equal a single-process run."""
+    import json
+
+    rng = np.random.default_rng(19)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4000).astype(np.uint8)
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(genome.tobytes(), 31, 15),
+        IndexHeader.new(31, 15),
+        idx,
+    )
+    g = genome.tobytes()
+    r1p, r2p = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    with open(r1p, "wb") as f1, open(r2p, "wb") as f2:
+        for i in range(60):
+            # pair-OR semantics in play: only mate 2 of odd pairs matches
+            host = g[(i * 61) % 3800 : (i * 61) % 3800 + 150]
+            rand = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                    int(rng.integers(80, 250))))
+            m1 = rand
+            m2 = host if i % 2 else rand[::-1]
+            f1.write(b"@p%d/1\n%s\n+\n%s\n" % (i, m1, b"I" * len(m1)))
+            f2.write(b"@p%d/2\n%s\n+\n%s\n" % (i, m2, b"I" * len(m2)))
+
+    def run_filter(out1, out2, extra, env_extra):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO
+        env.update(env_extra)
+        return subprocess.Popen(
+            [sys.executable, "-m", "deacon_tpu", "filter", str(idx),
+             str(r1p), str(r2p), "-o", str(out1), "-O", str(out2),
+             "--deplete", "-q"] + extra,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=REPO,
+        )
+
+    ref1, ref2 = tmp_path / "ref1.fq", tmp_path / "ref2.fq"
+    p = run_filter(ref1, ref2, [], {})
+    o, _ = p.communicate(timeout=240)
+    assert p.returncode == 0, o.decode()
+
+    out1, out2 = tmp_path / "pod1.fq", tmp_path / "pod2.fq"
+    summary = tmp_path / "ps.json"
+    procs = [
+        run_filter(
+            out1, out2, ["--mesh", "pod-data", "-s", str(summary)],
+            {"DEACON_NUM_PROC": "2", "DEACON_PROC_ID": str(i)},
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o.decode())
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{o}"
+    assert out1.read_bytes() == ref1.read_bytes()
+    assert out2.read_bytes() == ref2.read_bytes()
+    # odd pairs match via mate 2 -> depleted together (pair-OR)
+    kept = ref1.read_bytes().count(b"@p")
+    assert kept == 30
+    assert not (tmp_path / "pod1.fq.pod0").exists()
+    assert not (tmp_path / "pod2.fq.pod0").exists()
+    s = json.loads(summary.read_text())
+    assert s["seqs_in"] == 120 and s["seqs_out"] == 60

@@ -11,7 +11,12 @@ import numpy as np
 import pytest
 
 from deacon_tpu.io.fastx import FastxReader
-from deacon_tpu.io.split import RangeStream, SplitError, split_fastx_ranges
+from deacon_tpu.io.split import (
+    RangeStream,
+    SplitError,
+    split_fastx_ranges,
+    split_paired_ranges,
+)
 
 
 def _parse(path, start=None, end=None):
@@ -167,3 +172,97 @@ def test_native_range_reader_matches_split(tmp_path):
         for s, e in ranges:
             joined.extend(parse_range(s, e))
         assert joined == whole
+
+
+# ---------------------------------------------------------------------------
+# Paired splitting (split_paired_ranges)
+# ---------------------------------------------------------------------------
+
+def _write_fastq(path, seqs, tag=b"r"):
+    with open(path, "wb") as f:
+        for i, seq in enumerate(seqs):
+            f.write(b"@%s%d\n%s\n+\n%s\n" % (tag, i, seq, b"I" * len(seq)))
+
+
+def _check_paired_split(p1, p2, n):
+    """Each rank's (range1, range2) must pair mate i with mate i exactly as
+    a global zip of the two files does."""
+    whole1, whole2 = _parse(p1), _parse(p2)
+    want = list(zip(whole1, whole2))
+    ranges = split_paired_ranges(p1, p2, n)
+    assert ranges[0][0][0] == 0 and ranges[0][1][0] == 0
+    got = []
+    for (r1, r2) in ranges:
+        got.extend(zip(_parse(p1, *r1), _parse(p2, *r2)))
+    assert got == want
+    for (a, b), (c, d) in zip(ranges, ranges[1:]):
+        assert a[1] == c[0] and b[1] == d[0]  # contiguous in both files
+    return ranges
+
+
+def test_paired_split_fastq(tmp_path):
+    rng = np.random.default_rng(41)
+    p1, p2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                         int(rng.integers(20, 300))))
+        for _ in range(97)
+    ]
+    _write_fastq(p1, seqs, b"a")
+    # mate lengths differ wildly so byte offsets diverge between files
+    _write_fastq(p2, [s[::-1] * 2 for s in seqs], b"b")
+    for n in (1, 2, 3, 5, 16):
+        _check_paired_split(p1, p2, n)
+
+
+def test_paired_split_fasta_mate2(tmp_path):
+    """File1 FASTQ, file2 multiline FASTA: record-index alignment must not
+    assume the same format on both sides."""
+    rng = np.random.default_rng(43)
+    p1, p2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fa")
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                         int(rng.integers(50, 400))))
+        for _ in range(41)
+    ]
+    _write_fastq(p1, seqs)
+    with open(p2, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b">m%d\n" % i)
+            for j in range(0, len(s), 60):
+                f.write(s[j : j + 60] + b"\n")
+    for n in (2, 3, 7):
+        _check_paired_split(p1, p2, n)
+
+
+def test_paired_split_shorter_mate2(tmp_path):
+    """File2 runs out first: trailing ranks get empty file2 ranges, and the
+    per-range zip equals the global zip (pairing stops at the shorter file,
+    ref src/remote_filter.rs:931-955)."""
+    rng = np.random.default_rng(47)
+    p1, p2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 100))
+        for _ in range(50)
+    ]
+    _write_fastq(p1, seqs, b"a")
+    _write_fastq(p2, seqs[:13], b"b")
+    for n in (2, 4, 8):
+        ranges = _check_paired_split(p1, p2, n)
+        assert ranges[-1][1][0] == ranges[-1][1][1]  # empty tail range
+
+
+def test_paired_split_more_ranks_than_records(tmp_path):
+    p1, p2 = str(tmp_path / "a.fq"), str(tmp_path / "b.fq")
+    _write_fastq(p1, [b"ACGT", b"TTTT"])
+    _write_fastq(p2, [b"GGGG", b"CCCC"])
+    _check_paired_split(p1, p2, 8)
+
+
+def test_paired_split_stdin_rejected(tmp_path):
+    p1 = str(tmp_path / "a.fq")
+    _write_fastq(p1, [b"ACGT"])
+    with pytest.raises(SplitError):
+        split_paired_ranges(p1, "-", 2)
+    with pytest.raises(SplitError):
+        split_paired_ranges("-", p1, 2)
