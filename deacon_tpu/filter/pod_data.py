@@ -90,11 +90,17 @@ def _validate(config: FilterConfig) -> None:
             "--mesh pod-data requires seekable input files (stdin cannot "
             "be range-split across ranks); use --mesh pod"
         )
-    if config.output_path == "-":
+    if config.output_path == "-" or config.output2_path == "-":
         raise ValueError(
             "--mesh pod-data writes per-rank part files and concatenates "
-            "them; give -o a file path"
+            "them; give -o/-O a file path"
         )
+    if (
+        config.output2_path is not None
+        and os.path.abspath(config.output2_path)
+        == os.path.abspath(config.output_path)
+    ):
+        raise ValueError("-o and -O must name different files")
 
 
 def _input_token(path: str) -> list[int]:
@@ -160,8 +166,10 @@ def run_pod_data(config: FilterConfig) -> None:
     # counting scan of each file to align file2 at the same record indices)
     paired = config.input2_path is not None
     if paired:
+        # rank-capped: each rank's counting scan stops at its own upper
+        # boundary, so aggregate startup I/O stays ~1 file scan total
         ranges = split_paired_ranges(
-            config.input_path, config.input2_path, nproc
+            config.input_path, config.input2_path, nproc, rank=rank
         )
         token = _input_token(config.input_path) + _input_token(
             config.input2_path
@@ -215,7 +223,7 @@ def run_pod_data(config: FilterConfig) -> None:
             finals = [config.output_path]
             if part2 is not None:
                 finals.append(config.output2_path)
-            for final in finals:
+            for fi, final in enumerate(finals):
                 with open(final, "wb") as out:
                     for r in range(nproc):
                         p = part_path(final, r)
@@ -226,7 +234,7 @@ def run_pod_data(config: FilterConfig) -> None:
                                     break
                                 out.write(chunk)
                         os.unlink(p)
-                        if final == config.output_path:
+                        if fi == 0:
                             os.unlink(p + ".stats.json")
 
     if rank == 0:

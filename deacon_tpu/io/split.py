@@ -114,7 +114,7 @@ def _boundary_at(f, target: int, size: int, is_fastq: bool) -> int:
     return size
 
 
-def _sniff_plain(f, path) -> tuple[bool | None, int]:
+def _sniff_plain(f) -> tuple[bool | None, int]:
     """(is_fastq, size) for an open plain FASTX file; is_fastq is None for
     an empty file. Raises SplitError for compressed or unrecognized input."""
     f.seek(0)
@@ -143,10 +143,9 @@ def split_fastx_ranges(path: str | os.PathLike, n: int) -> list[tuple[int, int]]
             "be range-split across ranks)"
         )
     with open(path, "rb") as f:
-        is_fastq, _ = _sniff_plain(f, path)
+        is_fastq, size = _sniff_plain(f)
         if is_fastq is None:
             return [(0, 0)] * n
-        size = os.fstat(f.fileno()).st_size
         bounds = [0]
         for r in range(1, n):
             target = max(size * r // n, bounds[-1])
@@ -172,15 +171,18 @@ def _records_at_offsets(f, size: int, offsets: list[int], is_fastq: bool):
                 count += chunk.count(b"\n")
             else:
                 count += (prev + chunk).count(b"\n>")
-                prev = chunk[-1:]
+            prev = chunk[-1:]
             pos += len(chunk)
         if is_fastq:
-            if count % 4:
+            # EOF closes an unterminated final line (same rule as
+            # _readline_at and the parsers)
+            eff = count + (1 if off == size and pos and prev != b"\n" else 0)
+            if eff % 4:
                 raise SplitError(
                     f"offset {off} is not a FASTQ record boundary "
                     "(records must be exactly 4 lines)"
                 )
-            out.append(count // 4)
+            out.append(eff // 4)
         else:
             out.append(count)
     return out
@@ -201,7 +203,7 @@ def _offsets_at_records(f, size: int, indices: list[int], is_fastq: bool):
         target = 4 * n if is_fastq else n + 1
         off = None
         if n == 0:
-            out.append(0 if size > 0 else 0)
+            out.append(0)
             continue
         while True:
             if is_fastq:
@@ -244,7 +246,7 @@ def _offsets_at_records(f, size: int, indices: list[int], is_fastq: bool):
     return out
 
 
-def split_paired_ranges(path1, path2, n: int):
+def split_paired_ranges(path1, path2, n: int, rank: int | None = None):
     """Split a paired-end input (two parallel FASTX files) into ``n``
     rank ranges: file1 is byte-split at record boundaries, then file2 is
     split at the SAME record indices so each rank pairs mate i of file1
@@ -252,7 +254,13 @@ def split_paired_ranges(path1, path2, n: int):
     ``[((s1, e1), (s2, e2)), ...]``. When file2 has fewer records than
     file1 (the reference stops pairing at the shorter file,
     ref src/remote_filter.rs:931-955), trailing ranks get empty file2
-    ranges and produce no output, matching the global semantics."""
+    ranges and produce no output, matching the global semantics.
+
+    With ``rank`` given, only that rank's entry is computed (the rest are
+    None): the counting scans stop at rank's upper boundary instead of the
+    last interior boundary, so low ranks read only their own prefix of
+    each file (aggregate startup I/O sums to ~1 file scan across ranks
+    instead of ~n)."""
     for p in (path1, path2):
         if p is None or str(p) == "-":
             raise SplitError(
@@ -261,26 +269,32 @@ def split_paired_ranges(path1, path2, n: int):
             )
     ranges1 = split_fastx_ranges(path1, n)
     interior = [r[0] for r in ranges1[1:]]
+    need = len(interior) if rank is None else min(rank + 1, len(interior))
     recs: list[int] = []
-    if interior:
+    if interior[:need]:
         with open(path1, "rb") as f1:
-            is_fq1, size1 = _sniff_plain(f1, path1)
+            is_fq1, size1 = _sniff_plain(f1)
             if is_fq1 is None:
-                recs = [0] * len(interior)
+                recs = [0] * need
             else:
                 f1.seek(0)
-                recs = _records_at_offsets(f1, size1, interior, is_fq1)
+                recs = _records_at_offsets(
+                    f1, size1, interior[:need], is_fq1
+                )
     with open(path2, "rb") as f2:
-        is_fq2, size2 = _sniff_plain(f2, path2)
+        is_fq2, size2 = _sniff_plain(f2)
         if is_fq2 is None:
-            bounds2 = [0] * (n + 1)
+            offs2 = [0] * need
+            size2 = 0
         else:
             f2.seek(0)
-            bounds2 = (
-                [0] + _offsets_at_records(f2, size2, recs, is_fq2) + [size2]
-            )
+            offs2 = _offsets_at_records(f2, size2, recs, is_fq2)
+    bounds2 = [0] + offs2 + [size2] * (n - need)
     ranges2 = [(bounds2[r], bounds2[r + 1]) for r in range(n)]
-    return list(zip(ranges1, ranges2))
+    out = list(zip(ranges1, ranges2))
+    if rank is not None:
+        return [pair if r == rank else None for r, pair in enumerate(out)]
+    return out
 
 
 class RangeStream:

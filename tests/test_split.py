@@ -266,3 +266,39 @@ def test_paired_split_stdin_rejected(tmp_path):
         split_paired_ranges(p1, "-", 2)
     with pytest.raises(SplitError):
         split_paired_ranges("-", p1, 2)
+
+
+def test_paired_split_no_trailing_newline(tmp_path):
+    """An unterminated final line (EOF as line end) must not break record
+    counting when an interior boundary lands at EOF."""
+    p1, p2 = str(tmp_path / "a.fq"), str(tmp_path / "b.fq")
+    body = b"@a0\nACGT\n+\nIIII\n@a1\nACGT\n+\nIIII"  # no final newline
+    with open(p1, "wb") as f:
+        f.write(body)
+    _write_fastq(p2, [b"GGGG", b"CCCC"])
+    for n in (2, 4, 8):
+        _check_paired_split(p1, p2, n)
+    # and the other way around (file2 unterminated)
+    _check_paired_split(p2, p1, 4)
+
+
+def test_paired_split_rank_capped(tmp_path):
+    """rank= mode computes exactly the full split's entry for that rank
+    (the others are None) while scanning only the rank's prefix."""
+    rng = np.random.default_rng(53)
+    p1, p2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fa")
+    seqs = [
+        bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                         int(rng.integers(30, 200))))
+        for _ in range(67)
+    ]
+    _write_fastq(p1, seqs)
+    with open(p2, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b">m%d\n%s\n" % (i, s))
+    for n in (1, 3, 5):
+        full = split_paired_ranges(p1, p2, n)
+        for r in range(n):
+            capped = split_paired_ranges(p1, p2, n, rank=r)
+            assert capped[r] == full[r]
+            assert all(c is None for i, c in enumerate(capped) if i != r)
