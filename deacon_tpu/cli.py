@@ -125,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_build.add_argument("--device", default="auto",
                          choices=["auto", "tpu", "cpu", "numpy"],
                          help="compute backend (TPU-native extension flag)")
+    p_build.add_argument("--mesh", default=None, choices=["pod-data"],
+                         help="'pod-data': each rank (DEACON_NUM_PROC/"
+                              "DEACON_PROC_ID) indexes its own record-"
+                              "aligned byte range of the input and rank 0 "
+                              "merges the partial indexes — aggregate build "
+                              "throughput scales with hosts (TPU-native "
+                              "extension flag)")
 
     p_info = isub.add_parser("info", help="show index information")
     p_info.add_argument("index", help="path to index file")
@@ -193,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
                     quiet=args.quiet,
                     entropy_threshold=args.entropy_threshold,
                     device=args.device,
+                    mesh=args.mesh,
                 ).execute()
             elif args.index_command == "info":
                 index_ops.info(args.index)

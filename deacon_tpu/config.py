@@ -62,8 +62,11 @@ class IndexConfig:
     threads: int = DEFAULT_INDEX_THREADS
     quiet: bool = False
     entropy_threshold: float = 0.0
-    # TPU-native extra (not in the reference surface):
+    # TPU-native extras (not in the reference surface):
     device: str = "auto"  # "auto" | "tpu" | "cpu" | "numpy"
+    #: "pod-data": ranks build partial indexes from record-aligned byte
+    #: ranges of the input; rank 0 merges (index/pod_build.py)
+    mesh: str | None = None
 
     def execute(self) -> None:
         from .index.build import build

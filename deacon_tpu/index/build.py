@@ -102,17 +102,33 @@ def _merge_sorted_unique(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.union1d(a, b)
 
 
-def build(config: IndexConfig) -> None:
-    """ref: src/index.rs:167-308."""
+def build(config: IndexConfig, _byte_range=None, _return_stats=False):
+    """ref: src/index.rs:167-308.
+
+    ``_byte_range``/``_return_stats`` serve ``index build --mesh pod-data``
+    (index/pod_build.py): build from a record-aligned byte range of the
+    input and return (unique_count, seq_count, total_bp) instead of
+    printing the banner/summary (the pod orchestrator reports globally).
+    """
+    mesh = getattr(config, "mesh", None)
+    if mesh is not None and mesh != "pod-data":
+        raise ValueError(
+            f"index build supports --mesh pod-data only, got {mesh!r}"
+        )
+    if mesh == "pod-data" and _byte_range is None:
+        from .pod_build import run_pod_build
+
+        return run_pod_build(config)
     start = time.monotonic()
 
-    options = [f"capacity={config.capacity_millions}M"]
-    if config.threads > 0:
-        options.append(f"threads={config.threads}")
-    _eprint(
-        f"{TOOL_NAME} v{VERSION}; mode: build; input: single; "
-        f"options: {', '.join(options)}"
-    )
+    if not _return_stats:
+        options = [f"capacity={config.capacity_millions}M"]
+        if config.threads > 0:
+            options.append(f"threads={config.threads}")
+        _eprint(
+            f"{TOOL_NAME} v{VERSION}; mode: build; input: single; "
+            f"options: {', '.join(options)}"
+        )
 
     # l = k + w - 1 must be odd (canonical tie-break; ref: src/index.rs:186-194)
     l = config.kmer_length + config.window_size - 1
@@ -122,8 +138,28 @@ def build(config: IndexConfig) -> None:
             f"(k={config.kmer_length}, w={config.window_size})"
         )
 
-    reader = FastxReader.from_path(config.input_path)
-    _eprint(f"Building index (k={config.kmer_length}, w={config.window_size})")
+    if _byte_range is not None:
+        reader = None
+        try:
+            from ..io.native_loader import open_native_reader
+
+            reader = open_native_reader(
+                str(config.input_path), byte_range=_byte_range
+            )
+        except Exception:
+            reader = None
+        if reader is None:
+            from ..io.split import RangeStream
+
+            reader = FastxReader(
+                RangeStream(config.input_path, *_byte_range)
+            )
+    else:
+        reader = FastxReader.from_path(config.input_path)
+    if not _return_stats:
+        _eprint(
+            f"Building index (k={config.kmer_length}, w={config.window_size})"
+        )
 
     total_unique = 0
     seq_count = 0
@@ -422,6 +458,8 @@ def build(config: IndexConfig) -> None:
         if count is not None:
             os.replace(tmp, config.output_path)
             runacc.close()
+            if _return_stats:
+                return count, seq_count, total_bp
             _eprint(
                 f"Indexed {count} minimizers from {seq_count} sequence(s) "
                 f"({total_bp}bp)"
@@ -434,6 +472,9 @@ def build(config: IndexConfig) -> None:
 
     merge_pending()
     total_unique = int(accumulated.size)
+    if _return_stats:
+        store.write_index(accumulated, header, config.output_path)
+        return total_unique, seq_count, total_bp
     _eprint(
         f"Indexed {total_unique} minimizers from {seq_count} sequence(s) ({total_bp}bp)"
     )

@@ -729,13 +729,17 @@ class NativeFastxReader:
     a zero-copy-ish batch API used by the device pipeline.
     """
 
-    def __init__(self, path: str | None, batch_mb: int = 64):
+    def __init__(self, path: str | None, batch_mb: int = 64,
+                 byte_range: "tuple[int, int] | None" = None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native loader unavailable")
         self._lib = lib
         p = b"-" if path is None or str(path) == "-" else str(path).encode()
-        self._h = lib.dx_open(p)
+        if byte_range is not None:
+            self._h = lib.dx_open_range(p, byte_range[0], byte_range[1])
+        else:
+            self._h = lib.dx_open(p)
         if not self._h:
             raise OSError(f"Failed to open {path!r}")
         self._max_batch_bytes = max(1, batch_mb) * 1024 * 1024
@@ -848,12 +852,12 @@ class NativeWriter:
                 raise OSError("native writer close failed")
 
 
-def open_native_reader(path: str | None):
+def open_native_reader(path: str | None, byte_range=None):
     """Returns NativeFastxReader or None if unavailable."""
     if get_lib() is None:
         return None
     try:
-        return NativeFastxReader(path)
+        return NativeFastxReader(path, byte_range=byte_range)
     except OSError:
         raise
     except Exception:

@@ -382,3 +382,60 @@ def test_two_process_pod_data_paired(tmp_path):
     assert not (tmp_path / "pod2.fq.pod0").exists()
     s = json.loads(summary.read_text())
     assert s["seqs_in"] == 120 and s["seqs_out"] == 60
+
+
+def test_pod_build_matches_plain_build(tmp_path):
+    """`index build --mesh pod-data`: partial indexes built per rank merge
+    into an index byte-identical to a single-process build (minimizer
+    selection is per-record, so record-granular sharding is exact)."""
+    rng = np.random.default_rng(29)
+    fa = tmp_path / "pan.fa"
+    with open(fa, "wb") as f:
+        for i in range(10):
+            g = rng.choice(
+                np.frombuffer(b"ACGTACGTN", np.uint8),
+                int(rng.integers(2000, 20000)),
+            ).tobytes()
+            f.write(b">g%d\n" % i)
+            for j in range(0, len(g), 60):
+                f.write(g[j : j + 60] + b"\n")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    ref = tmp_path / "ref.idx"
+    r = subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "index", "build", str(fa),
+         "-o", str(ref), "-q", "-e", "0.3"],
+        capture_output=True, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+
+    out = tmp_path / "pod.idx"
+    procs = []
+    for i in range(3):
+        env_i = dict(env, DEACON_NUM_PROC="3", DEACON_PROC_ID=str(i))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "deacon_tpu", "index", "build", str(fa),
+             "-o", str(out), "-q", "-e", "0.3", "--mesh", "pod-data"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env_i,
+            cwd=REPO,
+        ))
+    for i, p in enumerate(procs):
+        o, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, f"rank {i} failed:\n{o.decode()}"
+    assert out.read_bytes() == ref.read_bytes()
+    assert not (tmp_path / "pod.idx.pod0").exists()
+    assert not (tmp_path / "pod.idx.pod0.stats.json").exists()
+
+
+def test_pod_build_validation(tmp_path):
+    from deacon_tpu.config import IndexConfig
+
+    fa = tmp_path / "g.fa"
+    fa.write_bytes(b">g\n" + b"ACGT" * 100 + b"\n")
+    with pytest.raises(ValueError, match="file path"):
+        IndexConfig(input_path=str(fa), output_path=None,
+                    mesh="pod-data").execute()
+    with pytest.raises(ValueError, match="pod-data only"):
+        IndexConfig(input_path=str(fa), output_path=str(tmp_path / "o.idx"),
+                    mesh="2x4").execute()
