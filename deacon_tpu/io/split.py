@@ -63,13 +63,15 @@ def _readline_at(f, off: int, size: int) -> tuple[bytes, int]:
     pos = off
     while pos < size:
         chunk = _read_at(f, pos, min(_CHUNK, size - pos))
+        if not chunk:  # actual EOF before the nominal size (lazy views)
+            break
         nl = chunk.find(b"\n")
         if nl >= 0:
             parts.append(chunk[:nl])
             return b"".join(parts).rstrip(b"\r"), pos + nl + 1
         parts.append(chunk)
         pos += len(chunk)
-    return b"".join(parts).rstrip(b"\r"), size
+    return b"".join(parts).rstrip(b"\r"), pos
 
 
 def _validate_fastq_start(f, off: int, size: int, depth: int = 3) -> bool:
@@ -82,7 +84,10 @@ def _validate_fastq_start(f, off: int, size: int, depth: int = 3) -> bool:
     for _ in range(depth):
         if pos >= size:
             return True
-        hdr, pos = _readline_at(f, pos, size)
+        hdr, pos2 = _readline_at(f, pos, size)
+        if not hdr and pos2 == pos:
+            return True  # clean EOF before the nominal size (lazy views)
+        pos = pos2
         if not hdr.startswith(b"@"):
             return False
         seq, pos = _readline_at(f, pos, size)
@@ -295,6 +300,328 @@ def split_paired_ranges(path1, path2, n: int, rank: int | None = None):
     if rank is not None:
         return [pair if r == rank else None for r, pair in enumerate(out)]
     return out
+
+
+# ---------------------------------------------------------------------------
+# BGZF (blocked gzip) splitting: every block is a complete gzip member whose
+# trailer records its decompressed size (ISIZE), so a compressed file walks
+# into a (comp_offset, decompressed_offset) block table without inflating
+# anything, ranks can start decompressing at any block boundary, and ranges
+# are expressed as (comp_off, dskip, dlen): start at block ``comp_off``,
+# drop ``dskip`` decompressed bytes (the partial record owned by the
+# previous rank), deliver ``dlen`` decompressed bytes (-1 = to EOF). Both
+# bgzip/htslib outputs and this tool's own gzip output (BGZF-framed by
+# default, io/native deflate writer) split this way; serial gzip streams
+# still cannot (no mid-stream entry points).
+# ---------------------------------------------------------------------------
+
+import collections
+import zlib
+
+#: a pod-data input range over a BGZF file (decompressed-space semantics)
+BgzfRange = collections.namedtuple("BgzfRange", ["comp_off", "dskip", "dlen"])
+
+
+def _parse_bgzf_header(hdr: bytes):
+    """Total member length from an 18-byte BGZF header, or None if ``hdr``
+    is not a BGZF block header (gzip magic + FEXTRA with a BC subfield at
+    the standard position)."""
+    if len(hdr) < 18 or hdr[0] != 0x1F or hdr[1] != 0x8B or hdr[2] != 8:
+        return None
+    if not hdr[3] & 4:  # FEXTRA
+        return None
+    xlen = hdr[10] | (hdr[11] << 8)
+    # scan the extra field for the BC subfield (bgzip puts it first; allow
+    # any position within the declared XLEN as the spec does)
+    extra = hdr[12:18]
+    pos = 0
+    # only the first subfield is visible in 18 bytes; BGZF writers put BC
+    # first and xlen is almost always 6. Non-standard layouts fall back to
+    # "not BGZF" (serial gzip handling).
+    if xlen < 6 or len(extra) < 6:
+        return None
+    if extra[0] == 0x42 and extra[1] == 0x43 and extra[2] == 2 and extra[3] == 0:
+        bsize = extra[4] | (extra[5] << 8)
+        total = bsize + 1
+        if total >= 12 + xlen:
+            return total
+    return None
+
+
+def is_bgzf(path) -> bool:
+    """True when ``path`` starts with a BGZF block header."""
+    try:
+        with open(path, "rb") as f:
+            return _parse_bgzf_header(f.read(18)) is not None
+    except OSError:
+        return False
+
+
+class _BgzfView:
+    """Decompressed-space random access over a BGZF file with a lazily
+    extended block table (walks compressed headers only — no inflation
+    until a read) and a small decompressed-block cache. Provides the
+    seek/read protocol ``_read_at`` needs, returning b"" past EOF."""
+
+    def __init__(self, path):
+        self._f = open(path, "rb", buffering=1 << 20)
+        self._offs: list[int] = []  # compressed offset per block
+        self._cums: list[int] = [0]  # cumulative decompressed size
+        self._clens: list[int] = []  # compressed length per block
+        self._walk_off = 0  # next compressed offset to parse
+        self._eof = False
+        self._cache: "collections.OrderedDict[int, bytes]" = (
+            collections.OrderedDict()
+        )
+        self._pos = 0
+
+    def close(self):
+        self._f.close()
+
+    # -- block table -----------------------------------------------------
+    def _walk_one(self) -> bool:
+        if self._eof:
+            return False
+        self._f.seek(self._walk_off)
+        hdr = self._f.read(18)
+        if not hdr:
+            self._eof = True
+            return False
+        total = _parse_bgzf_header(hdr)
+        if total is None:
+            raise SplitError(
+                f"not a BGZF block at compressed offset {self._walk_off} "
+                "(serial gzip cannot be range-split; re-compress with "
+                "bgzip or this tool's gzip writer, or use --mesh pod)"
+            )
+        rest = self._f.read(total - 18)
+        if len(rest) < total - 18:
+            raise SplitError("truncated BGZF block")
+        isize = int.from_bytes(rest[-4:], "little")
+        self._offs.append(self._walk_off)
+        self._clens.append(total)
+        self._cums.append(self._cums[-1] + isize)
+        self._walk_off += total
+        return True
+
+    def walk_to_comp(self, comp_target: int) -> None:
+        """Extend the block table to cover compressed offset ``comp_target``."""
+        while not self._eof and self._walk_off <= comp_target:
+            self._walk_one()
+
+    def _walk_to_dec(self, doff: int) -> None:
+        while not self._eof and self._cums[-1] <= doff:
+            self._walk_one()
+
+    def block_at_comp(self, comp_target: int) -> int:
+        """Index of the first block at/after compressed ``comp_target``."""
+        self.walk_to_comp(comp_target)
+        import bisect
+
+        return min(
+            bisect.bisect_left(self._offs, comp_target),
+            max(len(self._offs) - 1, 0),
+        )
+
+    def dsize(self) -> int:
+        while self._walk_one():
+            pass
+        return self._cums[-1]
+
+    # -- decompressed reads ----------------------------------------------
+    def _block_bytes(self, i: int) -> bytes:
+        got = self._cache.get(i)
+        if got is not None:
+            self._cache.move_to_end(i)
+            return got
+        self._f.seek(self._offs[i])
+        raw = self._f.read(self._clens[i])
+        got = zlib.decompressobj(wbits=31).decompress(raw)
+        if len(got) != self._cums[i + 1] - self._cums[i]:
+            raise SplitError("BGZF block ISIZE mismatch")
+        self._cache[i] = got
+        while len(self._cache) > 8:
+            self._cache.popitem(last=False)
+        return got
+
+    def seek(self, off: int) -> None:
+        self._pos = off
+
+    def read(self, n: int) -> bytes:
+        import bisect
+
+        doff = self._pos
+        self._walk_to_dec(doff + n - 1 if n > 0 else doff)
+        out = []
+        need = n
+        while need > 0:
+            if doff >= self._cums[-1] and self._eof:
+                break
+            i = bisect.bisect_right(self._cums, doff) - 1
+            if i >= len(self._offs):
+                break
+            blk = self._block_bytes(i)
+            rel = doff - self._cums[i]
+            take = blk[rel : rel + need]
+            if not take:
+                # zero-length block (e.g. BGZF EOF marker): skip forward
+                doff = self._cums[i + 1]
+                continue
+            out.append(take)
+            doff += len(take)
+            need -= len(take)
+        data = b"".join(out)
+        self._pos = doff
+        return data
+
+
+_BGZF_HUGE = 1 << 62
+
+
+def split_bgzf_ranges(path, n: int, rank: int | None = None):
+    """Split a BGZF-compressed FASTX file into ``n`` decompressed-space
+    ranges ``BgzfRange(comp_off, dskip, dlen)``, each a whole number of
+    records (``dlen`` -1 means to-EOF for the final rank). Boundaries are
+    proportional in COMPRESSED space, so with ``rank`` given only that
+    rank's prefix of the block table is walked (the rest of the returned
+    list is None), mirroring ``split_paired_ranges``'s capped mode."""
+    csize = os.path.getsize(path)
+    view = _BgzfView(path)
+    try:
+        head = view.read(1)
+        if not head:
+            return [BgzfRange(0, 0, 0)] * (n - 1) + [BgzfRange(0, 0, -1)]
+        if head not in (b">", b"@"):
+            raise SplitError(f"Unrecognized FASTX record start: {head!r}")
+        is_fastq = head == b"@"
+
+        need_hi = n - 1 if rank is None else min(rank + 1, n - 1)
+        dbounds = [0]
+        for r in range(1, need_hi + 1):
+            comp_target = csize * r // n
+            bi = view.block_at_comp(comp_target)
+            dtarget = max(view._cums[bi], dbounds[-1])
+            dbounds.append(_boundary_at(view, dtarget, _BGZF_HUGE, is_fastq))
+        ranges: list[BgzfRange | None] = []
+        for r in range(n):
+            if rank is not None and r != rank:
+                ranges.append(None)
+                continue
+            if r >= len(dbounds):
+                ranges.append(BgzfRange(0, 0, 0))
+                continue
+            d0 = dbounds[r]
+            dlen = (
+                dbounds[r + 1] - d0 if r + 1 < len(dbounds) else -1
+            )
+            if d0 >= _BGZF_HUGE:  # boundary search hit EOF: empty range
+                ranges.append(
+                    BgzfRange(0, 0, 0) if dlen != -1 else BgzfRange(0, 0, -1)
+                )
+                continue
+            import bisect
+
+            view._walk_to_dec(d0)
+            bi = max(bisect.bisect_right(view._cums, d0) - 1, 0)
+            bi = min(bi, len(view._offs) - 1)
+            ranges.append(
+                BgzfRange(view._offs[bi], d0 - view._cums[bi], dlen)
+            )
+        return ranges
+    finally:
+        view.close()
+
+
+class BgzfRangeStream:
+    """Readline/read stream over a BgzfRange of a BGZF file (the pure-
+    Python fallback for pod-data ranks when the native lib is absent)."""
+
+    def __init__(self, path, comp_off: int, dskip: int, dlen: int):
+        self._f = open(path, "rb", buffering=1 << 20)
+        self._f.seek(comp_off)
+        self._z = zlib.decompressobj(wbits=31)
+        self._left = dlen  # -1 = unbounded
+        self._buf = b""
+        self._eof = False
+        while dskip > 0:
+            chunk = self._fill_raw(min(dskip, _CHUNK))
+            if not chunk:
+                break
+            dskip -= len(chunk)
+
+    def _fill_raw(self, n: int) -> bytes:
+        """Up to ``n`` decompressed bytes straight from the codec.
+        Handles both zlib leftover channels: ``unconsumed_tail`` (input
+        withheld by max_length — re-feed to the SAME decompressor) and
+        ``unused_data`` (input past a member end — feed to a FRESH one)."""
+        out = []
+        need = n
+        while need > 0:
+            if self._z.unconsumed_tail:
+                got = self._z.decompress(self._z.unconsumed_tail, need)
+            elif self._z.eof:
+                tail = self._z.unused_data
+                if not tail:
+                    if self._eof:
+                        break
+                    tail = self._f.read(1 << 16)
+                    if not tail:
+                        self._eof = True
+                        break
+                self._z = zlib.decompressobj(wbits=31)
+                got = self._z.decompress(tail, need)
+            else:
+                raw = self._f.read(1 << 16)
+                if not raw:
+                    self._eof = True
+                    break
+                got = self._z.decompress(raw, need)
+            if got:
+                out.append(got)
+                need -= len(got)
+        return b"".join(out)
+
+    def _fill(self, n: int) -> bytes:
+        if self._left == 0:
+            return b""
+        want = n if self._left < 0 else min(n, self._left)
+        data = self._fill_raw(want)
+        if self._left > 0:
+            self._left -= len(data)
+        return data
+
+    def readline(self) -> bytes:
+        while True:
+            nl = self._buf.find(b"\n")
+            if nl >= 0:
+                line, self._buf = self._buf[: nl + 1], self._buf[nl + 1 :]
+                return line
+            more = self._fill(_CHUNK)
+            if not more:
+                line, self._buf = self._buf, b""
+                return line
+            self._buf += more
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            parts = [self._buf]
+            self._buf = b""
+            while True:
+                got = self._fill(_CHUNK)
+                if not got:
+                    break
+                parts.append(got)
+            return b"".join(parts)
+        while len(self._buf) < n:
+            got = self._fill(max(n - len(self._buf), _CHUNK))
+            if not got:
+                break
+            self._buf += got
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def close(self) -> None:
+        self._f.close()
 
 
 class RangeStream:
