@@ -372,13 +372,28 @@ def _engine_desc(decider) -> str:
 
 
 def _split_byte_range(br):
-    """Normalize a pod-data byte range: ``(s, e)`` for single-end input,
-    ``((s1, e1), (s2, e2))`` for paired files. Returns (range1, range2)."""
+    """Normalize a pod-data byte range: ``(s, e)`` or a ``BgzfRange`` for
+    single-end input, ``((s1, e1), (s2, e2))`` for paired files. Returns
+    (range1, range2)."""
     if br is None:
         return None, None
+    from ..io.split import BgzfRange
+
+    if isinstance(br, BgzfRange):
+        return br, None
     if isinstance(br[0], tuple):
         return br[0], br[1]
     return br, None
+
+
+def _range_reader(path, br) -> "FastxReader":
+    """Per-rank reader over a pod-data range (plain byte range or BGZF
+    decompressed-space range)."""
+    from ..io.split import BgzfRange, BgzfRangeStream, RangeStream
+
+    if isinstance(br, BgzfRange):
+        return FastxReader(BgzfRangeStream(path, *br))
+    return FastxReader(RangeStream(path, *br))
 
 
 def _run_native_pipeline(
@@ -404,6 +419,12 @@ def _run_native_pipeline(
     if byte_range is not None and config.input2_path is not None \
             and byte_range2 is None:
         return False  # paired ranges must come as a pair (pod-data)
+    from ..io.split import BgzfRange
+
+    if isinstance(byte_range, BgzfRange):
+        # BGZF decompressed-space ranges read through the Python
+        # BgzfRangeStream; the native reader's byte cap is raw-space only
+        return False
     from ..io.writers import resolve_codec
 
     # level validation must propagate (ref: src/local_filter.rs:95-107)
@@ -757,11 +778,7 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
         _br1, _br2 = _split_byte_range(_byte_range)
         if input_type == "single":
             if _br1 is not None:
-                from ..io.split import RangeStream
-
-                reader = FastxReader(
-                    RangeStream(config.input_path, *_br1)
-                )
+                reader = _range_reader(config.input_path, _br1)
             else:
                 reader = FastxReader.from_path(config.input_path)
             while True:

@@ -162,12 +162,22 @@ def run_pod_data(config: FilterConfig) -> None:
     nproc, rank = pod_rank()
 
     # every rank computes the same split (single-end: boundary probes only —
-    # O(1) seeks per boundary; paired: file1 boundary probes plus one
-    # counting scan of each file to align file2 at the same record indices)
+    # O(1) seeks per boundary, or a compressed-header walk for BGZF input;
+    # paired: file1 boundary probes plus one counting scan of each file to
+    # align file2 at the same record indices)
     paired = config.input2_path is not None
     if paired:
-        # rank-capped: each rank's counting scan stops at its own upper
-        # boundary, so aggregate startup I/O stays ~1 file scan total
+        from ..io.split import SplitError, is_bgzf
+
+        if is_bgzf(config.input_path) or is_bgzf(config.input2_path):
+            raise SplitError(
+                "--mesh pod-data supports BGZF input single-end only "
+                "(paired splitting needs a record-counting scan in "
+                "decompressed space); decompress first or use --mesh pod"
+            )
+        # rank-capped: rank r's counting scan stops at its own upper
+        # boundary (~(r+1)/n of each file), so the slowest rank scans each
+        # file at most once and aggregate startup I/O is ~n/2 scans, not ~n
         ranges = split_paired_ranges(
             config.input_path, config.input2_path, nproc, rank=rank
         )
@@ -175,14 +185,36 @@ def run_pod_data(config: FilterConfig) -> None:
             config.input2_path
         )
     else:
-        ranges = split_fastx_ranges(config.input_path, nproc)
+        from ..io.split import is_bgzf, split_bgzf_ranges
+
+        if is_bgzf(config.input_path):
+            # BGZF (bgzip/htslib framing, incl. this tool's own gzip
+            # output): ranks enter at block boundaries and read their
+            # decompressed-space slice (io/split.py BgzfRange)
+            ranges = split_bgzf_ranges(config.input_path, nproc, rank=rank)
+        else:
+            ranges = split_fastx_ranges(config.input_path, nproc)
         token = _input_token(config.input_path)
+    run_id = os.environ.get("DEACON_POD_RUN_ID")
+    if run_id:
+        token = token + [run_id]
     part = part_path(config.output_path, rank)
     part2 = (
         part_path(config.output2_path, rank)
         if paired and config.output2_path is not None
         else None
     )
+    # Drop this rank's own leftover sidecar BEFORE filtering: a sidecar
+    # from a completed earlier run on the same unchanged input would pass
+    # token validation and release rank 0's barrier while this run is
+    # still rewriting the part. This closes the race once the rank has
+    # started; for straggler ranks that haven't launched yet, set
+    # DEACON_POD_RUN_ID to a fresh value on all ranks (it is folded into
+    # the token) or remove leftover .pod* files before relaunching.
+    try:
+        os.unlink(part + ".stats.json")
+    except FileNotFoundError:
+        pass
 
     # Per-rank engine: by default each rank follows the normal device policy
     # over its range (host C++ extraction / single-chip device pipeline).

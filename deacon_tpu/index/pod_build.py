@@ -58,7 +58,18 @@ def run_pod_build(config) -> None:
     nproc, rank = pod_rank()
     ranges = split_fastx_ranges(config.input_path, nproc)
     token = _input_token(config.input_path)
+    run_id = os.environ.get("DEACON_POD_RUN_ID")
+    if run_id:
+        token = token + [run_id]
     part = _part_path(str(config.output_path), rank)
+    # drop this rank's own leftover sidecar before building: a sidecar from
+    # a completed earlier run on the same unchanged input would otherwise
+    # release rank 0's barrier early (see filter/pod_data.py for the full
+    # rationale and the DEACON_POD_RUN_ID escape hatch)
+    try:
+        os.unlink(part + ".stats.json")
+    except FileNotFoundError:
+        pass
 
     if rank == 0 and not config.quiet:
         _eprint(

@@ -8,10 +8,12 @@ ref: src/local_filter.rs:575, src/remote_filter.rs:431). Ranges are exact
 record starts, so every range is a whole number of records and rank
 outputs concatenate to the single-process result.
 
-Only plain (uncompressed) FASTA/FASTQ files are splittable: serial codecs
-(gz/zst/xz/bz2) have no mid-stream entry points. BGZF would allow block
-splits but records still straddle blocks; compressed pod inputs should be
-decompressed first or run through ``--mesh pod``.
+Plain (uncompressed) FASTA/FASTQ files split in raw byte space, and
+BGZF-compressed files (bgzip/htslib framing — including this tool's own
+gzip output) split in decompressed space via their block table
+(``split_bgzf_ranges``). Serial codecs (plain gz/zst/xz/bz2) have no
+mid-stream entry points; those inputs should be decompressed first or run
+through ``--mesh pod``.
 """
 
 from __future__ import annotations
@@ -128,7 +130,8 @@ def _sniff_plain(f) -> tuple[bool | None, int]:
         if head.startswith(magic):
             raise SplitError(
                 f"--mesh pod-data cannot range-split {kind}-compressed "
-                "input; decompress first or use --mesh pod"
+                "input; decompress first, re-compress with bgzip (BGZF "
+                "splits fine), or use --mesh pod"
             )
     size = os.fstat(f.fileno()).st_size
     if not head:
@@ -263,9 +266,9 @@ def split_paired_ranges(path1, path2, n: int, rank: int | None = None):
 
     With ``rank`` given, only that rank's entry is computed (the rest are
     None): the counting scans stop at rank's upper boundary instead of the
-    last interior boundary, so low ranks read only their own prefix of
-    each file (aggregate startup I/O sums to ~1 file scan across ranks
-    instead of ~n)."""
+    last interior boundary, so rank r reads only ~(r+1)/n of each file.
+    Aggregate startup I/O drops from ~n scans to ~n/2, and — the wall-clock
+    critical path — the slowest rank scans each file at most once."""
     for p in (path1, path2):
         if p is None or str(p) == "-":
             raise SplitError(
@@ -533,8 +536,9 @@ def split_bgzf_ranges(path, n: int, rank: int | None = None):
 
 
 class BgzfRangeStream:
-    """Readline/read stream over a BgzfRange of a BGZF file (the pure-
-    Python fallback for pod-data ranks when the native lib is absent)."""
+    """Readline/read stream over a BgzfRange of a BGZF file — the per-rank
+    reader for BGZF pod-data inputs (engine.run feeds it to FastxReader;
+    the native byte-range reader only handles plain files)."""
 
     def __init__(self, path, comp_off: int, dskip: int, dlen: int):
         self._f = open(path, "rb", buffering=1 << 20)
@@ -553,13 +557,16 @@ class BgzfRangeStream:
         """Up to ``n`` decompressed bytes straight from the codec.
         Handles both zlib leftover channels: ``unconsumed_tail`` (input
         withheld by max_length — re-feed to the SAME decompressor) and
-        ``unused_data`` (input past a member end — feed to a FRESH one)."""
+        ``unused_data`` (input past a member end — feed to a FRESH one).
+        The ``eof`` check must come FIRST: a max_length-limited call that
+        ends a member reports the SAME remainder in both channels
+        (measured CPython behavior: unconsumed_tail == unused_data), and
+        feeding a finished decompressor returns b"" while appending the
+        input to unused_data — an infinite loop."""
         out = []
         need = n
         while need > 0:
-            if self._z.unconsumed_tail:
-                got = self._z.decompress(self._z.unconsumed_tail, need)
-            elif self._z.eof:
+            if self._z.eof:
                 tail = self._z.unused_data
                 if not tail:
                     if self._eof:
@@ -570,6 +577,8 @@ class BgzfRangeStream:
                         break
                 self._z = zlib.decompressobj(wbits=31)
                 got = self._z.decompress(tail, need)
+            elif self._z.unconsumed_tail:
+                got = self._z.decompress(self._z.unconsumed_tail, need)
             else:
                 raw = self._f.read(1 << 16)
                 if not raw:

@@ -9,8 +9,8 @@ for those two input lengths.
 
 This module implements the XXH3 small-input paths (4..8 and 9..16 bytes) as
 vectorized NumPy uint64 math, validated against the ``xxhash`` wheel in
-tests/test_xxh3.py.  A mirrored jnp implementation lives in
-deacon_tpu/ops/device_hash.py for the on-device pipeline.
+tests/test_xxh3.py.  A mirrored (lo, hi)-u32-pair implementation lives in
+deacon_tpu/ops/u64pair.py for the on-device pipeline.
 """
 
 from __future__ import annotations

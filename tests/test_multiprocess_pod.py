@@ -277,6 +277,86 @@ def test_pod_data_single_process(tmp_path):
     assert s["seqs_in"] == 20 and s["seqs_out"] == 10
 
 
+def test_pod_data_bgzf_input(tmp_path, monkeypatch):
+    """BGZF-compressed input splits across pod-data ranks in decompressed
+    space (io/split.py BgzfRange): two sequential in-process ranks over a
+    bgzip-style file produce output byte-identical to a plain-input run
+    (ADVICE r2: the BGZF splitting section is now live)."""
+    from helpers import bgzf_compress
+
+    from deacon_tpu.config import FilterConfig
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    rng = np.random.default_rng(29)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 3000).astype(np.uint8)
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(genome.tobytes(), 31, 15),
+        IndexHeader.new(31, 15),
+        idx,
+    )
+    g = genome.tobytes()
+    raw = bytearray()
+    for i in range(20):
+        seq = g[(i * 130) % 2800 : (i * 130) % 2800 + 150]
+        raw += b"@m%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq))
+    for i in range(20):
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 150))
+        raw += b"@x%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq))
+    plain = tmp_path / "reads.fq"
+    plain.write_bytes(bytes(raw))
+    bgzf = tmp_path / "reads.fq.gz"
+    bgzf.write_bytes(bgzf_compress(bytes(raw), block=512))
+
+    out_ref = tmp_path / "ref.fq"
+    FilterConfig(
+        minimizers_path=str(idx), input_path=str(plain),
+        output_path=str(out_ref), deplete=True, quiet=True,
+    ).execute()
+
+    out = tmp_path / "pod.fq"
+    monkeypatch.setenv("DEACON_NUM_PROC", "2")
+    base = dict(
+        minimizers_path=str(idx), input_path=str(bgzf),
+        output_path=str(out), deplete=True, quiet=True, mesh="pod-data",
+    )
+    # rank 1 first (writes its part + sidecar and returns), then rank 0
+    # (filters its own range, waits on the sidecar barrier, concatenates)
+    monkeypatch.setenv("DEACON_PROC_ID", "1")
+    FilterConfig(**base).execute()
+    monkeypatch.setenv("DEACON_PROC_ID", "0")
+    FilterConfig(**base).execute()
+    assert out.read_bytes() == out_ref.read_bytes()
+    assert not (tmp_path / "pod.fq.pod0").exists()
+    assert not (tmp_path / "pod.fq.pod1").exists()
+
+
+def test_pod_data_paired_bgzf_rejected(tmp_path):
+    from helpers import bgzf_compress
+
+    from deacon_tpu.config import FilterConfig
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(b"ACGT" * 300, 31, 15),
+        IndexHeader.new(31, 15), idx,
+    )
+    rec = b"@a\n" + b"ACGT" * 40 + b"\n+\n" + b"I" * 160 + b"\n"
+    r1 = tmp_path / "r1.fq.gz"
+    r1.write_bytes(bgzf_compress(rec))
+    r2 = tmp_path / "r2.fq"
+    r2.write_bytes(rec)
+    with pytest.raises(ValueError, match="single-end only"):
+        FilterConfig(
+            minimizers_path=str(idx), input_path=str(r1),
+            input2_path=str(r2), output_path=str(tmp_path / "o.fq"),
+            mesh="pod-data", quiet=True,
+        ).execute()
+
+
 def test_pod_data_validation(tmp_path):
     from deacon_tpu.config import FilterConfig
     from deacon_tpu.index.store import IndexHeader, write_index

@@ -302,3 +302,92 @@ def test_paired_split_rank_capped(tmp_path):
             capped = split_paired_ranges(p1, p2, n, rank=r)
             assert capped[r] == full[r]
             assert all(c is None for i, c in enumerate(capped) if i != r)
+
+
+# ---------------------------------------------------------------------------
+# BGZF (blocked gzip) splitting: ranks enter at block boundaries and read
+# decompressed-space ranges (split_bgzf_ranges / BgzfRangeStream)
+# ---------------------------------------------------------------------------
+
+
+def _parse_bgzf_range(path, br):
+    from deacon_tpu.io.split import BgzfRangeStream
+
+    reader = FastxReader(BgzfRangeStream(path, *br))
+    return [(r.id, r.seq, r.qual) for r in reader]
+
+
+def _check_bgzf_split(path, whole, n):
+    from deacon_tpu.io.split import split_bgzf_ranges
+
+    ranges = split_bgzf_ranges(path, n)
+    joined = []
+    for br in ranges:
+        joined.extend(_parse_bgzf_range(path, br))
+    assert joined == whole
+    # rank-capped mode computes exactly the full split's entry for the rank
+    for r in range(n):
+        capped = split_bgzf_ranges(path, n, rank=r)
+        assert capped[r] == ranges[r]
+        assert all(c is None for i, c in enumerate(capped) if i != r)
+    return ranges
+
+
+def test_bgzf_split_fastq(tmp_path):
+    from helpers import bgzf_compress
+
+    rng = np.random.default_rng(61)
+    raw = bytearray()
+    for i in range(101):
+        n = int(rng.integers(20, 200))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+        raw += b"@read%d desc\n%s\n+\n%s\n" % (i, seq, b"I" * n)
+    path = tmp_path / "r.fq.gz"
+    path.write_bytes(bgzf_compress(bytes(raw), block=256))  # many blocks
+    plain = tmp_path / "r.fq"
+    plain.write_bytes(bytes(raw))
+    whole = _parse(str(plain))
+    for n in (1, 2, 3, 5, 16):
+        _check_bgzf_split(str(path), whole, n)
+
+
+def test_bgzf_split_fasta_multiline(tmp_path):
+    from helpers import bgzf_compress
+
+    rng = np.random.default_rng(67)
+    raw = bytearray()
+    for i in range(40):
+        n = int(rng.integers(50, 500))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+        raw += b">contig%d\n" % i
+        for j in range(0, n, 60):
+            raw += seq[j : j + 60] + b"\n"
+    path = tmp_path / "m.fa.gz"
+    path.write_bytes(bgzf_compress(bytes(raw), block=512))
+    plain = tmp_path / "m.fa"
+    plain.write_bytes(bytes(raw))
+    whole = _parse(str(plain))
+    for n in (1, 2, 4, 9):
+        _check_bgzf_split(str(path), whole, n)
+
+
+def test_bgzf_split_empty(tmp_path):
+    from helpers import BGZF_EOF
+
+    from deacon_tpu.io.split import BgzfRange, split_bgzf_ranges
+
+    path = tmp_path / "e.fq.gz"
+    path.write_bytes(BGZF_EOF)
+    ranges = split_bgzf_ranges(str(path), 3)
+    assert ranges[-1].dlen == -1
+    assert all(_parse_bgzf_range(str(path), br) == [] for br in ranges)
+
+
+def test_bgzf_serial_gzip_rejected(tmp_path):
+    from deacon_tpu.io.split import is_bgzf
+
+    path = tmp_path / "r.fq.gz"
+    path.write_bytes(gzip.compress(b"@a\nACGT\n+\nIIII\n"))
+    assert not is_bgzf(str(path))
+    with pytest.raises(SplitError):
+        split_fastx_ranges(str(path), 2)
