@@ -80,7 +80,8 @@ def _add_filter_like_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--device", default="auto",
                    choices=["auto", "tpu", "cpu", "numpy"],
                    help="compute backend (TPU-native extension flag)")
-    p.add_argument("--mesh", default=None, metavar="DATAxSHARD|pod|pod-data",
+    p.add_argument("--mesh", default=None,
+                   metavar="DATAxSHARD|pod|pod-data|pod-2d",
                    help="device mesh, e.g. 2x4: reads data-parallel over "
                         "DATA chips, index range-sharded over SHARD chips. "
                         "'pod': jax.distributed multi-host mode (DEACON_COORD/"
@@ -88,8 +89,11 @@ def _add_filter_like_args(p: argparse.ArgumentParser) -> None:
                         "holds only its index slice and must be fed the same "
                         "input. 'pod-data': each host filters its own byte "
                         "range of the input(s) on a rank-local mesh — "
-                        "aggregate reads/s scales with hosts (plain "
-                        "single-end or paired file inputs; TPU-native "
+                        "aggregate reads/s scales with hosts (plain or BGZF "
+                        "single-end, or plain paired file inputs). 'pod-2d': "
+                        "both axes at once — rank groups of DEACON_POD_SHARDS "
+                        "hosts each own a byte range while the index shards "
+                        "across the hosts within the group (TPU-native "
                         "extension flag)")
 
 
@@ -167,9 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_server.add_argument("--device", default="host", choices=["host", "jax"],
                           help="run membership decisions on the host probe "
                                "(default) or the accelerator")
-    p_server.add_argument("--mesh", default=None, metavar="DATAxSHARD",
-                          help="shard the index across a device mesh (e.g. 1x4); "
-                               "implies --device jax")
+    p_server.add_argument("--mesh", default=None, metavar="DATAxSHARD|pod",
+                          help="shard the index across a device mesh (e.g. "
+                               "1x4), or 'pod': across the hosts of a "
+                               "jax.distributed pod (DEACON_COORD/"
+                               "DEACON_NUM_PROC/DEACON_PROC_ID; rank 0 "
+                               "serves HTTP, other ranks mirror its probe "
+                               "collectives); implies --device jax")
 
     p_client = sub.add_parser(
         "client", help="filter by streaming pre-hashed minimizers to a server"

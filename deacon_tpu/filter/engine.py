@@ -104,9 +104,19 @@ class DeviceDecider:
 
     Falls back to the host decider per batch on budget overflow (adversarial
     minimizer density or monster contigs).
+
+    ``resolve_depth`` tells the engine loop how many launched batches to
+    keep in flight before resolving the oldest: all their outputs then
+    materialize in ONE fused d2h (ops/engine.py FetchGroup). Deep pipelines
+    matter doubly on the tunneled axon backend, where the FIRST
+    materialization permanently degrades per-dispatch speed (PERFNOTES.md
+    cassette notes) — everything dispatched before it executes at full rate
+    during the journal flush.
     """
 
     def __init__(self, index, k: int, w: int, device: str, fallback: HostDecider):
+        import os
+
         import jax
 
         from ..ops.engine import BudgetOverflow, DevicePipeline
@@ -117,6 +127,7 @@ class DeviceDecider:
             dev = jax.devices(device)[0]
         self.pipe = DevicePipeline(index.hashes, k, w, device=dev)
         self.fallback = fallback
+        self.resolve_depth = int(os.environ.get("DEACON_RESOLVE_DEPTH", "64"))
 
     def _decide(self, hits, totals, cfg: FilterConfig):
         return _decisions_from_counts(hits, totals, cfg)
@@ -175,12 +186,18 @@ class ShardedDecider:
     devices only; no cross-host collectives in the hot loop) and is fed a
     disjoint byte range of the input by filter/pod_data.py, so aggregate
     reads/s scales with hosts.
+
+    mesh_spec "pod-2d": the combined mode — ranks form groups of
+    DEACON_POD_SHARDS processes; the index shards across the hosts WITHIN
+    this rank's group (memory scales with shards) while each group is fed
+    its own byte range by filter/pod_data.py (reads/s scales with groups).
     """
 
     def __init__(self, index, k: int, w: int, mesh_spec: str, fallback,
                  index_path=None):
         from ..parallel.multihost import (
             make_local_pipeline_from_file,
+            make_pod2d_pipeline_from_file,
             make_pod_pipeline_from_file,
             maybe_init_distributed,
         )
@@ -190,6 +207,8 @@ class ShardedDecider:
         from ..parallel.sharded import ShardedPipeline, make_mesh, parse_mesh_spec
         if mesh_spec == "pod":
             self.pipe = make_pod_pipeline_from_file(str(index_path))
+        elif mesh_spec == "pod-2d":
+            self.pipe = make_pod2d_pipeline_from_file(str(index_path))
         elif mesh_spec == "pod-data":
             self.pipe = make_local_pipeline_from_file(str(index_path))
         else:
@@ -198,9 +217,12 @@ class ShardedDecider:
                 index.hashes, k, w, make_mesh(n_data, n_shard)
             )
         self.fallback = fallback
+        import os
+
         from ..ops.engine import BudgetOverflow
 
         self._overflow = BudgetOverflow
+        self.resolve_depth = int(os.environ.get("DEACON_RESOLVE_DEPTH", "64"))
 
     def _decide(self, hits, totals, cfg: FilterConfig):
         return _decisions_from_counts(hits, totals, cfg)
@@ -306,7 +328,7 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     sidecar path and lands here.
     """
     mesh_spec = getattr(cfg, "mesh", None)
-    if mesh_spec in ("pod", "pod-data") and cfg.minimizers_path is not None:
+    if mesh_spec in ("pod", "pod-data", "pod-2d") and cfg.minimizers_path is not None:
         if cfg.debug:
             raise ValueError(f"--debug is not supported with --mesh {mesh_spec}")
         return ShardedDecider(None, k, w, mesh_spec, None,
@@ -564,6 +586,12 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
         from .pod_data import run_pod_data
 
         return run_pod_data(config)
+    if getattr(config, "mesh", None) == "pod-2d" and _byte_range is None:
+        # combined 2D mode: split the input across rank GROUPS, index
+        # sharded across each group's hosts (filter/pod_data.py)
+        from .pod_data import run_pod_2d
+
+        return run_pod_2d(config)
     start_time = time.monotonic()
     tool_version = f"{TOOL_NAME} {VERSION}"
     quiet = config.quiet or config.debug  # ref: src/local_filter.rs:581
@@ -599,7 +627,7 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
         from ..index.store import warn_if_foreign_index
 
         warn_if_foreign_index(config.minimizers_path)
-        if getattr(config, "mesh", None) in ("pod", "pod-data"):
+        if getattr(config, "mesh", None) in ("pod", "pod-data", "pod-2d"):
             # pod modes never materialize the full index on any host —
             # the decider stream-decodes per-shard slices from the file
             from ..index.store import load_header_and_count
@@ -770,11 +798,34 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
         flush_buffers()
         spinner.update(stats, filtering_start)
 
-    # Two-deep software pipeline: device batch N stays in flight while the
-    # host reads batch N+1 and writes batch N-1 (the TPU analogue of the
-    # reference's reader/worker/writer thread pipeline, SURVEY §2.3).
+    # Software pipeline, resolve_depth deep: up to `depth` launched device
+    # batches stay in flight while the host reads ahead and writes behind
+    # (the TPU analogue of the reference's reader/worker/writer thread
+    # pipeline, SURVEY §2.3). Deep pipelines let the decider's FetchGroup
+    # materialize many batches' outputs in one fused d2h; host memory is
+    # bounded by DEACON_RESOLVE_MAX_MB of buffered record bytes (default
+    # 512). Host deciders resolve immediately (depth 1: plain double
+    # buffering).
     try:
-        pending = None
+        import os as _os
+        from collections import deque
+
+        depth = max(1, int(getattr(decider, "resolve_depth", 1)))
+        max_bytes = int(
+            float(_os.environ.get("DEACON_RESOLVE_MAX_MB", "512")) * 1e6
+        )
+        pending: deque = deque()
+        pending_bytes = 0
+
+        def drain(process_fn, everything=False):
+            nonlocal pending_bytes
+            while pending and (
+                everything or len(pending) > depth or pending_bytes > max_bytes
+            ):
+                recs, fut, nb = pending.popleft()
+                pending_bytes -= nb
+                process_fn(recs, fut())
+
         _br1, _br2 = _split_byte_range(_byte_range)
         if input_type == "single":
             if _br1 is not None:
@@ -783,18 +834,16 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
                 reader = FastxReader.from_path(config.input_path)
             while True:
                 records = read_batch(reader, config.batch_size)
-                fut = (
-                    decider.launch_unpaired(
-                        [r.seq for r in records], config.prefix_length, config
-                    )
-                    if records
-                    else None
-                )
-                if pending is not None:
-                    process_single(pending[0], pending[1]())
                 if not records:
+                    drain(process_single, everything=True)
                     break
-                pending = (records, fut)
+                fut = decider.launch_unpaired(
+                    [r.seq for r in records], config.prefix_length, config
+                )
+                nb = sum(len(r.seq) for r in records)
+                pending.append((records, fut, nb))
+                pending_bytes += nb
+                drain(process_single)
         else:
             if input_type == "interleaved":
                 reader = FastxReader.from_path("-")
@@ -816,20 +865,18 @@ def run(config: FilterConfig, _byte_range=None, _return_stats=False):
                         pairs.append(next(pair_iter))
                     except StopIteration:
                         break
-                fut = (
-                    decider.launch_paired(
-                        [(a.seq, b.seq) for a, b in pairs],
-                        config.prefix_length,
-                        config,
-                    )
-                    if pairs
-                    else None
-                )
-                if pending is not None:
-                    process_pairs(pending[0], pending[1]())
                 if not pairs:
+                    drain(process_pairs, everything=True)
                     break
-                pending = (pairs, fut)
+                fut = decider.launch_paired(
+                    [(a.seq, b.seq) for a, b in pairs],
+                    config.prefix_length,
+                    config,
+                )
+                nb = sum(len(a.seq) + len(b.seq) for a, b in pairs)
+                pending.append((pairs, fut, nb))
+                pending_bytes += nb
+                drain(process_pairs)
     finally:
         spinner.finish()
 

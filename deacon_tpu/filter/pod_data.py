@@ -152,9 +152,174 @@ def _await_stats(output_path: str, nproc: int, token: list[int],
         time.sleep(0.05)
 
 
+def _compute_ranges(config: FilterConfig, n: int, rank: int):
+    """Record-aligned input ranges for ``n`` consumers; only entry ``rank``
+    is guaranteed non-None (rank-capped scans). Returns (ranges, token)."""
+    from ..io.split import (
+        SplitError,
+        is_bgzf,
+        split_bgzf_ranges,
+        split_fastx_ranges,
+        split_paired_ranges,
+    )
+
+    paired = config.input2_path is not None
+    if paired:
+        if is_bgzf(config.input_path) or is_bgzf(config.input2_path):
+            raise SplitError(
+                f"--mesh {config.mesh} supports BGZF input single-end only "
+                "(paired splitting needs a record-counting scan in "
+                "decompressed space); decompress first or use --mesh pod"
+            )
+        # rank-capped: rank r's counting scan stops at its own upper
+        # boundary (~(r+1)/n of each file), so the slowest rank scans each
+        # file at most once and aggregate startup I/O is ~n/2 scans, not ~n
+        ranges = split_paired_ranges(
+            config.input_path, config.input2_path, n, rank=rank
+        )
+        token = _input_token(config.input_path) + _input_token(
+            config.input2_path
+        )
+    else:
+        if is_bgzf(config.input_path):
+            # BGZF (bgzip/htslib framing, incl. this tool's own gzip
+            # output): ranks enter at block boundaries and read their
+            # decompressed-space slice (io/split.py BgzfRange)
+            ranges = split_bgzf_ranges(config.input_path, n, rank=rank)
+        else:
+            ranges = split_fastx_ranges(config.input_path, n)
+        token = _input_token(config.input_path)
+    run_id = os.environ.get("DEACON_POD_RUN_ID")
+    if run_id:
+        token = token + [run_id]
+    return ranges, token
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+
+
+def _merge_parts(config: FilterConfig, n_parts: int, token, stats,
+                 part2) -> None:
+    """Rank 0: wait on every part's stats sidecar, aggregate stats in place,
+    concatenate the parts into the final output(s), clean up."""
+    timeout = float(os.environ.get("DEACON_POD_TIMEOUT", "86400"))
+    payloads = _await_stats(config.output_path, n_parts, token, timeout)
+    for f in _STATS_FIELDS:
+        setattr(stats, f, sum(p[f] for p in payloads))
+    finals = [config.output_path]
+    if part2 is not None:
+        finals.append(config.output2_path)
+    for fi, final in enumerate(finals):
+        with open(final, "wb") as out:
+            for r in range(n_parts):
+                p = part_path(final, r)
+                with open(p, "rb") as src:
+                    while True:
+                        chunk = src.read(1 << 22)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                os.unlink(p)
+                if fi == 0:
+                    os.unlink(p + ".stats.json")
+
+
+def run_pod_2d(config: FilterConfig) -> None:
+    """``--mesh pod-2d``: the combined 2D distribution (VERDICT r2 item 3).
+
+    The N ranks form G groups of S = ``DEACON_POD_SHARDS`` consecutive
+    processes (N = G*S). Each GROUP owns one record-aligned byte range of
+    the input (reads/s scales with G, like pod-data), while WITHIN a group
+    the index is value-range sharded across the S hosts' devices and
+    membership merges with a psum over the group mesh (index memory scales
+    with S, like pod) — so an index too big for one host can still be
+    filtered at scaled reads/s. Every rank of a group streams the same
+    range (group-SPMD; decisions replicate within the group); the group
+    leader (rank % S == 0) writes the group's part, and global rank 0
+    concatenates parts exactly like pod-data.
+
+    Requires jax.distributed (``DEACON_COORD`` et al.): the group meshes
+    span processes.
+    """
+    import dataclasses as _dc
+
+    from ..parallel.multihost import maybe_init_distributed
+    from . import engine
+
+    _validate(config)
+    start_time = time.monotonic()
+    nproc, rank = pod_rank()
+    try:
+        n_shard = int(os.environ.get("DEACON_POD_SHARDS", ""))
+    except ValueError:
+        n_shard = 0
+    if n_shard <= 0 or nproc % n_shard:
+        raise ValueError(
+            "--mesh pod-2d requires DEACON_POD_SHARDS (index shards per "
+            f"group) to divide DEACON_NUM_PROC; got shards="
+            f"{os.environ.get('DEACON_POD_SHARDS')!r}, nproc={nproc}"
+        )
+    if nproc > 1 and not os.environ.get("DEACON_COORD"):
+        raise ValueError(
+            "--mesh pod-2d needs jax.distributed: set DEACON_COORD, "
+            "DEACON_NUM_PROC and DEACON_PROC_ID on every rank"
+        )
+    maybe_init_distributed()
+    n_groups = nproc // n_shard
+    group, leader = rank // n_shard, rank % n_shard == 0
+
+    ranges, token = _compute_ranges(config, n_groups, group)
+    paired = config.input2_path is not None
+    part = part_path(config.output_path, group)
+    part2 = (
+        part_path(config.output2_path, group)
+        if paired and config.output2_path is not None
+        else None
+    )
+    if leader:
+        # see run_pod_data: drop this group's leftover sidecar up front
+        _unlink_quiet(part + ".stats.json")
+
+    sub = _dc.replace(
+        config,
+        mesh="pod-2d",
+        output_path=part if leader else os.devnull,
+        output2_path=(part2 if leader else os.devnull)
+        if part2 is not None else None,
+        summary_path=None,
+        quiet=config.quiet or rank != 0,
+    )
+    stats, k, w = engine.run(sub, _byte_range=ranges[group], _return_stats=True)
+
+    keep_parts = os.environ.get("DEACON_POD_PARTS") == "keep"
+    quiet = config.quiet or config.debug
+    if keep_parts:
+        if rank == 0 and not quiet:
+            print(
+                "DEACON_POD_PARTS=keep: per-group outputs left in place; "
+                "stats below are group 0's shard only",
+                file=sys.stderr,
+            )
+    else:
+        if leader:
+            _write_stats_sidecar(part, stats, token)
+        if rank == 0:
+            _merge_parts(config, n_groups, token, stats, part2)
+
+    if rank == 0:
+        engine._finish_run(
+            config, stats, start_time, quiet,
+            f"{engine.TOOL_NAME} {engine.VERSION}",
+            str(config.minimizers_path), k, w,
+        )
+
+
 def run_pod_data(config: FilterConfig) -> None:
     """Entry point called by filter.engine.run for ``--mesh pod-data``."""
-    from ..io.split import split_fastx_ranges, split_paired_ranges
     from . import engine
 
     _validate(config)
@@ -166,38 +331,7 @@ def run_pod_data(config: FilterConfig) -> None:
     # paired: file1 boundary probes plus one counting scan of each file to
     # align file2 at the same record indices)
     paired = config.input2_path is not None
-    if paired:
-        from ..io.split import SplitError, is_bgzf
-
-        if is_bgzf(config.input_path) or is_bgzf(config.input2_path):
-            raise SplitError(
-                "--mesh pod-data supports BGZF input single-end only "
-                "(paired splitting needs a record-counting scan in "
-                "decompressed space); decompress first or use --mesh pod"
-            )
-        # rank-capped: rank r's counting scan stops at its own upper
-        # boundary (~(r+1)/n of each file), so the slowest rank scans each
-        # file at most once and aggregate startup I/O is ~n/2 scans, not ~n
-        ranges = split_paired_ranges(
-            config.input_path, config.input2_path, nproc, rank=rank
-        )
-        token = _input_token(config.input_path) + _input_token(
-            config.input2_path
-        )
-    else:
-        from ..io.split import is_bgzf, split_bgzf_ranges
-
-        if is_bgzf(config.input_path):
-            # BGZF (bgzip/htslib framing, incl. this tool's own gzip
-            # output): ranks enter at block boundaries and read their
-            # decompressed-space slice (io/split.py BgzfRange)
-            ranges = split_bgzf_ranges(config.input_path, nproc, rank=rank)
-        else:
-            ranges = split_fastx_ranges(config.input_path, nproc)
-        token = _input_token(config.input_path)
-    run_id = os.environ.get("DEACON_POD_RUN_ID")
-    if run_id:
-        token = token + [run_id]
+    ranges, token = _compute_ranges(config, nproc, rank)
     part = part_path(config.output_path, rank)
     part2 = (
         part_path(config.output2_path, rank)
@@ -211,10 +345,7 @@ def run_pod_data(config: FilterConfig) -> None:
     # started; for straggler ranks that haven't launched yet, set
     # DEACON_POD_RUN_ID to a fresh value on all ranks (it is folded into
     # the token) or remove leftover .pod* files before relaunching.
-    try:
-        os.unlink(part + ".stats.json")
-    except FileNotFoundError:
-        pass
+    _unlink_quiet(part + ".stats.json")
 
     # Per-rank engine: by default each rank follows the normal device policy
     # over its range (host C++ extraction / single-chip device pipeline).
@@ -248,26 +379,7 @@ def run_pod_data(config: FilterConfig) -> None:
     else:
         _write_stats_sidecar(part, stats, token)
         if rank == 0:
-            timeout = float(os.environ.get("DEACON_POD_TIMEOUT", "86400"))
-            payloads = _await_stats(config.output_path, nproc, token, timeout)
-            for f in _STATS_FIELDS:
-                setattr(stats, f, sum(p[f] for p in payloads))
-            finals = [config.output_path]
-            if part2 is not None:
-                finals.append(config.output2_path)
-            for fi, final in enumerate(finals):
-                with open(final, "wb") as out:
-                    for r in range(nproc):
-                        p = part_path(final, r)
-                        with open(p, "rb") as src:
-                            while True:
-                                chunk = src.read(1 << 22)
-                                if not chunk:
-                                    break
-                                out.write(chunk)
-                        os.unlink(p)
-                        if fi == 0:
-                            os.unlink(p + ".stats.json")
+            _merge_parts(config, nproc, token, stats, part2)
 
     if rank == 0:
         engine._finish_run(

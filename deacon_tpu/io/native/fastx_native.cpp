@@ -5749,3 +5749,171 @@ int dx_filter_run(const char* input, const char* input2, const char* output,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Paired pod-data split scans (io/split.py split_paired_ranges): record
+// counting at memcpy-class speed instead of the ~1.3 GB/s chunked-Python
+// scan (VERDICT r2 item 6). Both functions mmap the file read-only and
+// mirror the Python reference scans bit-for-bit (_records_at_offsets /
+// _offsets_at_records), which remain the fallback when the lib is absent.
+// ---------------------------------------------------------------------------
+
+namespace splitscan {
+
+struct MappedFile {
+  const uint8_t* p = nullptr;
+  int64_t size = 0;
+  int fd = -1;
+  bool ok = false;
+  explicit MappedFile(const char* path) {
+    fd = open(path, O_RDONLY);
+    if (fd < 0) return;
+    struct stat st;
+    if (fstat(fd, &st) != 0) return;
+    size = (int64_t)st.st_size;
+    if (size == 0) {
+      ok = true;  // nothing to map; scans see an empty file
+      return;
+    }
+    void* m = mmap(nullptr, (size_t)size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (m == MAP_FAILED) return;
+#ifdef MADV_SEQUENTIAL
+    madvise(m, (size_t)size, MADV_SEQUENTIAL);
+#endif
+    p = (const uint8_t*)m;
+    ok = true;
+  }
+  ~MappedFile() {
+    if (p) munmap((void*)p, (size_t)size);
+    if (fd >= 0) close(fd);
+  }
+};
+
+// newlines in [begin, end) — glibc memchr is SIMD; cost scales with the
+// newline density, ~GB/s-to-memory-speed on FASTX line lengths
+static int64_t count_nl(const uint8_t* p, int64_t begin, int64_t end) {
+  int64_t c = 0;
+  const uint8_t* q = p + begin;
+  const uint8_t* lim = p + end;
+  while (q < lim) {
+    const uint8_t* hit = (const uint8_t*)memchr(q, '\n', (size_t)(lim - q));
+    if (!hit) break;
+    ++c;
+    q = hit + 1;
+  }
+  return c;
+}
+
+// "\n>" pairs with the '>' at index < end (virtual newline before index 0)
+static int64_t count_fasta_starts(const uint8_t* p, int64_t begin,
+                                  int64_t end, int64_t file_begin) {
+  int64_t c = 0;
+  if (begin == file_begin && begin < end && p[begin] == '>') ++c;
+  const uint8_t* q = p + (begin > 0 ? begin - 1 : begin);
+  const uint8_t* lim = p + end;  // '>' must be < end
+  while (q + 1 < lim) {
+    const uint8_t* hit = (const uint8_t*)memchr(q, '\n', (size_t)(lim - q));
+    if (!hit || hit + 1 >= lim) break;
+    if (hit[1] == '>') ++c;
+    q = hit + 1;
+  }
+  return c;
+}
+
+}  // namespace splitscan
+
+extern "C" {
+
+// Record index at each byte offset (offsets sorted ascending, each an exact
+// record start or the file size). 0 = ok, -1 = open/map failure,
+// -2 = an offset is not a FASTQ record boundary.
+int dx_records_at_offsets(const char* path, const int64_t* offsets, int n,
+                          int is_fastq, int64_t* out) {
+  splitscan::MappedFile mf(path);
+  if (!mf.ok) return -1;
+  int64_t pos = 0, count = 0;
+  for (int i = 0; i < n; ++i) {
+    int64_t off = offsets[i];
+    if (off > mf.size) off = mf.size;
+    if (is_fastq) {
+      count += splitscan::count_nl(mf.p, pos, off);
+      pos = off;
+      int64_t eff = count;
+      // EOF closes an unterminated final line (same rule as the parsers)
+      if (off == mf.size && mf.size > 0 && mf.p[mf.size - 1] != '\n') ++eff;
+      if (eff % 4) return -2;
+      out[i] = eff / 4;
+    } else {
+      count += splitscan::count_fasta_starts(mf.p, pos, off, 0);
+      pos = off;
+      out[i] = count;
+    }
+  }
+  return 0;
+}
+
+// Byte offset of the start of record k for each k (sorted ascending),
+// clamped to the file size when the file has fewer records. 0 = ok,
+// -1 = open/map failure.
+int dx_offsets_at_records(const char* path, const int64_t* records, int n,
+                          int is_fastq, int64_t* out) {
+  splitscan::MappedFile mf(path);
+  if (!mf.ok) return -1;
+  int64_t pos = 0;    // scan cursor
+  int64_t found = 0;  // newlines (FASTQ) / record starts (FASTA) so far
+  for (int i = 0; i < n; ++i) {
+    int64_t k = records[i];
+    if (k == 0) {
+      out[i] = 0;
+      continue;
+    }
+    if (is_fastq) {
+      int64_t target = 4 * k;
+      while (found < target) {
+        const uint8_t* hit = (const uint8_t*)memchr(
+            mf.p + pos, '\n', (size_t)(mf.size - pos));
+        if (!hit) {
+          pos = mf.size;
+          break;
+        }
+        pos = (hit - mf.p) + 1;
+        ++found;
+      }
+      out[i] = (found == target) ? pos : mf.size;
+    } else {
+      int64_t target = k + 1;
+      int64_t start_off = -1;
+      if (found == 0 && pos == 0 && mf.size > 0 && mf.p[0] == '>') {
+        ++found;
+        start_off = 0;
+        pos = 1;
+        if (found == target) {
+          out[i] = start_off;
+          continue;
+        }
+      }
+      while (found < target) {
+        const uint8_t* hit = (const uint8_t*)memchr(
+            mf.p + (pos > 0 ? pos - 1 : 0), '\n',
+            (size_t)(mf.size - (pos > 0 ? pos - 1 : 0)));
+        const uint8_t* lim = mf.p + mf.size;
+        // find the next "\n>" pair at/after the cursor
+        while (hit && (hit + 1 >= lim || hit[1] != '>'))
+          hit = (const uint8_t*)memchr(hit + 1, '\n',
+                                       (size_t)(lim - (hit + 1)));
+        if (!hit) {
+          pos = mf.size;
+          start_off = -1;
+          break;
+        }
+        ++found;
+        start_off = (hit + 1) - mf.p;
+        pos = start_off + 1;
+      }
+      out[i] = (found == target && start_off >= 0) ? start_off : mf.size;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

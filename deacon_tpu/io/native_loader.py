@@ -128,6 +128,16 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.dx_records_at_offsets.restype = ctypes.c_int
+        lib.dx_records_at_offsets.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.dx_offsets_at_records.restype = ctypes.c_int
+        lib.dx_offsets_at_records.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
         lib.dx_u64_diff_sorted_unique.restype = ctypes.c_int64
         lib.dx_u64_diff_sorted_unique.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,

@@ -254,6 +254,63 @@ def _offsets_at_records(f, size: int, indices: list[int], is_fastq: bool):
     return out
 
 
+def _native_records_at_offsets(path, offsets, is_fastq):
+    """dx_records_at_offsets: the C++ mmap scan (~memory speed vs ~1.3 GB/s
+    chunked Python). Returns None to fall back; raises SplitError on a
+    non-boundary offset (same contract as _records_at_offsets)."""
+    try:
+        from .native_loader import get_lib
+    except Exception:
+        return None
+    lib = get_lib()
+    if lib is None or not offsets:
+        return None
+    import ctypes
+
+    import numpy as np
+
+    offs = np.asarray(offsets, dtype=np.int64)
+    out = np.empty(offs.size, dtype=np.int64)
+    rc = lib.dx_records_at_offsets(
+        str(path).encode(), offs.ctypes.data_as(ctypes.c_void_p),
+        int(offs.size), int(bool(is_fastq)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == -2:
+        raise SplitError(
+            "offset is not a FASTQ record boundary (records must be "
+            "exactly 4 lines)"
+        )
+    if rc != 0:
+        return None
+    return out.tolist()
+
+
+def _native_offsets_at_records(path, indices, is_fastq):
+    """dx_offsets_at_records twin of _native_records_at_offsets."""
+    try:
+        from .native_loader import get_lib
+    except Exception:
+        return None
+    lib = get_lib()
+    if lib is None or not indices:
+        return None if indices else []
+    import ctypes
+
+    import numpy as np
+
+    recs = np.asarray(indices, dtype=np.int64)
+    out = np.empty(recs.size, dtype=np.int64)
+    rc = lib.dx_offsets_at_records(
+        str(path).encode(), recs.ctypes.data_as(ctypes.c_void_p),
+        int(recs.size), int(bool(is_fastq)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out.tolist()
+
+
 def split_paired_ranges(path1, path2, n: int, rank: int | None = None):
     """Split a paired-end input (two parallel FASTX files) into ``n``
     rank ranges: file1 is byte-split at record boundaries, then file2 is
@@ -285,18 +342,24 @@ def split_paired_ranges(path1, path2, n: int, rank: int | None = None):
             if is_fq1 is None:
                 recs = [0] * need
             else:
-                f1.seek(0)
-                recs = _records_at_offsets(
-                    f1, size1, interior[:need], is_fq1
+                recs = _native_records_at_offsets(
+                    path1, interior[:need], is_fq1
                 )
+                if recs is None:
+                    f1.seek(0)
+                    recs = _records_at_offsets(
+                        f1, size1, interior[:need], is_fq1
+                    )
     with open(path2, "rb") as f2:
         is_fq2, size2 = _sniff_plain(f2)
         if is_fq2 is None:
             offs2 = [0] * need
             size2 = 0
         else:
-            f2.seek(0)
-            offs2 = _offsets_at_records(f2, size2, recs, is_fq2)
+            offs2 = _native_offsets_at_records(path2, recs, is_fq2)
+            if offs2 is None:
+                f2.seek(0)
+                offs2 = _offsets_at_records(f2, size2, recs, is_fq2)
     bounds2 = [0] + offs2 + [size2] * (n - need)
     ranges2 = [(bounds2[r], bounds2[r + 1]) for r in range(n)]
     out = list(zip(ranges1, ranges2))

@@ -56,6 +56,13 @@ from . import u64pair as u64
 # at import time, which breaks jax.distributed.initialize ordering.
 U32 = jnp.uint32
 
+#: Max entries of a (global, padded) device-probe index: positions double as
+#: non-negative-i32 distinct-count keys (engine._count_core), and the margin
+#: below 2^31 keeps searchsorted + unroll index arithmetic overflow-free.
+#: ~2.1e9 entries = ~5.2x panhuman-1, ~2.2x panhuman ∪ panmouse. The host
+#: (C++) probe has no such limit.
+PROBE_POSITION_LIMIT = (1 << 31) - 65536
+
 
 def _window_argmin(keys_masked, w: int):
     """(R, L) masked selection keys (top-16-bit priorities, low 16 bits
@@ -184,10 +191,13 @@ def build_probe_planes(index_hashes: np.ndarray):
     candidate run starts at searchsorted(hi) and has at most max_run slots.
     """
     arr = np.asarray(index_hashes, dtype=np.uint64)
-    if arr.size >= (1 << 30):
-        # index positions double as distinct-count keys packed below 2^30
+    if arr.size >= PROBE_POSITION_LIMIT:
+        # index positions double as distinct-count keys (non-negative i32;
+        # the margin keeps searchsorted+unroll arithmetic overflow-free)
         raise ValueError(
-            f"index too large for the position-keyed probe: {arr.size} >= 2^30"
+            f"index too large for the position-keyed probe: {arr.size} >= "
+            f"{PROBE_POSITION_LIMIT} (~2^31; ~5.2x panhuman-1). Shard the "
+            "index across a mesh/pod, or use the host engine (no limit)."
         )
     hi = (arr >> np.uint64(32)).astype(np.uint32)
     lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -246,6 +256,32 @@ def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int, n_valid=None):
     return member, pos
 
 
+def build_padded_shard_planes(shard_hashes: np.ndarray, pad_to: int):
+    """(hi, lo, n_valid, max_run) probe planes for ONE value-range shard,
+    padded to a common length with sort-preserving filler that can never
+    match: filler hi-words are DISTINCT ascending (a duplicated-member pad
+    of length P would force the probe's static unroll max_run >= P), and
+    ``n_valid`` masks the pad region exactly. Shared by the sharded filter
+    pipeline and the device hash probe."""
+    s = np.asarray(shard_hashes, dtype=np.uint64)
+    hi, lo, max_run = build_probe_planes(s)
+    pad_len = pad_to - s.size
+    if pad_len < 0:
+        raise ValueError(
+            f"shard size {s.size} exceeds pad_to={pad_to}; value-range "
+            "skew — raise pad_to"
+        )
+    if pad_len:
+        last_hi = np.uint64(hi[-1]) if s.size else np.uint64(0)
+        pad_hi = np.minimum(
+            last_hi + np.uint64(1) + np.arange(pad_len, dtype=np.uint64),
+            np.uint64(0xFFFFFFFF),
+        ).astype(np.uint32)
+        hi = np.concatenate([hi, pad_hi])
+        lo = np.concatenate([lo, np.zeros(pad_len, dtype=np.uint32)])
+    return hi, lo, int(s.size), max_run
+
+
 class DeviceHashProbe:
     """u64 hash-batch membership against the device-resident index.
 
@@ -255,35 +291,128 @@ class DeviceHashProbe:
     HBM-resident u32 planes. With a mesh, the index is range-partitioned
     across the ``shard`` axis, queries split across ``data``, and
     per-shard membership merges with one psum over ICI (SURVEY §5.8).
+    On a process-spanning (pod) mesh, results all_gather over ``data`` so
+    every rank reads the full decision vector, and every rank must execute
+    each __call__ with identical inputs (server/app.py's worker loop
+    handles the broadcast).
 
     Thread-safe (the HTTP server dispatches from a thread pool).
     ``index_hashes`` must be sorted ascending (MinimizerIndex.hashes is).
     """
 
     def __init__(self, index_hashes: np.ndarray, mesh=None):
-        import threading
-
-        self.mesh = mesh
-        self.n_data = int(mesh.shape["data"]) if mesh is not None else 1
-        n_shard = int(mesh.shape["shard"]) if mesh is not None else 1
+        self._init_common(mesh)
         arr = np.asarray(index_hashes, dtype=np.uint64)
+        n_shard = self.n_shard
         if n_shard > 1 and arr.size:
             # pad by repeating the max element: keeps the array sorted and
             # membership exact (duplicates cannot create new members)
             pad = (-arr.size) % n_shard
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad)])
-        hi, lo, self.max_run = build_probe_planes(arr)
         if mesh is None:
-            dev = jax.devices()[0]
-            self.index_hi = jax.device_put(jnp.asarray(hi), dev)
-            self.index_lo = jax.device_put(jnp.asarray(lo), dev)
+            self._single_device_planes(arr)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            hi, lo, self.max_run = build_probe_planes(arr)
             shard = NamedSharding(mesh, P("shard"))
             self.index_hi = jax.device_put(jnp.asarray(hi), shard)
             self.index_lo = jax.device_put(jnp.asarray(lo), shard)
+            # value-padding above makes every slot a real (duplicate) member
+            self._n_valid = jax.device_put(
+                jnp.full((n_shard,), arr.size // n_shard, jnp.int32), shard
+            )
+
+    def _single_device_planes(self, arr: np.ndarray) -> None:
+        """Pow2-bucket padded planes + n_valid on one device (same
+        recompile-avoidance rationale as DevicePipeline.__init__)."""
+        n_pad = 1024
+        while n_pad < arr.size:
+            n_pad *= 2
+        if n_pad >= PROBE_POSITION_LIMIT:
+            n_pad = arr.size
+        hi, lo, nv, self.max_run = build_padded_shard_planes(arr, n_pad)
+        dev = jax.devices()[0]
+        self.index_hi = jax.device_put(jnp.asarray(hi), dev)
+        self.index_lo = jax.device_put(jnp.asarray(lo), dev)
+        self._n_valid = jax.device_put(jnp.asarray([nv], dtype=jnp.int32), dev)
+
+    @classmethod
+    def from_index_file(cls, index_path: str, mesh=None) -> "DeviceHashProbe":
+        """Memory-lean construction: stream-decode each value-range shard
+        (index/store.load_index_shard) instead of materializing the whole
+        hash array on the host first (the reference server loads the full
+        set per process, ref: src/server.rs:68-86; VERDICT r2 item 4).
+        With a mesh, each process decodes only the shards of its own
+        addressable devices and the global planes assemble with
+        make_array_from_single_device_arrays — peak host memory is one
+        shard slice (~1/S of the index) plus one decode chunk.
+        """
+        from ..index.store import load_header_and_count, load_index_shard
+
+        self = cls.__new__(cls)
+        self._init_common(mesh)
+        if mesh is None:
+            _, arr, _ = load_index_shard(index_path, 0, 1)
+            self._single_device_planes(arr)
+            return self
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_shard = self.n_shard
+        _, count = load_header_and_count(index_path)
+        # same margin rule as parallel/multihost._pipeline_from_file:
+        # uniform-hash shard sizes concentrate tightly around count/N
+        pad_to = count // n_shard + max(1024, (2 * count) // (100 * n_shard))
+        # static unroll bound identical on every process (16 covers any
+        # hash-uniform index; see ShardedPipeline.from_shards)
+        self.max_run = 16
+        pid = jax.process_index()
+        planes: dict[int, tuple] = {}
+        for j in sorted(
+            {j for (_, j), d in np.ndenumerate(mesh.devices)
+             if d.process_index == pid}
+        ):
+            _, s, _ = load_index_shard(index_path, j, n_shard)
+            hi, lo, nv, mr = build_padded_shard_planes(s, pad_to)
+            if mr > self.max_run:
+                raise ValueError(
+                    f"shard {j} needs probe unroll {mr} > {self.max_run}"
+                )
+            planes[j] = (hi, lo, nv)
+        shard = NamedSharding(mesh, P("shard"))
+        pieces_hi, pieces_lo, pieces_nv = [], [], []
+        for (_, j), dev in np.ndenumerate(mesh.devices):
+            if dev.process_index != pid:
+                continue
+            hi, lo, nv = planes[j]
+            pieces_hi.append(jax.device_put(jnp.asarray(hi), dev))
+            pieces_lo.append(jax.device_put(jnp.asarray(lo), dev))
+            pieces_nv.append(
+                jax.device_put(jnp.asarray([nv], dtype=jnp.int32), dev)
+            )
+        gshape = (n_shard * pad_to,)
+        self.index_hi = jax.make_array_from_single_device_arrays(
+            gshape, shard, pieces_hi
+        )
+        self.index_lo = jax.make_array_from_single_device_arrays(
+            gshape, shard, pieces_lo
+        )
+        self._n_valid = jax.make_array_from_single_device_arrays(
+            (n_shard,), shard, pieces_nv
+        )
+        return self
+
+    def _init_common(self, mesh) -> None:
+        import threading
+
+        self.mesh = mesh
+        self.n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        self.n_shard = int(mesh.shape["shard"]) if mesh is not None else 1
+        self.spans_processes = mesh is not None and (
+            len({d.process_index for d in mesh.devices.flat}) > 1
+        )
         self._jitted = None
         self._lock = threading.Lock()
 
@@ -298,9 +427,9 @@ class DeviceHashProbe:
         if self.mesh is None:
 
             @jax.jit
-            def run(ihi, ilo, qlo, qhi):
+            def run(ihi, ilo, nv, qlo, qhi):
                 member, _ = probe_split_u32_pos(
-                    ihi, ilo, (qlo, qhi), max_run=max_run
+                    ihi, ilo, (qlo, qhi), max_run=max_run, n_valid=nv[0]
                 )
                 return member
 
@@ -312,40 +441,74 @@ class DeviceHashProbe:
             except ImportError:  # pragma: no cover - older jax
                 from jax.experimental.shard_map import shard_map
 
-            @jax.jit
-            @functools.partial(
-                shard_map,
-                mesh=self.mesh,
-                in_specs=(P("shard"), P("shard"), P("data"), P("data")),
-                out_specs=P("data"),
-            )
-            def run(ihi, ilo, qlo, qhi):
+            gather_out = self.spans_processes
+            use_nv = self._n_valid is not None
+
+            def body(ihi, ilo, nv, qlo, qhi):
                 member_l, _ = probe_split_u32_pos(
-                    ihi, ilo, (qlo, qhi), max_run=max_run
+                    ihi, ilo, (qlo, qhi), max_run=max_run,
+                    n_valid=nv[0] if use_nv else None,
                 )
-                return lax.psum(member_l.astype(jnp.int32), "shard") >= 1
+                member = lax.psum(member_l.astype(jnp.int32), "shard") >= 1
+                if gather_out:
+                    # pod server: every rank reads the whole decision vector
+                    member = lax.all_gather(member, "data", tiled=True)
+                return member
+
+            smap_kwargs = dict(
+                mesh=self.mesh,
+                in_specs=(
+                    P("shard"), P("shard"), P("shard"),
+                    P("data"), P("data"),
+                ),
+                out_specs=P() if gather_out else P("data"),
+            )
+            try:  # jax >= 0.8 renamed check_rep -> check_vma (the tiled
+                # all_gather's replication is not statically inferred)
+                mapped = shard_map(body, check_vma=False, **smap_kwargs)
+            except TypeError:  # pragma: no cover - older jax
+                mapped = shard_map(body, check_rep=False, **smap_kwargs)
+            run = jax.jit(mapped)
 
         self._jitted = run
         return run
+
+    def padded_size(self, n: int) -> int:
+        """pow2-of-base buckets bound the number of compiled variants."""
+        n_pad = 1024 * self.n_data
+        while n_pad < n:
+            n_pad *= 2
+        return n_pad
 
     def __call__(self, hashes: np.ndarray) -> np.ndarray:
         n = int(np.asarray(hashes).size)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        # pow2-of-base buckets bound the number of compiled variants
-        n_pad = 1024 * self.n_data
-        while n_pad < n:
-            n_pad *= 2
-        q = np.zeros(n_pad, dtype=np.uint64)
+        q = np.zeros(self.padded_size(n), dtype=np.uint64)
         q[:n] = np.asarray(hashes, dtype=np.uint64)
-        qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-        qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+        return self.probe_padded(q)[:n]
+
+    def probe_padded(self, q: np.ndarray) -> np.ndarray:
+        """Probe an already-padded query batch (every rank of a pod mesh
+        must call this with the identical array — see server/app.py)."""
+        qlo = (q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        qhi = (q >> np.uint64(32)).astype(np.uint32)
         # lock only the wrapper construction; jitted execution is
         # thread-safe and serializing it would bottleneck the HTTP server
         with self._lock:
             fn = self._fn()
-        member = np.asarray(fn(self.index_hi, self.index_lo, qlo, qhi))
-        return member[:n]
+        if self.mesh is None:
+            member = fn(self.index_hi, self.index_lo, self._n_valid,
+                        jnp.asarray(qlo), jnp.asarray(qhi))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(self.mesh, P("data"))
+            member = fn(
+                self.index_hi, self.index_lo, self._n_valid,
+                jax.device_put(qlo, data), jax.device_put(qhi, data),
+            )
+        return np.asarray(member)
 
 
 def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
@@ -575,9 +738,14 @@ def _stage_hash(limbs, slot_row, slot_pos, *, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_run",))
-def _stage_probe(index_hi, index_lo, hlo, hhi, slot_valid, *, max_run: int):
+def _stage_probe(index_hi, index_lo, n_valid, hlo, hhi, slot_valid,
+                 *, max_run: int):
+    """``n_valid`` ((1,) i32) masks pow2-bucket pad slots (DevicePipeline
+    pads index planes so compiled programs are index-SIZE-independent —
+    without it every new index size forced a full recompile, which costs
+    minutes through the tunneled compile service; PERFNOTES.md #7)."""
     member, pos = probe_split_u32_pos(
-        index_hi, index_lo, (hlo, hhi), max_run=max_run
+        index_hi, index_lo, (hlo, hhi), max_run=max_run, n_valid=n_valid[0]
     )
     return member & slot_valid, pos
 
@@ -604,12 +772,15 @@ def _count_core(
         en = jnp.searchsorted(s_rid, seg_ids, side="right")
         return c_ex[en] - c_ex[st]
 
-    filler = jnp.int32(1 << 30) + jnp.arange(budget, dtype=jnp.int32)
+    # non-member filler keys are DISTINCT NEGATIVES: they sort ahead of all
+    # real index positions and are excluded by sign, so the full non-negative
+    # i32 range (2^31-1 positions, ~5.2x panhuman) is available for global
+    # probe positions (the old bit-30 filler flag capped the padded index at
+    # 2^30; VERDICT r2 item 5)
+    filler = -jnp.arange(1, budget + 1, dtype=jnp.int32)
     poskey = jnp.where(member, pos, filler)
     srid_h, poskey_h = lax.sort((srid, poskey), num_keys=2)
-    hit_flag = (neq_prev(srid_h) | neq_prev(poskey_h)) & (
-        poskey_h < jnp.int32(1 << 30)
-    )
+    hit_flag = (neq_prev(srid_h) | neq_prev(poskey_h)) & (poskey_h >= 0)
     hits = boundary_sum(hit_flag, srid_h)
 
     if dedup_positions:
@@ -678,14 +849,15 @@ def _values_flags(codes, validb, mlen, allow_short, *, k: int, w: int):
 
 def _engine_step(
     codes, validb, mlen, allow_short, rid, mate, chunk_start,
-    index_hi, index_lo,
+    index_hi, index_lo, n_valid,
     *, k: int, w: int, budget: int, num_segments: int, max_run: int,
     dedup_positions: bool, packed: bool = False,
 ):
     """Chained staged pipeline (all dispatches async; arrays stay on device).
 
     With packed=True, ``codes``/``validb`` are the bit-packed forms from
-    host_pack_bits and are unpacked on device.
+    host_pack_bits and are unpacked on device. ``n_valid`` ((1,) i32) masks
+    the pow2-bucket pad region of the index planes.
     """
     if packed:
         codes, validb = _stage_unpack(codes, validb)
@@ -697,7 +869,7 @@ def _engine_step(
     )
     hlo, hhi = _stage_hash(limbs, slot_row, slot_pos, k=k)
     member, pos = _stage_probe(
-        index_hi, index_lo, hlo, hhi, slot_valid, max_run=max_run
+        index_hi, index_lo, n_valid, hlo, hhi, slot_valid, max_run=max_run
     )
     hits, totals = _stage_count(
         member, pos, slot_row, slot_pos, slot_valid, rid, mate, chunk_start,
@@ -733,17 +905,21 @@ def engine_step_fused(statics: tuple):
 
     ``statics`` = (k, w, budget, num_segments, max_run, dedup_positions).
     Returns fn(codes, validb, mlen, allow_short, rid, mate, chunk_start,
-    index_hi, index_lo) -> fused (2R+1,) i32 output.
+    index_hi, index_lo, n_valid) -> fused (2R+1,) i32 output. With the
+    pow2-padded index planes (DevicePipeline), the compiled program depends
+    only on the tile statics and the index's size BUCKET — a new index of
+    similar magnitude reuses the persistent-cache entry instead of paying a
+    multi-minute tunnel compile.
     """
     fn = _FUSED_STEPS.get(statics)
     if fn is None:
         k, w, budget, num_segments, max_run, dedup_positions = statics
 
         def whole(codes, validb, mlen, allow_short, rid, mate, chunk_start,
-                  index_hi, index_lo):
+                  index_hi, index_lo, n_valid):
             hits, totals, used = _engine_step(
                 codes, validb, mlen, allow_short, rid, mate, chunk_start,
-                index_hi, index_lo, k=k, w=w, budget=budget,
+                index_hi, index_lo, n_valid, k=k, w=w, budget=budget,
                 num_segments=num_segments, max_run=max_run,
                 dedup_positions=dedup_positions, packed=True,
             )
@@ -921,6 +1097,70 @@ class BudgetOverflow(RuntimeError):
     """Minimizer budget exceeded for a device batch; caller should fall back."""
 
 
+class FetchGroup:
+    """Cross-batch device->host fetch amortizer.
+
+    Device outputs (1-D i32 arrays) from many launched batches accumulate
+    here; the first resolve concatenates EVERYTHING pending in one jitted
+    device-side concat and materializes a single fused array, then hands
+    per-ticket slices back from a cache. On the tunneled ``axon`` backend
+    every materialization costs a flat ~23 ms sync regardless of size
+    (PERFNOTES.md cassette notes), so fetching once per K batches divides
+    the dominant per-batch cost by K; on real hardware it merely batches
+    tiny PCIe transfers. The filter engine keeps up to
+    ``decider.resolve_depth`` batches in flight to feed this.
+    """
+
+    def __init__(self, fuse: bool = True):
+        # fuse=False skips the device-side concat and fetches per array
+        # (still batched per resolve): required for process-spanning meshes,
+        # where a jit-chosen output sharding may not be fully addressable
+        # from any single host.
+        self._fuse = fuse
+        self._pending: list[tuple[int, list]] = []
+        self._done: dict[int, list[np.ndarray]] = {}
+        self._next = 0
+        self._concat = None  # built lazily (jax.jit retraces per shape set)
+
+    def register(self, arrays: list) -> int:
+        """Add one batch's device outputs; returns a ticket for resolve."""
+        t = self._next
+        self._next += 1
+        self._pending.append((t, list(arrays)))
+        return t
+
+    def materialize(self, ticket: int) -> list[np.ndarray]:
+        got = self._done.pop(ticket, None)
+        if got is not None:
+            return got
+        pending, self._pending = self._pending, []
+        if not self._fuse:
+            for t, arrs in pending:
+                self._done[t] = [np.asarray(a) for a in arrs]
+            return self._done.pop(ticket)
+        flat: list = []
+        meta: list[tuple[int, list[int]]] = []
+        for t, arrs in pending:
+            meta.append((t, [int(a.shape[0]) for a in arrs]))
+            flat.extend(arrs)
+        if not flat:
+            fused = np.zeros(0, dtype=np.int32)
+        elif len(flat) == 1:
+            fused = np.asarray(flat[0])
+        else:
+            if self._concat is None:
+                self._concat = jax.jit(lambda *xs: jnp.concatenate(xs))
+            fused = np.asarray(self._concat(*flat))
+        off = 0
+        for t, lens in meta:
+            outs = []
+            for n in lens:
+                outs.append(fused[off : off + n])
+                off += n
+            self._done[t] = outs
+        return self._done.pop(ticket)
+
+
 def rows_for_read(rid: int, mate: int, seq: bytes, prefix_length: int,
                   *, k: int, l: int, stride: int, max_len: int):
     """Split one read into device rows: prefix truncation, one trailing
@@ -993,11 +1233,26 @@ class DevicePipeline:
         self.device = device if device is not None else jax.devices()[0]
         device = self.device
         arr = np.sort(np.asarray(index_hashes, dtype=np.uint64))
-        hi, lo, self.max_run = build_probe_planes(arr)
+        # Pad the planes to a pow2 size bucket (sort-preserving distinct-hi
+        # filler, masked by n_valid): the compiled engine step then depends
+        # only on the bucket, not the exact index size, so any index of
+        # similar magnitude hits the same persistent-cache entry. Without
+        # this, every new index forced a full whole-engine recompile —
+        # minutes through the tunneled compile service (PERFNOTES.md #7).
+        n_pad = 1024
+        while n_pad < arr.size:
+            n_pad *= 2
+        if n_pad >= PROBE_POSITION_LIMIT:
+            n_pad = arr.size  # no headroom left; exact-size (still valid)
+        hi, lo, nv, self.max_run = build_padded_shard_planes(arr, n_pad)
         self.index_hi = jax.device_put(jnp.asarray(hi), device)
         self.index_lo = jax.device_put(jnp.asarray(lo), device)
+        self._n_valid = jax.device_put(
+            jnp.asarray([nv], dtype=jnp.int32), device
+        )
         self.L_max = self.tiles[-1][0]
         self._stride = self.L_max - self.l + 1
+        self.fetch_group = FetchGroup()
 
     # ------------------------------------------------------------------
     # host-side row construction
@@ -1062,11 +1317,17 @@ class DevicePipeline:
                 gid_map.append(rows[0].rid)
             flush()
 
+        # one ticket per launch_counts call: all of this call's batches (and
+        # any other calls still in flight, when the engine runs resolve_depth
+        # deep) materialize together in one fused d2h
+        ticket = self.fetch_group.register([out for _, out, _, _ in in_flight])
+
         def resolve():
             hits = np.zeros(n_logical, dtype=np.int64)
             totals = np.zeros(n_logical, dtype=np.int64)
-            for local, out, R, budget in in_flight:
-                arr = np.asarray(out).astype(np.int64)
+            fetched = self.fetch_group.materialize(ticket)
+            for (local, _out, R, budget), arr in zip(in_flight, fetched):
+                arr = arr.astype(np.int64)
                 used = int(arr[2 * R])
                 if used > budget:
                     raise BudgetOverflow(
@@ -1094,7 +1355,7 @@ class DevicePipeline:
         args = [
             jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
-            jnp.asarray(cstart), self.index_hi, self.index_lo,
+            jnp.asarray(cstart), self.index_hi, self.index_lo, self._n_valid,
         ]
         # only the largest tile class ever holds chunked long reads
         statics = (self.k, self.w, budget, R, self.max_run, L >= self.L_max)
@@ -1108,10 +1369,10 @@ class DevicePipeline:
             out = _stage_fuse_out(hits, totals, used)
         else:
             out = engine_step_fused(statics)(*args)
-        try:
-            out.copy_to_host_async()  # overlap d2h with later batches
-        except Exception:
-            pass
+        # NOTE: no per-batch copy_to_host_async here — the FetchGroup
+        # materializes many batches' outputs in one fused d2h instead
+        # (per-batch async copies are redundant traffic on that path, and
+        # on the tunneled backend each d2h sync costs a flat ~23 ms).
         return out, budget
 
     # ------------------------------------------------------------------

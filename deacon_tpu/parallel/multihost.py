@@ -95,6 +95,59 @@ def make_pod_pipeline_from_file(index_path: str, mesh=None, **kwargs):
     return _pipeline_from_file(index_path, mesh, **kwargs)
 
 
+def make_pod2d_group_mesh():
+    """Mesh for ``--mesh pod-2d``: the combined 2D distribution (BASELINE
+    config 4 at full strength). Ranks form groups of S consecutive
+    processes (S = ``DEACON_POD_SHARDS``); each group owns one input byte
+    range (reads/s scales with the number of groups) while the index is
+    value-range sharded ACROSS the group's hosts (index memory scales with
+    S). The returned mesh covers only THIS rank's group: shard axis runs
+    across the group's processes (column j = process g*S+j's devices, the
+    same geometry as make_pod_mesh), data axis over each process's local
+    devices. The reference can scale neither axis (its index is replicated
+    per process, ref: src/index.rs:96-107).
+    """
+    import jax
+
+    from jax.sharding import Mesh
+
+    nproc = int(os.environ.get("DEACON_NUM_PROC", "1"))
+    rank = int(os.environ.get("DEACON_PROC_ID", "0"))
+    try:
+        n_shard = int(os.environ.get("DEACON_POD_SHARDS", ""))
+    except ValueError:
+        n_shard = 0
+    if n_shard <= 0 or nproc % n_shard:
+        raise ValueError(
+            "--mesh pod-2d requires DEACON_POD_SHARDS (index shards per "
+            f"group) to divide DEACON_NUM_PROC; got shards={n_shard!r}, "
+            f"nproc={nproc}"
+        )
+    group = rank // n_shard
+    members = list(range(group * n_shard, (group + 1) * n_shard))
+    procs: dict[int, list] = {}
+    for d in jax.devices():
+        procs.setdefault(d.process_index, []).append(d)
+    missing = [p for p in members if p not in procs]
+    if missing:
+        raise ValueError(
+            f"pod-2d group {group} expects jax processes {members}, but "
+            f"{missing} own no devices — DEACON_PROC_ID must match the "
+            "jax.distributed process id"
+        )
+    per = min(len(procs[p]) for p in members)
+    cols = [procs[p][:per] for p in members]
+    dev_arr = np.stack([np.asarray(c, dtype=object) for c in cols], axis=1)
+    return Mesh(dev_arr, ("data", "shard"))
+
+
+def make_pod2d_pipeline_from_file(index_path: str, **kwargs):
+    """Memory-lean pipeline over this rank's pod-2d group mesh: each rank
+    stream-decodes only the value-range shards of its own devices within
+    the group (the same per-shard loading as ``--mesh pod``)."""
+    return _pipeline_from_file(index_path, make_pod2d_group_mesh(), **kwargs)
+
+
 def make_local_data_mesh():
     """Rank-local mesh for ``--mesh pod-data``: reads data-parallel over
     this host's devices, index replicated per device by default (panhuman's

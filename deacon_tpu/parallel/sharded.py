@@ -246,13 +246,15 @@ class ShardedPipeline:
                 f"largest shard ({max(sizes)}) exceeds pad_to={pad_to}; "
                 "value-range skew — raise pad_to"
             )
-        if self.n_shard * pad_to >= (1 << 30):
+        if self.n_shard * pad_to >= eng.PROBE_POSITION_LIMIT:
             # global positions (shard offset + local pos) double as
-            # distinct-count keys packed below 2^30 (engine._stage_count);
-            # beyond that, upper-shard hits would silently read as filler
+            # distinct-count keys (non-negative i32, engine._count_core);
+            # beyond the limit, upper-shard positions would overflow
             raise ValueError(
-                f"global padded index size {self.n_shard * pad_to} >= 2^30 "
-                "exceeds the position-keyed probe's limit (~1.07e9 entries)"
+                f"global padded index size {self.n_shard * pad_to} >= "
+                f"{eng.PROBE_POSITION_LIMIT} exceeds the position-keyed "
+                "probe's limit (~2.1e9 entries, ~5.2x panhuman-1); the "
+                "host engine has no such limit"
             )
         # per-shard n_valid masks the pad region exactly (incl. empty shards)
         self._empty_index = False
@@ -262,23 +264,11 @@ class ShardedPipeline:
         for j, s in enumerate(shards):
             if s is None:
                 continue
-            s = np.asarray(s, dtype=np.uint64)
-            hi, lo, mr = eng.build_probe_planes(s)
+            # sort-preserving distinct-hi filler + n_valid mask (one shared
+            # implementation with the server's DeviceHashProbe)
+            hi, lo, nv, mr = eng.build_padded_shard_planes(s, pad_to)
             run_bound = max(run_bound, mr)
-            pad_len = pad_to - s.size
-            if pad_len:
-                # sort-preserving filler with DISTINCT hi words: keeps the
-                # plane searchsorted-valid without inflating equal-hi runs
-                # (a duplicated-member pad of length P would force
-                # max_run >= P). n_valid masks it, so it never matches.
-                last_hi = np.uint64(hi[-1]) if s.size else np.uint64(0)
-                pad_hi = np.minimum(
-                    last_hi + np.uint64(1) + np.arange(pad_len, dtype=np.uint64),
-                    np.uint64(0xFFFFFFFF),
-                ).astype(np.uint32)
-                hi = np.concatenate([hi, pad_hi])
-                lo = np.concatenate([lo, np.zeros(pad_len, dtype=np.uint32)])
-            planes[j] = (hi, lo, s.size)
+            planes[j] = (hi, lo, nv)
         if max_run is None:
             max_run = run_bound
         elif max_run < run_bound:
@@ -325,6 +315,14 @@ class ShardedPipeline:
         self.R = self.Rs * self.n_data
         self.budget_per_shard = (int(budget_frac * self.L * self.Rs) + 191) // 128 * 128
         self._stride = self.L - self.l + 1
+        # cross-batch d2h amortizer (ops/engine.py FetchGroup). On a
+        # process-spanning mesh (pod mode) the device-side concat is skipped:
+        # a jit-chosen output sharding may not be fully addressable per host
+        # (fetches are still batched per resolve).
+        spans_procs = (
+            len({d.process_index for d in mesh.devices.flat}) > 1
+        )
+        self.fetch_group = eng.FetchGroup(fuse=not spans_procs)
 
     def _compile(self, max_run: int, idx_sharding):
         self._max_run = max_run
@@ -433,18 +431,24 @@ class ShardedPipeline:
                 (shard_gids, *self._launch_global_batch(shard_rows))
             )
 
+        flat_outs: list = []
+        for _, h_dev, t_dev, used_dev in batches:
+            flat_outs.extend((h_dev, t_dev, used_dev))
+        ticket = self.fetch_group.register(flat_outs)
+
         def resolve():
             hits = np.zeros(n_logical, dtype=np.int64)
             totals = np.zeros(n_logical, dtype=np.int64)
-            for shard_gids, h_dev, t_dev, used_dev in batches:
-                used = np.asarray(used_dev)
+            fetched = self.fetch_group.materialize(ticket)
+            for bi, (shard_gids, _h, _t, _u) in enumerate(batches):
+                h, t, used = fetched[3 * bi : 3 * bi + 3]
                 if int(used.max()) > self.budget_per_shard:
                     raise eng.BudgetOverflow(
                         f"minimizer budget exceeded: {used.max()} > "
                         f"{self.budget_per_shard}"
                     )
-                h = np.asarray(h_dev, dtype=np.int64)
-                t = np.asarray(t_dev, dtype=np.int64)
+                h = h.astype(np.int64)
+                t = t.astype(np.int64)
                 if self._empty_index:
                     h = np.zeros_like(h)
                 for d in range(self.n_data):

@@ -41,6 +41,84 @@ def _file_sha256(path: str) -> str:
         return h.hexdigest()
 
 
+class PodProbe:
+    """Rank-0 wrapper around a pod-mesh DeviceHashProbe: every probe is a
+    collective over the process-spanning mesh, so each padded query batch
+    is first broadcast to the worker ranks (probe_worker_loop), then all
+    ranks execute the same jitted program. Serialized — interleaved
+    broadcasts from the HTTP thread pool would desynchronize the ranks."""
+
+    def __init__(self, probe):
+        import threading
+
+        self.probe = probe
+        self._lock = threading.Lock()
+
+    def __call__(self, hashes):
+        import numpy as np
+
+        n = int(np.asarray(hashes).size)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        q = np.zeros(self.probe.padded_size(n), dtype=np.uint64)
+        q[:n] = np.asarray(hashes, dtype=np.uint64)
+        with self._lock:
+            q = _pod_broadcast_query(q)
+            member = self.probe.probe_padded(q)
+        return member[:n]
+
+    def shutdown(self):
+        """Release the worker ranks (they exit on a zero-size header)."""
+        import numpy as np
+
+        from jax.experimental import multihost_utils
+
+        with self._lock:
+            multihost_utils.broadcast_one_to_all(np.zeros(1, dtype=np.int32))
+
+
+def _pod_broadcast_query(q):
+    """Broadcast a padded u64 query batch from rank 0 to every rank.
+    Two-phase (size header, then payload) because broadcast_one_to_all
+    needs identical shapes everywhere; u64 rides as a u32 view (device
+    code is strictly 32-bit — x64 stays off)."""
+    import numpy as np
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.broadcast_one_to_all(
+        np.asarray([q.size], dtype=np.int32)
+    )
+    q32 = multihost_utils.broadcast_one_to_all(
+        np.ascontiguousarray(q).view(np.uint32)
+    )
+    return np.asarray(q32).view(np.uint64)
+
+
+def probe_worker_loop(probe) -> None:
+    """Ranks > 0 of a ``--mesh pod`` server: mirror rank 0's collectives.
+    Blocks on the size-header broadcast; a zero size is the shutdown
+    signal (sent by PodProbe.shutdown on server close)."""
+    import numpy as np
+
+    from jax.experimental import multihost_utils
+
+    while True:
+        size = int(
+            np.asarray(
+                multihost_utils.broadcast_one_to_all(
+                    np.zeros(1, dtype=np.int32)
+                )
+            )[0]
+        )
+        if size == 0:
+            return
+        q32 = multihost_utils.broadcast_one_to_all(
+            np.zeros(2 * size, dtype=np.uint32)
+        )
+        probe.probe_padded(np.asarray(q32).view(np.uint64))
+
+
 class ServerState:
     def __init__(self, index_path: str, device: str = "host", mesh: str | None = None):
         import os
@@ -62,6 +140,7 @@ class ServerState:
         # at panhuman scale that halves steady-state RAM
         _stub = MinimizerIndex(self.header, np.empty(0, dtype=np.uint64))
         probe = None
+        self.device_probe = None
         index = _stub
         if device == "jax" or mesh:
             # pod-backed decisions: membership probes run on the accelerator
@@ -70,7 +149,24 @@ class ServerState:
             from ..ops.engine import DeviceHashProbe
 
             m = None
-            if mesh:
+            if mesh == "pod":
+                # multi-host pod server: shard axis across processes, each
+                # rank stream-decodes only its own shards (config 5 at full
+                # strength); ranks > 0 run probe_worker_loop
+                from ..parallel.multihost import (
+                    make_pod_mesh,
+                    maybe_init_distributed,
+                )
+
+                maybe_init_distributed()
+                m = make_pod_mesh()
+                shape = dict(m.shape)
+                print(
+                    f"Index sharded on pod mesh data={shape['data']} x "
+                    f"shard={shape['shard']}",
+                    file=sys.stderr,
+                )
+            elif mesh:
                 from ..parallel.sharded import make_mesh, parse_mesh_spec
 
                 n_data, n_shard = parse_mesh_spec(mesh)
@@ -79,7 +175,14 @@ class ServerState:
                     f"Index sharded on device mesh data={n_data} x shard={n_shard}",
                     file=sys.stderr,
                 )
-            probe = DeviceHashProbe(load_index(index_path).hashes, mesh=m)
+            # memory-lean: stream-decode value-range shards straight from
+            # the file — no host ever materializes the full hash array
+            probe = DeviceHashProbe.from_index_file(index_path, mesh=m)
+            self.device_probe = probe
+            if probe.spans_processes:
+                import jax
+
+                probe = PodProbe(probe) if jax.process_index() == 0 else None
         else:
             # host mode: pre-build the membership table now (not lazily on
             # the first request) — via the '<index>.probe' sidecar when one
@@ -195,7 +298,25 @@ def make_server(index_path: str, port: int, host: str = "0.0.0.0",
 def run_server(index_path: str, port: int, host: str = "0.0.0.0",
                device: str = "host", mesh: str | None = None) -> None:
     print("Loading server!", file=sys.stderr)
-    httpd = make_server(index_path, port, host, device=device, mesh=mesh)
+    if mesh == "pod":
+        # multi-host: initialize the distributed runtime BEFORE any state
+        # construction touches jax, then split by rank — rank 0 serves
+        # HTTP, the others mirror its probe collectives
+        from ..parallel.multihost import maybe_init_distributed
+
+        maybe_init_distributed()
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            state = ServerState(index_path, device=device, mesh=mesh)
+            print(
+                f"Pod worker rank {jax.process_index()}: mirroring rank 0 "
+                "probes", file=sys.stderr,
+            )
+            probe_worker_loop(state.device_probe)
+            return
+    state = ServerState(index_path, device=device, mesh=mesh)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
     print(f"Serving on {host}:{port}", file=sys.stderr)
     try:
         httpd.serve_forever()
@@ -203,3 +324,6 @@ def run_server(index_path: str, port: int, host: str = "0.0.0.0",
         pass
     finally:
         httpd.server_close()
+        pod = getattr(state.backend, "_probe", None)
+        if isinstance(pod, PodProbe):
+            pod.shutdown()

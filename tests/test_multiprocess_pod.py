@@ -137,6 +137,104 @@ def test_two_process_pod_cli(tmp_path):
     assert ref.count(b"@x") == 30 and ref.count(b"@m") == 0
 
 
+def test_two_process_pod_server(tmp_path):
+    """`server --mesh pod` across two jax.distributed ranks (VERDICT r2
+    item 4): rank 0 serves HTTP with each probe broadcast to rank 1 and
+    psum-merged across the process-spanning shard axis; each rank
+    stream-decodes only its own index shard. A real `client` run through
+    the pod server must match a local filter run."""
+    import time
+    import urllib.request
+
+    rng = np.random.default_rng(83)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 3000).astype(np.uint8)
+
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(genome.tobytes(), 31, 15),
+        IndexHeader.new(31, 15),
+        idx,
+    )
+    g = genome.tobytes()
+    reads = tmp_path / "reads.fq"
+    with open(reads, "wb") as f:
+        for i in range(10):
+            seq = g[i * 200 : i * 200 + 150]
+            f.write(b"@m%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+        for i in range(10):
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 150))
+            f.write(b"@x%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+
+    env1 = dict(os.environ)
+    env1["JAX_PLATFORMS"] = "cpu"
+    out_ref = tmp_path / "ref.fq"
+    r = subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "filter", str(idx), str(reads),
+         "-o", str(out_ref), "--deplete", "-q"],
+        capture_output=True, env=env1, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+
+    coord_port = str(24000 + (os.getpid() % 8000))
+    http_port = 25000 + (os.getpid() % 8000)
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": REPO,
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "DEACON_COORD": f"127.0.0.1:{coord_port}",
+            "DEACON_NUM_PROC": "2",
+            "DEACON_PROC_ID": str(i),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "deacon_tpu", "server", str(idx),
+             "-p", str(http_port), "--host", "127.0.0.1", "--mesh", "pod"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO,
+        ))
+    try:
+        addr = f"http://127.0.0.1:{http_port}"
+        deadline = time.monotonic() + 120
+        while True:
+            try:
+                with urllib.request.urlopen(addr + "/", timeout=2) as resp:
+                    assert b"minimizers" in resp.read()
+                break
+            except Exception:
+                if time.monotonic() > deadline:
+                    for q in procs:
+                        q.kill()
+                    outs = [p.communicate()[0].decode() for p in procs]
+                    raise AssertionError(
+                        "pod server never came up:\n" + "\n---\n".join(outs)
+                    )
+                if any(p.poll() is not None for p in procs):
+                    outs = [p.communicate()[0].decode() for p in procs]
+                    raise AssertionError(
+                        "pod server rank exited early:\n" + "\n---\n".join(outs)
+                    )
+                time.sleep(0.25)
+
+        out = tmp_path / "pod_client.fq"
+        r = subprocess.run(
+            [sys.executable, "-m", "deacon_tpu", "client", addr, str(reads),
+             "-o", str(out), "--deplete", "-q"],
+            capture_output=True, env=env1, cwd=REPO, timeout=240,
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        assert out.read_bytes() == out_ref.read_bytes()
+        assert out.read_bytes().count(b"@x") == 10
+    finally:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.communicate()
+
+
 def test_two_process_pod_data_cli(tmp_path):
     """`filter --mesh pod-data` across two jax.distributed ranks: each rank
     streams a DISJOINT record-aligned byte range of the input, filters it on
@@ -229,6 +327,115 @@ def test_two_process_pod_data_cli(tmp_path):
     s = json.loads(summary.read_text())
     assert s["seqs_in"] == 80 and s["seqs_out"] == 40
     assert s["seqs_removed"] == 40
+
+
+def test_four_process_pod_2d_cli(tmp_path):
+    """`filter --mesh pod-2d` with 4 jax.distributed ranks as 2 groups x 2
+    index shards (VERDICT r2 item 3): each group owns a disjoint byte range
+    (reads/s axis) while the index is value-range sharded across the two
+    processes WITHIN each group and psum-merged (memory axis). Concatenated
+    output must be byte-identical to a single-process run."""
+    import json
+
+    rng = np.random.default_rng(41)
+    genome = rng.choice(np.frombuffer(b"ACGT", np.uint8), 4000).astype(np.uint8)
+
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(genome.tobytes(), 31, 15),
+        IndexHeader.new(31, 15),
+        idx,
+    )
+    g = genome.tobytes()
+    reads = tmp_path / "reads.fq"
+    with open(reads, "wb") as f:
+        for i in range(40):
+            s = (i * 97) % 3800
+            seq = g[s : s + 150]
+            f.write(b"@m%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+        for i in range(40):
+            seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 150))
+            f.write(b"@x%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+
+    out_ref = tmp_path / "ref.fq"
+    env1 = dict(os.environ)
+    env1["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "deacon_tpu", "filter", str(idx), str(reads),
+         "-o", str(out_ref), "--deplete", "-q"],
+        capture_output=True, env=env1, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+
+    port = str(23000 + (os.getpid() % 9000))
+    out = tmp_path / "pod2d.fq"
+    summary = tmp_path / "pod2d_summary.json"
+    procs = []
+    for i in range(4):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": REPO,
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "DEACON_COORD": f"127.0.0.1:{port}",
+            "DEACON_NUM_PROC": "4",
+            "DEACON_PROC_ID": str(i),
+            "DEACON_POD_SHARDS": "2",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "deacon_tpu", "filter", str(idx),
+             str(reads), "-o", str(out), "--deplete", "-q",
+             "--mesh", "pod-2d", "-s", str(summary)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o.decode())
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{o}"
+    ref = out_ref.read_bytes()
+    assert out.read_bytes() == ref
+    assert ref.count(b"@x") == 40 and ref.count(b"@m") == 0
+    for gi in range(2):
+        assert not (tmp_path / f"pod2d.fq.pod{gi}").exists()
+    s = json.loads(summary.read_text())
+    assert s["seqs_in"] == 80 and s["seqs_out"] == 40
+
+
+def test_pod_2d_validation(tmp_path, monkeypatch):
+    from deacon_tpu.config import FilterConfig
+    from deacon_tpu.index.store import IndexHeader, write_index
+    from deacon_tpu.ops import minimizers_np as mnp
+
+    idx = tmp_path / "g.idx"
+    write_index(
+        mnp.compute_minimizer_hashes(b"ACGT" * 300, 31, 15),
+        IndexHeader.new(31, 15), idx,
+    )
+    reads = tmp_path / "r.fq"
+    reads.write_bytes(b"@a\n" + b"ACGT" * 40 + b"\n+\n" + b"I" * 160 + b"\n")
+    base = dict(minimizers_path=str(idx), input_path=str(reads),
+                output_path=str(tmp_path / "o.fq"), mesh="pod-2d", quiet=True)
+    monkeypatch.setenv("DEACON_NUM_PROC", "4")
+    monkeypatch.setenv("DEACON_PROC_ID", "0")
+    monkeypatch.delenv("DEACON_POD_SHARDS", raising=False)
+    with pytest.raises(ValueError, match="DEACON_POD_SHARDS"):
+        FilterConfig(**base).execute()
+    monkeypatch.setenv("DEACON_POD_SHARDS", "3")  # does not divide 4
+    with pytest.raises(ValueError, match="DEACON_POD_SHARDS"):
+        FilterConfig(**base).execute()
+    monkeypatch.setenv("DEACON_POD_SHARDS", "2")
+    with pytest.raises(ValueError, match="DEACON_COORD"):
+        FilterConfig(**base).execute()
 
 
 def test_pod_data_single_process(tmp_path):

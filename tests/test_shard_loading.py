@@ -167,14 +167,36 @@ def test_from_shards_loaded_from_file_matches_full(tmp_path):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_from_shards_rejects_position_key_overflow():
-    """Global padded size >= 2^30 would silently misclassify upper-shard
-    hits as filler (position-keyed distinct counting); must refuse."""
+    """Global padded size beyond the non-negative-i32 position key space
+    would overflow upper-shard positions (position-keyed distinct
+    counting); must refuse with an actionable message. pad_to=2^29 per
+    shard x 4 shards = 2^31 total clears the ~2^31 limit while a
+    panhuman-union-scale 2.75e8 x 4 = 1.1e9 passes validation (the round-2
+    2^30 ceiling sat one index-union below the flagship use-case)."""
     from deacon_tpu.parallel.sharded import ShardedPipeline, make_mesh
 
     mesh = make_mesh(2, 4)
     shards = [np.arange(10, dtype=np.uint64) + j * 1000 for j in range(4)]
-    with pytest.raises(ValueError, match="2\\^30"):
-        ShardedPipeline.from_shards(shards, 31, 15, mesh, pad_to=1 << 28)
+    with pytest.raises(ValueError, match="position-keyed"):
+        ShardedPipeline.from_shards(shards, 31, 15, mesh, pad_to=1 << 29)
+    # 1.1e9 global padded entries (panhuman ∪ panmouse scale) must pass the
+    # size validation (planes for tiny shards; pad region masked by n_valid
+    # is never materialized at pad_to length — only validated arithmetic).
+    # Actually materializing pad_to-length planes would need ~9 GB, so this
+    # asserts the validator's arithmetic only via a direct call.
+    from deacon_tpu.ops.engine import PROBE_POSITION_LIMIT
+
+    assert 4 * 275_000_000 < PROBE_POSITION_LIMIT
+
+
+def test_probe_planes_limit_fail_fast():
+    """build_probe_planes must reject indexes past the position-key limit
+    BEFORE allocating planes (zero-copy broadcast keeps this test cheap)."""
+    from deacon_tpu.ops.engine import PROBE_POSITION_LIMIT, build_probe_planes
+
+    fake = np.broadcast_to(np.uint64(1), (PROBE_POSITION_LIMIT,))
+    with pytest.raises(ValueError, match="position-keyed"):
+        build_probe_planes(fake)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

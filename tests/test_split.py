@@ -391,3 +391,59 @@ def test_bgzf_serial_gzip_rejected(tmp_path):
     assert not is_bgzf(str(path))
     with pytest.raises(SplitError):
         split_fastx_ranges(str(path), 2)
+
+
+def test_native_split_scans_match_python(tmp_path):
+    """dx_records_at_offsets / dx_offsets_at_records (the C++ mmap scans
+    behind split_paired_ranges) must agree with the chunked-Python
+    reference scans on FASTQ and multiline FASTA, including the
+    unterminated-final-line rule."""
+    from deacon_tpu.io.native_loader import get_lib
+    from deacon_tpu.io.split import (
+        _native_offsets_at_records,
+        _native_records_at_offsets,
+        _offsets_at_records,
+        _records_at_offsets,
+        _sniff_plain,
+    )
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(71)
+
+    def fastq(path, n_rec, terminal_nl=True):
+        with open(path, "wb") as f:
+            for i in range(n_rec):
+                m = int(rng.integers(20, 120))
+                seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), m))
+                f.write(b"@r%d\n%s\n+\n%s" % (i, seq, b"@" * m))
+                if i < n_rec - 1 or terminal_nl:
+                    f.write(b"\n")
+
+    def fasta(path, n_rec):
+        with open(path, "wb") as f:
+            for i in range(n_rec):
+                m = int(rng.integers(30, 300))
+                seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), m))
+                f.write(b">c%d\n" % i)
+                for j in range(0, m, 60):
+                    f.write(seq[j : j + 60] + b"\n")
+
+    cases = []
+    p = tmp_path / "a.fq"; fastq(p, 57); cases.append(p)
+    p = tmp_path / "b.fq"; fastq(p, 33, terminal_nl=False); cases.append(p)
+    p = tmp_path / "c.fa"; fasta(p, 41); cases.append(p)
+    for path in cases:
+        with open(path, "rb") as f:
+            is_fq, size = _sniff_plain(f)
+        # record-aligned offsets from the splitter itself
+        bounds = [r[0] for r in split_fastx_ranges(str(path), 7)[1:]] + [size]
+        with open(path, "rb") as f:
+            want = _records_at_offsets(f, size, bounds, is_fq)
+        got = _native_records_at_offsets(str(path), bounds, is_fq)
+        assert got == want, (path, got, want)
+        idxs = sorted(set(want + [0, want[-1] + 5]))
+        with open(path, "rb") as f:
+            want_off = _offsets_at_records(f, size, idxs, is_fq)
+        got_off = _native_offsets_at_records(str(path), idxs, is_fq)
+        assert got_off == want_off, (path, got_off, want_off)

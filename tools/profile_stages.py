@@ -41,7 +41,11 @@ mate = jnp.asarray(np.zeros(R, np.int32))
 cstart = jnp.asarray(np.zeros(R, np.int32))
 
 idx = np.sort(rng.integers(0, 2**64, size=NIDX, dtype=np.uint64))
-hi_np, lo_np, MAX_RUN = eng.build_probe_planes(idx)
+n_pad = 1024
+while n_pad < idx.size:
+    n_pad *= 2
+hi_np, lo_np, NV, MAX_RUN = eng.build_padded_shard_planes(idx, n_pad)
+inv = jax.device_put(jnp.asarray([NV], dtype=jnp.int32))
 ihi = jax.device_put(jnp.asarray(hi_np))
 ilo = jax.device_put(jnp.asarray(lo_np))
 
@@ -94,7 +98,7 @@ hlo, hhi = timeone("S4 gather+xxh3", eng._stage_hash, limbs, slot_row, slot_pos,
 
 # S5: probe
 member, pos = timeone(
-    "S5 probe", eng._stage_probe, ihi, ilo, hlo, hhi, slot_valid,
+    "S5 probe", eng._stage_probe, ihi, ilo, inv, hlo, hhi, slot_valid,
     max_run=MAX_RUN,
 )
 
@@ -108,7 +112,7 @@ timeone(
 # chained staged pipeline (all dispatches async)
 def chain(codes, validb, mlen, allow_short, rid, mate, cstart):
     return eng._engine_step(
-        codes, validb, mlen, allow_short, rid, mate, cstart, ihi, ilo,
+        codes, validb, mlen, allow_short, rid, mate, cstart, ihi, ilo, inv,
         k=K, w=W, budget=BUDGET, num_segments=R, max_run=MAX_RUN,
         dedup_positions=True,
     )
@@ -127,5 +131,5 @@ pc_np, pv_np = eng.host_pack_bits(
 pcodes, pvalid = jnp.asarray(pc_np), jnp.asarray(pv_np)
 fused = eng.engine_step_fused((K, W, BUDGET, R, MAX_RUN, True))
 timeone("FUSED total", fused, pcodes, pvalid, mlen, allow_short, rid, mate,
-        cstart, ihi, ilo, iters=20)
+        cstart, ihi, ilo, inv, iters=20)
 print("DONE", flush=True)
