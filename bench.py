@@ -12,11 +12,22 @@ Prints ONE JSON line. Fields:
   vs_baseline   value / 2.0 (reference: >2 Gbp/s uncompressed per host,
                 BASELINE.md; reference README.md:14).
   roofline_bound_gbps   (tunnel only) an HBM-bandwidth bound on what the
-                measured program could actually sustain on a v5e chip:
-                ~70 bytes of HBM traffic per base across the fused stages
-                (unpack 5.4 + fused values/argmin 16 + flags 18 + compact 9
-                + budget-domain hash/probe/count ~21) at ~819 GB/s. The
-                dispatch proxy can exceed this; a real chip cannot.
+                measured program could actually sustain on a v5e chip at
+                ~819 GB/s. Round-3 model, ~39 bytes of HBM traffic per
+                base with the fully-fused v2 select kernel (values +
+                argmin + flags + value propagation in VMEM; flag packed
+                into wp bit 16) and budget_frac 0.25:
+                  packed input read      0.4
+                  unpack write (u8+bool) 2.0
+                  kernel read            2.0
+                  kernel write (vlo/vhi/wpf) 12.0
+                  compact read wpf + cumsum  8.0
+                  budget domain (compact-out/hash/probe/count,
+                    ~60 B/slot x 0.25 slot/base) 15.0
+                The round-2 design measured ~70 B/base (separate limb
+                planes, flag stage, slot limb gathers, budget 0.35).
+                The dispatch proxy can exceed the bound; a real chip
+                cannot.
   e2e           end-to-end numbers measured through the CLI on this host
                 (synthetic FASTQ on disk -> parse -> extract/pack ->
                 decide -> write): "host_gbps" via the default engine and
@@ -46,7 +57,7 @@ import numpy as np
 
 # Rough HBM traffic of the fused engine step, bytes per input base (see
 # module docstring for the per-stage breakdown) and v5e HBM bandwidth.
-HBM_BYTES_PER_BASE = 70.0
+HBM_BYTES_PER_BASE = 39.0
 V5E_HBM_BYTES_PER_S = 8.19e11
 
 
@@ -128,24 +139,20 @@ def run_e2e() -> dict:
             out["host_gbps"] = round(total_bp / net / 1e9, 4)
             out["host_wall_s"] = round(wall, 3)
 
-        # device path on a smaller slice (the engine dispatches everything
-        # before ONE fused d2h at EOF; on the tunnel that means a single
-        # journal-flush materialization instead of per-batch syncs)
-        n_dev = max(2, n_reads // 6)
-        fq_dev = os.path.join(td, "reads_dev.fq")
-        with open(fq, "rb") as src, open(fq_dev, "wb") as dst:
-            for _ in range(n_dev * 4):
-                dst.write(src.readline())
-        dev_bp = n_dev * read_len
+        # device path on the FULL input: the engine dispatches everything
+        # before ONE fused d2h at EOF, so on the tunnel the wall is a fixed
+        # erratic "deactivation + journal flush" (17-230 s) regardless of
+        # input size (PERFNOTES round-3 measurements: 2 Mbp 195 s, 32 Mbp
+        # 117 s, 200 Mbp 58 s) — bigger inputs amortize it
+        dev_bp = total_bp
         if os.environ.get("DEACON_BENCH_E2E_DEVICE", "1") != "0":
             dev_cmd = list(base_cmd)
-            dev_cmd[dev_cmd.index(fq)] = fq_dev
             # warm pre-run on a tiny slice: compiles this index-size
             # bucket's engine program into the persistent cache, so the
             # timed run measures execution, not the (erratic, minutes-long
             # on the tunnel) compile service
             fq_warm = os.path.join(td, "reads_warm.fq")
-            with open(fq_dev, "rb") as src, open(fq_warm, "wb") as dst:
+            with open(fq, "rb") as src, open(fq_warm, "wb") as dst:
                 for _ in range(8 * 4):
                     dst.write(src.readline())
             warm_cmd = list(base_cmd)
@@ -169,9 +176,11 @@ def run_e2e() -> dict:
 
                     if default_backend_is_tunneled():
                         out["device_note"] = (
-                            "tunneled backend: per-batch d2h materializations "
-                            "run ~100x below chip speed (environment "
-                            "artifact, PERFNOTES.md cassette notes)"
+                            "tunneled backend: wall is dominated by ONE "
+                            "fixed erratic 17-230 s deactivation/journal "
+                            "flush (input-size independent; PERFNOTES.md "
+                            "round-3 device-path measurements) — real "
+                            "hardware pays a small PCIe fetch instead"
                         )
                 except Exception:
                     pass

@@ -329,10 +329,11 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
     """
     mesh_spec = getattr(cfg, "mesh", None)
     if mesh_spec in ("pod", "pod-data", "pod-2d") and cfg.minimizers_path is not None:
+        sd = ShardedDecider(None, k, w, mesh_spec, None,
+                            index_path=cfg.minimizers_path)
         if cfg.debug:
-            raise ValueError(f"--debug is not supported with --mesh {mesh_spec}")
-        return ShardedDecider(None, k, w, mesh_spec, None,
-                              index_path=cfg.minimizers_path)
+            return _debug_decider_for(sd, k, w)
+        return sd
     if getattr(cfg, "mesh", None) and cfg.minimizers_path is None:
         print(
             "Warning: --mesh is ignored in client mode (decisions run on "
@@ -340,10 +341,13 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
             file=sys.stderr,
         )
     host = HostDecider(backend, k, w)
+    if getattr(cfg, "mesh", None) and index is not None:
+        sd = ShardedDecider(index, k, w, cfg.mesh, host)
+        if cfg.debug:
+            return _debug_decider_for(sd, k, w)
+        return sd
     if index is None or cfg.debug or cfg.device == "numpy":
         return host
-    if getattr(cfg, "mesh", None):
-        return ShardedDecider(index, k, w, cfg.mesh, host)
     if cfg.device == "auto":
         import os
 
@@ -367,6 +371,21 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
         if cfg.device in ("tpu", "cpu"):
             raise
         return host
+
+
+def _debug_decider_for(sd: "ShardedDecider", k: int, w: int) -> HostDecider:
+    """``--debug`` on mesh/pod runs (VERDICT r2 item 9): host extraction
+    supplies per-record (hash, position, seq) for the k-mer dump while
+    membership probes the decider's device-resident sharded planes
+    (ShardedPipeline.probe_hashes) — so debug works even when no host holds
+    the index (pod modes). Decisions are identical to the non-debug device
+    path (distinct member hashes == distinct member positions). On
+    process-spanning meshes every rank runs this same decider, keeping the
+    probe collectives aligned (each rank prints its own debug stderr)."""
+    from ..index.store import IndexHeader, MinimizerIndex
+
+    stub = MinimizerIndex(IndexHeader.new(k, w), np.empty(0, dtype=np.uint64))
+    return HostDecider(LocalBackend(stub, probe=sd.pipe.probe_hashes), k, w)
 
 
 def _engine_desc(decider) -> str:

@@ -77,8 +77,6 @@ def pod_rank() -> tuple[int, int]:
 def _validate(config: FilterConfig) -> None:
     if config.minimizers_path is None:
         raise ValueError("--mesh pod-data requires a local index file")
-    if config.debug:
-        raise ValueError("--debug is not supported with --mesh pod-data")
     if config.rename:
         raise ValueError(
             "--rename is not supported with --mesh pod-data: output "

@@ -16,11 +16,14 @@ Design (see SURVEY §5.7, §2.3 for the mapping from the reference):
   split into chunks with stride L-l+1 (l = k+w-1) so every w-window of the
   read belongs to exactly one chunk — the TPU analogue of the reference's
   whole-record heap processing of megabase contigs.
-* Per-row selection keys are computed with prefix-XOR scans (associative
-  scan) instead of a sequential rolling hash — no loop-carried dependency,
-  so XLA vectorizes across the full (R, L) tile on the VPU.
-* Window minima use a doubling sparse table (log2(w) combine steps) with
-  (key, position) lexicographic combines in pure uint32 math.
+* Per-row selection keys are computed with span-doubling (associative
+  combine) instead of a sequential rolling hash — no loop-carried
+  dependency, so the full (R, L) tile vectorizes on the VPU.
+* Window minima use a doubling sparse table (log2(w) combine steps) over
+  position-packed keys; on TPU the whole selection front end (keys,
+  argmin, flag mask, selected-value propagation) is ONE Pallas kernel
+  (ops/pallas_kernels.values_select_fused) whose only HBM outputs are the
+  selected value limbs and a packed wp|flag word per window.
 * Selected positions are compacted into a fixed minimizer budget, their
   canonical values packed and hashed (XXH3-64 in 64-bit lanes), probed
   against the sorted HBM-resident index with a branchless binary search,
@@ -404,6 +407,21 @@ class DeviceHashProbe:
         )
         return self
 
+    @classmethod
+    def from_planes(cls, index_hi, index_lo, n_valid, max_run: int,
+                    mesh=None) -> "DeviceHashProbe":
+        """Wrap EXISTING device-resident probe planes (e.g. a
+        ShardedPipeline's) as a hash-batch prober — the ``--debug`` path
+        runs host extraction but probes membership on the device, so mesh
+        and pod runs support debug without a host-resident index."""
+        self = cls.__new__(cls)
+        self._init_common(mesh)
+        self.max_run = int(max_run)
+        self.index_hi = index_hi
+        self.index_lo = index_lo
+        self._n_valid = n_valid
+        return self
+
     def _init_common(self, mesh) -> None:
         import threading
 
@@ -530,34 +548,32 @@ def _select_compact(codes, validb, mlen, allow_short, *, k, w, budget):
     # (measured 100x slowdowns + minute-long compiles). Tail columns
     # [L-k+1, L) are masked instead of sliced away.
 
-    # S1+S2(+flag mask): fused Pallas kernel on TPU backends, XLA stages
-    # elsewhere — shared with the staged single-chip pipeline so the
-    # sharded multi-chip path gets the same kernel.
-    limbs, wp_i, flag = _values_flags(
+    # Fully-fused Pallas v2 kernel on TPU backends (selection + argmin +
+    # flags + value propagation in VMEM), XLA emulation elsewhere — shared
+    # with the staged single-chip pipeline so the sharded multi-chip path
+    # gets the same kernel.
+    vplanes, wpf = _values_select(
         codes, validb, mlen, allow_short, k=k, w=w
     )
-    flag = lax.optimization_barrier(flag)
+    wpf = lax.optimization_barrier(wpf)
 
     # sort-free compaction: the i-th selected window's flat id is the first
     # position where the inclusive flag-cumsum reaches i+1 (cumsum is
     # monotone, so this is one vectorized binary search — XLA sorts and
     # scatters are both far slower on TPU than scan+searchsorted)
-    flat_flag = flag.reshape(-1)
-    csel = lax.optimization_barrier(jnp.cumsum(flat_flag.astype(jnp.int32)))
+    flat = wpf.reshape(-1)
+    csel = lax.optimization_barrier(jnp.cumsum(flat >> jnp.int32(16)))
     total = csel[-1]
     slot_id = jnp.searchsorted(
         csel, jnp.arange(1, budget + 1, dtype=jnp.int32), side="left"
     )
     slot_id = lax.optimization_barrier(jnp.minimum(slot_id, R * L - 1))
-    wp_flat = wp_i.reshape(-1)
     slot_row = (slot_id // L).astype(jnp.int32)
-    slot_pos = wp_flat[slot_id]
+    slot_pos = flat[slot_id] & jnp.int32(0xFFFF)
     slot_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(total, budget)
 
-    # gather the already-computed value limbs at the compacted slots
-    # (flat 1D gathers)
-    slot_flat = slot_row * L + slot_pos
-    slot_limbs = [x.reshape(-1)[slot_flat] for x in limbs]
+    # the selected values live AT the window ids — gather them directly
+    slot_limbs = [x.reshape(-1)[slot_id] for x in vplanes]
     if k <= 32:
         h = u64.xxh3_64_pair_u64(slot_limbs[0], slot_limbs[1])
     else:
@@ -626,13 +642,15 @@ def engine_core(
 @jax.jit
 def _stage_unpack(packed_codes, packed_valid):
     """(R, L/4) u8 2-bit-packed codes + (R, L/8) u8 validity bitmask ->
-    (codes u32 (R, L), validb bool (R, L)). Minimizes host->device transfer
-    (5x fewer bytes — significant over the tunneled PCIe path)."""
+    (codes u8 (R, L), validb bool (R, L)). Minimizes host->device transfer
+    (5x fewer bytes — significant over the tunneled PCIe path); codes stay
+    u8 in HBM (the Pallas kernel casts to u32 at VMEM entry, so the wide
+    planes never materialize)."""
     R = packed_codes.shape[0]
     pc = packed_codes.astype(jnp.uint32)
     codes = jnp.stack(
         [(pc >> U32(2 * j)) & U32(3) for j in range(4)], axis=2
-    ).reshape(R, -1)
+    ).reshape(R, -1).astype(jnp.uint8)
     pv = packed_valid.astype(jnp.uint32)
     validb = (
         jnp.stack([(pv >> U32(j)) & U32(1) for j in range(8)], axis=2)
@@ -724,6 +742,36 @@ def _stage_compact(flag, wp_i, *, budget: int):
     return slot_row, slot_pos, slot_valid, total
 
 
+@functools.partial(jax.jit, static_argnames=("budget",))
+def _stage_compact2(wpf, *, budget: int):
+    """v2 compaction from the packed argmin word (low 16 = wp, bit 16 =
+    flag): like _stage_compact but also returns the flat window slot_id,
+    which directly indexes the kernel's value-at-window planes."""
+    R, L = wpf.shape
+    flat = wpf.reshape(-1)
+    csel = jnp.cumsum(flat >> jnp.int32(16))
+    total = csel[-1]
+    slot_id = jnp.searchsorted(
+        csel, jnp.arange(1, budget + 1, dtype=jnp.int32), side="left"
+    )
+    slot_id = jnp.minimum(slot_id, R * L - 1)
+    slot_row = (slot_id // L).astype(jnp.int32)
+    slot_pos = flat[slot_id] & jnp.int32(0xFFFF)
+    slot_valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(total, budget)
+    return slot_id, slot_row, slot_pos, slot_valid, total
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _stage_hash2(vplanes, slot_id, *, k: int):
+    """XXH3-64 of the selected values gathered at the window slot ids."""
+    slot_limbs = [x.reshape(-1)[slot_id] for x in vplanes]
+    if k <= 32:
+        return u64.xxh3_64_pair_u64(slot_limbs[0], slot_limbs[1])
+    return u64.xxh3_64_pair_u128(
+        (slot_limbs[0], slot_limbs[1]), (slot_limbs[2], slot_limbs[3])
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _stage_hash(limbs, slot_row, slot_pos, *, k: int):
     """gather value limbs at slots, XXH3-64 -> hash pair (lo, hi)."""
@@ -801,11 +849,12 @@ _stage_count = functools.partial(
 
 
 def _pallas_mode() -> str:
-    """'compiled' | 'interpret' | 'off' for the fused Pallas S1+S2 kernel.
+    """'compiled' | 'interpret' | 'off' for the fused Pallas kernels.
 
     Defaults to compiled on TPU backends and off elsewhere (the Mosaic
-    kernel has no CPU lowering; interpret mode is for tests). Override with
-    DEACON_PALLAS=0|interpret|1.
+    kernels have no CPU lowering; interpret mode is for tests). Override
+    with DEACON_PALLAS=0|interpret|1|2 (1 forces the v1 S1+S2 kernel +
+    XLA flag stage; 2/default uses the fully-fused v2 select kernel).
     """
     import os
 
@@ -822,9 +871,15 @@ def _pallas_mode() -> str:
         return "off"
 
 
+def _pallas_v1_forced() -> bool:
+    import os
+
+    return os.environ.get("DEACON_PALLAS", "") == "1"
+
+
 def _values_flags(codes, validb, mlen, allow_short, *, k: int, w: int):
     """S1+S2(+flag mask): returns (limbs, wp_i, flag), using the fused
-    Pallas kernel (ops/pallas_kernels.py) where supported."""
+    Pallas v1 kernel (ops/pallas_kernels.py) where supported."""
     mode = _pallas_mode()
     R, L = codes.shape
     if mode != "off" and k <= 56 and R % 8 == 0 and L <= 65536:
@@ -847,6 +902,40 @@ def _values_flags(codes, validb, mlen, allow_short, *, k: int, w: int):
     return limbs, wp_i, flag
 
 
+def _values_select(codes, validb, mlen, allow_short, *, k: int, w: int):
+    """Kernel-v2 contract: returns (vplanes, wpf) where ``vplanes[i][r, p]``
+    is limb i of the SELECTED minimizer's canonical value for the window
+    starting at p (the value at wp[r, p]) and ``wpf`` packs the argmin
+    position in its low 16 bits with the final candidate flag at bit 16.
+    Downstream slot gathers index the window domain directly, so the
+    separate limb planes, the flag-stage gather, and a dedicated flag plane
+    all disappear (pallas_kernels.values_select_fused). Falls back to the
+    v1 path plus one flat gather per limb on CPU/forced-v1 — bit-identical
+    by construction (tests/test_pallas_kernels.py)."""
+    mode = _pallas_mode()
+    R, L = codes.shape
+    if (
+        mode != "off" and not _pallas_v1_forced()
+        and k <= 56 and R % 8 == 0 and L <= 65536
+    ):
+        from . import pallas_kernels as pk
+
+        return pk.values_select_fused(
+            codes, validb, mlen, allow_short, k=k, w=w,
+            interpret=(mode == "interpret"),
+        )
+    limbs, wp_i, flag = _values_flags(
+        codes, validb, mlen, allow_short, k=k, w=w
+    )
+    row_ids = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None], (R, L)
+    )
+    sel_flat = (row_ids * L + wp_i).reshape(-1)
+    vplanes = tuple(x.reshape(-1)[sel_flat].reshape(R, L) for x in limbs)
+    wpf = wp_i | jnp.where(flag, jnp.int32(1 << 16), jnp.int32(0))
+    return vplanes, wpf
+
+
 def _engine_step(
     codes, validb, mlen, allow_short, rid, mate, chunk_start,
     index_hi, index_lo, n_valid,
@@ -861,13 +950,13 @@ def _engine_step(
     """
     if packed:
         codes, validb = _stage_unpack(codes, validb)
-    limbs, wp_i, flag = _values_flags(
+    vplanes, wpf = _values_select(
         codes, validb, mlen, allow_short, k=k, w=w
     )
-    slot_row, slot_pos, slot_valid, total = _stage_compact(
-        flag, wp_i, budget=budget
+    slot_id, slot_row, slot_pos, slot_valid, total = _stage_compact2(
+        wpf, budget=budget
     )
-    hlo, hhi = _stage_hash(limbs, slot_row, slot_pos, k=k)
+    hlo, hhi = _stage_hash2(vplanes, slot_id, k=k)
     member, pos = _stage_probe(
         index_hi, index_lo, n_valid, hlo, hhi, slot_valid, max_run=max_run
     )
@@ -984,13 +1073,13 @@ def _extract_step(
     """Index-build extraction (ref: src/minimizers.rs:125-191): returns the
     compacted (hashes, rids, valid, total) for host-side set accumulation.
     Staged dispatches (see the staged-pipeline note above)."""
-    limbs, wp_i, flag = _values_flags(
+    vplanes, wpf = _values_select(
         codes, validb, mlen, allow_short, k=k, w=w
     )
-    slot_row, slot_pos, slot_valid, total = _stage_compact(
-        flag, wp_i, budget=budget
+    slot_id, slot_row, slot_pos, slot_valid, total = _stage_compact2(
+        wpf, budget=budget
     )
-    hlo, hhi = _stage_hash(limbs, slot_row, slot_pos, k=k)
+    hlo, hhi = _stage_hash2(vplanes, slot_id, k=k)
     if use_entropy and k >= 10:
         slot_valid = _stage_entropy(
             orig_codes, validb, slot_row, slot_pos, slot_valid,
@@ -998,6 +1087,30 @@ def _extract_step(
         )
     srid = _stage_srid(slot_row, slot_valid, rid)
     return hlo, hhi, srid, slot_valid, total
+
+
+@jax.jit
+def _fuse_extract_out(hlo, hhi, srid, valid, total):
+    """Fuse one extract-chunk's outputs into a single (4B+1,) u32 array
+    (layout: hlo | hhi | srid | valid | total) so the index-build path can
+    materialize a whole batch in one fetch."""
+    return jnp.concatenate([
+        hlo,
+        hhi,
+        lax.bitcast_convert_type(srid, jnp.uint32),
+        valid.astype(jnp.uint32),
+        lax.bitcast_convert_type(total, jnp.uint32).reshape(1),
+    ])
+
+
+_EXTRACT_CONCAT = None
+
+
+def _extract_concat(outs):
+    global _EXTRACT_CONCAT
+    if _EXTRACT_CONCAT is None:
+        _EXTRACT_CONCAT = jax.jit(lambda *xs: jnp.concatenate(xs))
+    return _EXTRACT_CONCAT(*outs)
 
 
 @dataclass
@@ -1091,6 +1204,21 @@ def pack_rows_packed(rows: list["_Row"], R: int, L: int, k: int, l: int):
         (r.chunk_start for r in rows), dtype=np.int32, count=n
     )
     return pc, pv, mlen, allow_short, rid, mate, cstart
+
+
+def default_budget_frac() -> float:
+    """Minimizer-slot budget as a fraction of R*L positions. The random
+    selection scheme's density is 2/(w+1) (~0.125 at w=15), so 0.25 is a
+    2x margin; overflow falls back/regrows gracefully. Round 2 shipped
+    0.35 — the budget domain (compact/hash/probe/count work per slot) is
+    a top HBM consumer, so the slack was a ~10%-of-roofline tax.
+    Override with DEACON_BUDGET_FRAC."""
+    import os
+
+    try:
+        return float(os.environ.get("DEACON_BUDGET_FRAC", "0.25"))
+    except ValueError:
+        return 0.25
 
 
 class BudgetOverflow(RuntimeError):
@@ -1206,9 +1334,11 @@ class DevicePipeline:
         k: int,
         w: int,
         tiles=None,
-        budget_frac: float = 0.35,
+        budget_frac: float | None = None,
         device=None,
     ):
+        if budget_frac is None:
+            budget_frac = default_budget_frac()
         self.k, self.w = int(k), int(w)
         self.l = self.k + self.w - 1
         if tiles is None:
@@ -1411,9 +1541,11 @@ class IndexBuildPipeline:
         entropy_threshold: float = 0.0,
         row_len: int = 16384,
         rows_per_batch: int = 128,
-        budget_frac: float = 0.35,
+        budget_frac: float | None = None,
         device=None,
     ):
+        if budget_frac is None:
+            budget_frac = default_budget_frac()
         self.k, self.w = int(k), int(w)
         self.l = self.k + self.w - 1
         self.L = max(int(row_len), self.l)
@@ -1443,11 +1575,17 @@ class IndexBuildPipeline:
         return rows
 
     def extract_batch(self, seqs: list[bytes]) -> list[np.ndarray]:
+        # All chunks launch asynchronously with their outputs fused into
+        # one u32 device array each; ONE concat+fetch materializes the
+        # whole batch at the end (the per-chunk np.asarray/int(total) syncs
+        # this replaced cost seconds each through the tunneled backend —
+        # same FetchGroup rationale as the filter pipeline).
         rows = []
         for i, s in enumerate(seqs):
             rows.extend(self._rows_for(i, np.frombuffer(s, dtype=np.uint8)))
         canon_pack = mnp.PACK_CODE[mnp.IUPAC_CANON]
         per_seq: list[list[np.ndarray]] = [[] for _ in seqs]
+        outs = []
         for start in range(0, len(rows), self.R):
             chunk = rows[start : start + self.R]
             R, L = self.R, self.L
@@ -1480,15 +1618,26 @@ class IndexBuildPipeline:
                 k=self.k, w=self.w, budget=self.budget,
                 use_entropy=self.entropy != 0.0 and self.k >= 10,
             )
-            if int(total) > self.budget:
+            outs.append(_fuse_extract_out(hlo, hhi, srid, valid, total))
+
+        if not outs:
+            return [np.empty(0, dtype=np.uint64) for _ in seqs]
+        if len(outs) == 1:
+            fused = np.asarray(outs[0])
+        else:
+            fused = np.asarray(_extract_concat(outs))
+        B = self.budget
+        for chunk in fused.reshape(len(outs), 4 * B + 1):
+            total = int(chunk[4 * B].view(np.int32))
+            if total > B:
                 raise BudgetOverflow(
-                    f"minimizer budget exceeded: {int(total)} > {self.budget}"
+                    f"minimizer budget exceeded: {total} > {B}"
                 )
-            hv = np.asarray(hlo).astype(np.uint64) | (
-                np.asarray(hhi).astype(np.uint64) << np.uint64(32)
+            hv = chunk[:B].astype(np.uint64) | (
+                chunk[B : 2 * B].astype(np.uint64) << np.uint64(32)
             )
-            rv = np.asarray(srid)
-            vm = np.asarray(valid)
+            rv = chunk[2 * B : 3 * B].view(np.int32)
+            vm = chunk[3 * B : 4 * B] != 0
             hv, rv = hv[vm], rv[vm]
             order = np.argsort(rv, kind="stable")
             hv, rv = hv[order], rv[order]

@@ -173,6 +173,167 @@ def _values_kernel_body(codes_u32, mlen_col, *, k: int, w: int):
     return limbs, wp
 
 
+def _values_select_kernel_body(codes_u32, valid_u32, mlen_col, allow_col,
+                               *, k: int, w: int):
+    """Kernel-v2 math: (TR, L) u32 codes + 0/1 validity + (TR, 1) mlen/
+    allow_short -> (vsel limbs, wp_i32, flag_u32).
+
+    Beyond v1 it keeps the whole flag pipeline in VMEM:
+    * kmer validity = doubling-OR of invalid bases over the k-span
+      (2-span RMQ cover; overlap is harmless for OR),
+    * the selected minimizer's VALUE limbs and validity bit ride through
+      the doubling window-min as select-carried payloads (leftmost
+      tie-break is exact: the packed position makes every key unique),
+    * flag = window-valid & new-minimizer & selected-kmer-valid —
+      bit-identical to engine._stage_flag_mask's gather formulation.
+
+    The payload-carrying min removes both the separate flag stage and the
+    downstream value-plane gathers: the fused step's HBM traffic per base
+    drops from ~39 B (v1: limbs+wp out, flags stage in/out, slot limb
+    gathers) to ~13 B (vsel+wp+flag out only).
+    """
+    L = codes_u32.shape[-1]
+    S = _next_pow2(k)
+    nl = 2 if k <= 32 else 4
+    zero = jnp.zeros_like(codes_u32)
+    f = [codes_u32] + [zero] * (nl - 1)
+    r = [codes_u32 ^ U32(2)] + [zero] * (nl - 1)
+    s = 1
+    while s < S:
+        fs = _limbs_shl([_shift_cols(x, s, 0) for x in f], 2 * s)
+        f = [a | b for a, b in zip(f, fs)]
+        t = _limbs_shl(r, 2 * s)
+        r = [a | _shift_cols(b, s, 0) for a, b in zip(t, r)]
+        s *= 2
+    if S != k:
+        full, bit = (2 * k) // 32, (2 * k) % 32
+        f = [
+            f[i] if i < full else (f[i] & U32((1 << bit) - 1) if (i == full and bit) else zero)
+            for i in range(nl)
+        ]
+        r = _limbs_shr(r, 2 * (S - k))
+    take_f = _limbs_le(f, r)
+    limbs = [jnp.where(take_f, a, b) for a, b in zip(f, r)]
+
+    fold = limbs[0]
+    for x in limbs[1:]:
+        fold = fold ^ x
+    keys = _fmix32(fold) & U32(_TOPMASK)
+    col = jax.lax.broadcasted_iota(jnp.int32, codes_u32.shape, 1)
+    in_row = col < mlen_col
+    t = jnp.where(in_row, keys, U32(_TOPMASK)) | col.astype(U32)
+
+    # kmer validity: ANY invalid base in [p, p+k), 2-span pow2 cover; the
+    # shifted-in tail fill is "invalid", which only affects positions the
+    # window-valid mask already excludes
+    inv = valid_u32 ^ U32(1)
+    span = 1
+    a = inv
+    while span * 2 <= k:
+        a = a | _shift_cols(a, span, 1)
+        span *= 2
+    if k - span > 0:
+        a = a | _shift_cols(a, k - span, 1)
+    kv = jnp.where((a == 0) & in_row, U32(1), U32(0))
+
+    ts = jax.lax.bitcast_convert_type(t ^ U32(0x80000000), jnp.int32)
+    imax = 0x7FFFFFFF
+
+    def shift_i32(x, n):
+        rr = pltpu.roll(x, shift=L - n, axis=1)
+        return jnp.where(col < L - n, rr, jnp.int32(imax))
+
+    carry = list(limbs) + [kv]
+
+    def step(ts, carry, n):
+        ts_sh = shift_i32(ts, n)
+        take_self = ts <= ts_sh  # unique keys: exact leftmost tie-break
+        carry = [
+            jnp.where(take_self, c, _shift_cols(c, n, 0)) for c in carry
+        ]
+        return jnp.minimum(ts, ts_sh), carry
+
+    span = 1
+    while span * 2 <= w:
+        ts, carry = step(ts, carry, span)
+        span *= 2
+    if w - span > 0:
+        ts, carry = step(ts, carry, w - span)
+    wp = jnp.minimum(ts & jnp.int32(0xFFFF), L - 1)
+    vsel, kv_sel = carry[:nl], carry[nl]
+
+    # flag = win_valid & new_min & kv(selected position), packed into the
+    # wp word's bit 16 (wp < 65536 occupies the low 16 bits) so the kernel
+    # emits no extra plane for it
+    prev_wp = pltpu.roll(wp, shift=1, axis=1)
+    prev_wp = jnp.where(col >= 1, prev_wp, jnp.int32(-1))
+    new_min = (col == 0) | (wp != prev_wp)
+    win_valid = (col <= mlen_col - w) | (
+        (col == 0) & (allow_col > 0) & (mlen_col >= 1)
+    )
+    flag = jnp.where(
+        win_valid & new_min & (kv_sel == U32(1)),
+        jnp.int32(1 << 16), jnp.int32(0),
+    )
+    return vsel, wp | flag
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "interpret"))
+def values_select_fused(codes, validb, mlen, allow_short, *, k: int, w: int,
+                        interpret: bool = False):
+    """(R, L) u8/u32 codes + validity + per-row mlen/allow_short ->
+    (*selected_value_limbs, wpf_i): the selected minimizer's value limbs AT
+    EVERY WINDOW POSITION plus the packed argmin word (low 16 bits = wp,
+    bit 16 = final candidate flag). Replaces engine's _stage_values +
+    _stage_argmin + _stage_flag_mask + the slot limb gathers (see kernel
+    body docstring). R must be a multiple of 8; L a multiple of 128 and
+    <= 65536."""
+    if k > 56:
+        raise ValueError("pallas fused path supports k <= 56 only")
+    R, L = codes.shape
+    TR = _ROW_BLOCK
+    assert R % TR == 0 and L % 128 == 0 and L <= 65536
+    nl = 2 if k <= 32 else 4
+
+    def kernel(codes_ref, valid_ref, mlen_ref, allow_ref, *out_refs):
+        c = codes_ref[:].astype(U32)
+        v = valid_ref[:].astype(U32)
+        vsel, wpf = _values_select_kernel_body(
+            c, v, mlen_ref[:], allow_ref[:], k=k, w=w
+        )
+        for ref, limb in zip(out_refs[:nl], vsel):
+            ref[:] = limb
+        out_refs[nl][:] = wpf
+
+    grid = (R // TR,)
+    row_block = lambda i: (i, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM)
+            for _ in range(nl + 1)
+        ),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((R, L), jnp.uint32) for _ in range(nl)]
+            + [jax.ShapeDtypeStruct((R, L), jnp.int32)]
+        ),
+        interpret=interpret,
+    )(
+        codes,
+        validb.astype(jnp.uint8),
+        mlen.reshape(R, 1),
+        allow_short.astype(jnp.int32).reshape(R, 1),
+    )
+    return tuple(out[:nl]), out[nl]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "w", "interpret")
 )

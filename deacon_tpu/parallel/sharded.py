@@ -116,7 +116,7 @@ class ShardedPipeline:
         mesh: Mesh,
         row_len: int = 8192,
         rows_per_shard: int = 128,
-        budget_frac: float = 0.35,
+        budget_frac: float | None = None,
     ):
         self._init_geometry(k, w, mesh, row_len, rows_per_shard, budget_frac)
 
@@ -154,7 +154,7 @@ class ShardedPipeline:
         max_run: int | None = None,
         row_len: int = 8192,
         rows_per_shard: int = 128,
-        budget_frac: float = 0.35,
+        budget_frac: float | None = None,
     ) -> "ShardedPipeline":
         """Build from per-shard hash arrays instead of one global array.
 
@@ -304,6 +304,8 @@ class ShardedPipeline:
         return clone
 
     def _init_geometry(self, k, w, mesh, row_len, rows_per_shard, budget_frac):
+        if budget_frac is None:
+            budget_frac = eng.default_budget_frac()
         self._budget_frac = budget_frac
         self.k, self.w = int(k), int(w)
         self.l = self.k + self.w - 1
@@ -376,6 +378,26 @@ class ShardedPipeline:
         self._fn = jax.jit(mapped, in_shardings=self._in_shardings)
 
     # ------------------------------------------------------------------
+    def probe_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Membership of a raw u64 hash batch against the pipeline's
+        resident sharded planes (psum over ``shard``). Serves the
+        ``--debug`` path: host extraction supplies (hash, position, seq)
+        per record while membership still runs on the mesh, so debug works
+        without a host-resident index. On a process-spanning mesh every
+        rank must call this with identical batches (the SPMD engine loop
+        guarantees that)."""
+        probe = getattr(self, "_hash_probe", None)
+        if probe is None:
+            probe = eng.DeviceHashProbe.from_planes(
+                self.index_hi, self.index_lo, self._n_valid,
+                self._max_run, self.mesh,
+            )
+            self._hash_probe = probe
+        member = probe(np.asarray(hashes, dtype=np.uint64))
+        if self._empty_index:
+            member = np.zeros_like(member)
+        return member
+
     def _rows_for(self, rid, mate, seq: bytes, prefix_length: int):
         return eng.rows_for_read(
             rid, mate, seq, prefix_length,

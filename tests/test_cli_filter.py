@@ -424,6 +424,41 @@ def test_debug_output(ctx):
     assert "mode: search" not in err
 
 
+def test_debug_output_mesh(ctx):
+    """--debug on a sharded mesh run (VERDICT r2 item 9): host extraction
+    dumps the k-mers while membership probes the device-resident sharded
+    planes — debug lines must match the numpy-oracle debug run exactly."""
+    tmp, idx, genome = ctx
+    reads = make_reads(tmp, genome)
+
+    def debug_lines(extra):
+        proc = run_cli(["filter", idx, reads, "-o", tmp / "o.fq", "-a", "1",
+                        "--debug", *extra])
+        return [l for l in proc.stderr.decode().splitlines()
+                if l.startswith("DEBUG:")]
+
+    want = debug_lines(["--device", "numpy"])
+    got = debug_lines(["--mesh", "1x2"])
+    assert want and got == want
+
+
+def test_debug_output_pod_data(ctx, monkeypatch):
+    """--debug under --mesh pod-data (single rank): previously a hard
+    error; per-rank debug lines must match the plain debug run."""
+    tmp, idx, genome = ctx
+    reads = make_reads(tmp, genome)
+    proc = run_cli(["filter", idx, reads, "-o", tmp / "o.fq", "-a", "1",
+                    "--debug", "--device", "numpy"])
+    want = [l for l in proc.stderr.decode().splitlines()
+            if l.startswith("DEBUG:")]
+    env = {"DEACON_POD_ENGINE": "sharded"}
+    proc = run_cli(["filter", idx, reads, "-o", tmp / "pod.fq", "-a", "1",
+                    "--debug", "--mesh", "pod-data"], env_extra=env)
+    got = [l for l in proc.stderr.decode().splitlines()
+           if l.startswith("DEBUG:")]
+    assert want and got == want
+
+
 def test_empty_input(ctx):
     tmp, idx, genome = ctx
     empty = tmp / "empty.fq"

@@ -53,6 +53,42 @@ def check_kernels() -> None:
         print(f"  pallas k={k} w={w}: compiled == XLA stages")
 
 
+def check_kernel_v2() -> None:
+    """Compiled values_select_fused (Mosaic) == the XLA emulation path."""
+    import os
+
+    rng = np.random.default_rng(4)
+    for k, w in [(31, 15), (21, 7), (41, 15), (56, 9)]:
+        R, L = 16, 640
+        codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+        validb = rng.random((R, L)) > 0.05
+        mlen = rng.integers(-1, L - k + 2, (R,)).astype(np.int32)
+        mlen[0] = L - k + 1
+        allow_short = rng.random(R) > 0.5
+        os.environ["DEACON_PALLAS"] = "0"
+        try:
+            want_v, want_wpf = eng._values_select(
+                jnp.asarray(codes), jnp.asarray(validb), jnp.asarray(mlen),
+                jnp.asarray(allow_short), k=k, w=w,
+            )
+        finally:
+            del os.environ["DEACON_PALLAS"]
+        from deacon_tpu.ops.pallas_kernels import values_select_fused
+
+        got_v, got_wpf = values_select_fused(
+            jnp.asarray(codes), jnp.asarray(validb), jnp.asarray(mlen),
+            jnp.asarray(allow_short), k=k, w=w,
+        )
+        assert np.array_equal(np.asarray(got_wpf), np.asarray(want_wpf)), (k, w)
+        fsel = (np.asarray(want_wpf).reshape(-1) >> 16) != 0
+        for a, b in zip(got_v, want_v):
+            assert np.array_equal(
+                np.asarray(a).reshape(-1)[fsel],
+                np.asarray(b).reshape(-1)[fsel],
+            ), (k, w)
+    print("  values_select_fused (v2): compiled == XLA emulation, 4 k/w classes")
+
+
 def check_pipeline() -> None:
     rng = np.random.default_rng(1)
     k, w = 31, 15
@@ -161,6 +197,7 @@ def main() -> int:
     if dev.platform != "tpu":
         print("WARNING: not a TPU backend; this validates the fallback path")
     check_kernels()
+    check_kernel_v2()
     check_pipeline()
     check_index_build()
     check_cli_e2e()
