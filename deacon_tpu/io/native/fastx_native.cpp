@@ -3883,13 +3883,31 @@ static inline __m512i load8_lanes(const uint8_t* base, const int64_t* starts,
   return _mm512_loadu_si512((const void*)v);
 }
 
+// Vectorized selection-key finalizer: fold 8 u64 canonical values to u32,
+// fmix32, keep the top 16 bits. One __m256i of 8 keys per value vector —
+// fusing this into pass1's transposed stores removes what used to be a
+// whole separate pass over the value planes (~0.9 ns/base of the extract
+// budget; keys_from_vals remains as the scalar-path finalizer).
+static inline __m256i keys8_avx512(__m512i v) {
+  __m256i x = _mm512_cvtepi64_epi32(
+      _mm512_xor_si512(v, _mm512_srli_epi64(v, 32)));
+  x = _mm256_xor_si256(x, _mm256_srli_epi32(x, 16));
+  x = _mm256_mullo_epi32(x, _mm256_set1_epi32((int)0x85EBCA6BU));
+  x = _mm256_xor_si256(x, _mm256_srli_epi32(x, 13));
+  x = _mm256_mullo_epi32(x, _mm256_set1_epi32((int)0xC2B2AE35U));
+  x = _mm256_xor_si256(x, _mm256_srli_epi32(x, 16));
+  return _mm256_and_si256(x, _mm256_set1_epi32((int)0xFFFF0000U));
+}
+
 // Canonical k-mer value per position, filter-mode codes ((b>>1)&3), k<=32.
 // Lanes cover 8 contiguous chunks of L8 = 8*(m/64) positions; the tail
 // [8*L8, m) runs the scalar recurrence. Index mode canonicalises into a
 // scratch copy first and calls this on the copy (valid bases map to
-// themselves so values at kept positions are unchanged).
+// themselves so values at kept positions are unchanged). Also emits the
+// selection key per position (fmix32 of the folded value, top 16 bits) —
+// fused here so the value planes are written and never re-read densely.
 static void pass1_avx512(const uint8_t* seq, int64_t n, int k,
-                         uint64_t* vals) {
+                         uint64_t* vals, uint32_t* keys) {
   const int64_t m = n - k + 1;
   const int shift_top = 2 * (k - 1);
   const uint64_t maskv = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
@@ -3936,8 +3954,11 @@ static void pass1_avx512(const uint8_t* seq, int64_t n, int k,
         rows[s] = _mm512_min_epu64(fwd, rc);
       }
       transpose8x8(rows, cols);
-      for (int i = 0; i < 8; i++)
+      for (int i = 0; i < 8; i++) {
         _mm512_storeu_si512((void*)(vals + lane_start[i] + j0), cols[i]);
+        _mm256_storeu_si256((__m256i*)(keys + lane_start[i] + j0),
+                            keys8_avx512(cols[i]));
+      }
     }
   }
   // scalar tail [8*L8, m)
@@ -3953,7 +3974,9 @@ static void pass1_avx512(const uint8_t* seq, int64_t n, int k,
       uint64_t c = (seq[p + k - 1] >> 1) & 3;
       fwd = (p > p0 ? (fwd >> 2) : fwd) | (c << shift_top);
       rc = ((rc << 2) & maskv) | (c ^ 2);
-      vals[p] = fwd <= rc ? fwd : rc;
+      uint64_t v = fwd <= rc ? fwd : rc;
+      vals[p] = v;
+      keys[p] = fmix32((uint32_t)v ^ (uint32_t)(v >> 32)) & 0xFFFF0000U;
     }
   }
 }
@@ -4223,7 +4246,7 @@ static int64_t extract_range(const uint8_t* seq, int64_t n, int k, int w,
           for (int64_t i = 0; i < n_loc; i++) scr.canon[i] = kIupac.map[src[i]];
           psrc = scr.canon.data();
         }
-        pass1_avx512(psrc, n_loc, k, scr.vals.data());
+        pass1_avx512(psrc, n_loc, k, scr.vals.data(), scr.keys.data());
       }
 #endif
       if (!use_simd) {
@@ -4240,9 +4263,10 @@ static int64_t extract_range(const uint8_t* seq, int64_t n, int k, int w,
           rc = ((rc << 2) & mask) | (c ^ 2);
           scr.vals[p] = fwd <= rc ? fwd : rc;
         }
+        // finalizer pass: selection keys from values (the SIMD path fuses
+        // this into pass1's transposed stores)
+        keys_from_vals(scr.vals.data(), m_loc, scr.keys.data());
       }
-      // vectorizable finalizer pass: selection keys from values
-      keys_from_vals(scr.vals.data(), m_loc, scr.keys.data());
     } else {
       unsigned __int128 fwd = 0, rc = 0;
       const unsigned __int128 mask =
