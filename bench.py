@@ -13,19 +13,25 @@ Prints ONE JSON line. Fields:
                 BASELINE.md; reference README.md:14).
   roofline_bound_gbps   (tunnel only) an HBM-bandwidth bound on what the
                 measured program could actually sustain on a v5e chip at
-                ~819 GB/s. Round-3 model, ~39 bytes of HBM traffic per
-                base with the fully-fused v2 select kernel (values +
-                argmin + flags + value propagation in VMEM; flag packed
-                into wp bit 16) and budget_frac 0.25:
-                  packed input read      0.4
-                  unpack write (u8+bool) 2.0
-                  kernel read            2.0
-                  kernel write (vlo/vhi/wpf) 12.0
-                  compact read wpf + cumsum  8.0
-                  budget domain (compact-out/hash/probe/count,
-                    ~60 B/slot x 0.25 slot/base) 15.0
-                The round-2 design measured ~70 B/base (separate limb
-                planes, flag stage, slot limb gathers, budget 0.35).
+                ~819 GB/s. Round-3 v3-architecture model, ~19.4 bytes of
+                HBM traffic per base (packed-input select kernel with
+                in-VMEM unpack + in-row flag-cumsum emission, cumsum-free
+                two-level compaction, slot-level canonical-value
+                recomputation from the packed stream) at the w-aware
+                budget_frac 1.5*2/(w+1) (= 0.1875 at w=15):
+                  kernel read (interleaved packed codes+valid) 0.375
+                  kernel write (csum<<16 | wp i32 plane)       4.0
+                  compact3 search gathers (~2 cache lines/slot,
+                    64 B/slot x 0.1875 slot/base)              4.0 [1]
+                  slot value fetch (3 clustered u32 word
+                    gathers, ~1.5 lines = 12 B/slot eff.)      2.25
+                  budget domain (hash/probe/count sorts,
+                    ~52 B/slot x 0.1875 slot/base)             9.75
+                [1] earlier rounds' models did not charge search gathers;
+                this one does — under the old convention the total would
+                be ~15.4 B/base. v2 (round-3 early) modeled 39 B/base
+                (dense value planes + unpack stage + dense cumsum,
+                budget 0.25); round 2 measured ~70 B/base.
                 The dispatch proxy can exceed the bound; a real chip
                 cannot.
   e2e           end-to-end numbers measured through the CLI on this host
@@ -57,7 +63,7 @@ import numpy as np
 
 # Rough HBM traffic of the fused engine step, bytes per input base (see
 # module docstring for the per-stage breakdown) and v5e HBM bandwidth.
-HBM_BYTES_PER_BASE = 39.0
+HBM_BYTES_PER_BASE = 19.4
 V5E_HBM_BYTES_PER_S = 8.19e11
 
 
@@ -294,7 +300,7 @@ def main() -> None:
     # synthetic long reads: one read per row (ONT-like long read tile)
     bases = np.frombuffer(b"ACGT", np.uint8)
 
-    budget = (int(0.35 * R * L) + 191) // 128 * 128
+    budget = (int(eng.default_budget_frac(w) * R * L) + 191) // 128 * 128
     mlen = np.full(R, L - k + 1, dtype=np.int32)
     allow_short = np.zeros(R, dtype=bool)
     rid = np.arange(R, dtype=np.int32)
@@ -319,21 +325,25 @@ def main() -> None:
         if i == 0:
             raw_row0 = rb[0].copy()
         pc, pv = eng.host_pack_bits(mnp.PACK_CODE[rb], mnp.VALID_BASE[rb])
+        pci, pvi = eng.host_interleave_packed(pc, pv)
         if resident:
             # measure chip compute throughput; a production loader overlaps
             # PCIe transfers (the tunneled link here is ~300 MB/s and would
             # otherwise dominate: set DEACON_BENCH_RESIDENT=0 to include it)
             pc = jax.device_put(jnp.asarray(pc), dev)
             pv = jax.device_put(jnp.asarray(pv), dev)
-        packed_batches.append((pc, pv))
+            pci = jax.device_put(jnp.asarray(pci), dev)
+            pvi = jax.device_put(jnp.asarray(pvi), dev)
+        packed_batches.append((pc, pv, pci, pvi))
 
     step = eng.engine_step_fused((k, w, budget, R, max_run, True))
 
     def launch(i):
-        pc, pv = packed_batches[i % n_rot]
+        pc, pv, pci, pvi = packed_batches[i % n_rot]
         return step(
             jnp.asarray(pc), jnp.asarray(pv), j_mlen, j_short,
             j_rid, j_mate, j_cstart, index_hi, index_lo, index_nv,
+            jnp.asarray(pci), jnp.asarray(pvi),
         )
 
     from deacon_tpu.jaxenv import default_backend_is_tunneled

@@ -785,6 +785,193 @@ def _stage_hash(limbs, slot_row, slot_pos, *, k: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# v3 engine stages: packed-input kernel + cumsum-free compaction + slot-level
+# value recomputation. HBM traffic per base drops from ~39 B (v2) to ~20 B:
+# the dense value planes (8 B/base), the unpack stage (4 B/base), the dense
+# wpf read + global cumsum write (8 B/base) all disappear; the adds are the
+# kernel's packed reads (0.375 B/base) and ~12 B per SLOT of packed-word
+# gathers for value recomputation (~3 B/base at budget 0.25).
+# ---------------------------------------------------------------------------
+
+
+def _words_view(packed_codes):
+    """(R, L/4) u8 packed codes -> (R, L/16) u32 little-endian words.
+
+    Word q of a row holds codes [16q, 16q+16), code j at bits 2j — i.e. the
+    packed byte stream read as little-endian u32. Bits [2p, 2p+2k) of the
+    stream are therefore exactly the forward k-mer value at position p
+    (tests/test_engine_v3.py checks this against the NumPy view)."""
+    R, Lp = packed_codes.shape
+    return jax.lax.bitcast_convert_type(
+        packed_codes.reshape(R, Lp // 4, 4), jnp.uint32
+    )
+
+
+def _v3_eligible(k: int, L: int, R: int) -> bool:
+    """Static-shape eligibility for the v3 architecture (same predicate on
+    every backend so CPU CI exercises the exact TPU decision path)."""
+    import os
+
+    if os.environ.get("DEACON_ENGINE", "") == "2":
+        return False
+    return k <= 32 and R % 8 == 0 and L % 128 == 0 and L <= 16384
+
+
+def host_interleave_packed(pc: np.ndarray, pv: np.ndarray):
+    """Derive the kernel-v3 interleaved planes from the linear packed
+    planes (vectorized NumPy; the native packer emits these directly when
+    available). Interleaved code byte i holds codes {i, i+Lp, i+2Lp,
+    i+3Lp} at bits {0, 2, 4, 6}; interleaved validity byte i holds bits
+    {i, i+Lv, ..., i+7Lv} — the layout Mosaic's tile-repeat turns back
+    into per-lane codes with three range compares (see
+    pallas_kernels._select_csum_kernel_body)."""
+    R, Lp = pc.shape
+    Lv = pv.shape[1]
+    pcv = pc.reshape(R, 4, Lp // 4)
+    pci = np.zeros((R, Lp), dtype=np.uint8)
+    jshift = (np.uint8(1) << (2 * np.arange(4, dtype=np.uint8)))[None, :, None]
+    for t in range(4):
+        q = ((pcv >> np.uint8(2 * t)) & np.uint8(3)) * jshift
+        pci[:, t::4] = q.sum(axis=1, dtype=np.uint8)
+    pvv = pv.reshape(R, 8, Lv // 8)
+    pvi = np.zeros((R, Lv), dtype=np.uint8)
+    bshift = (np.uint8(1) << np.arange(8, dtype=np.uint8))[None, :, None]
+    for t in range(8):
+        q = ((pvv >> np.uint8(t)) & np.uint8(1)) * bshift
+        pvi[:, t::8] = q.sum(axis=1, dtype=np.uint8)
+    return pci, pvi
+
+
+def _values_csum(packed_codes, packed_valid, il_codes, il_valid, mlen,
+                 allow_short, *, k: int, w: int):
+    """v3 selection front end: -> ((R, L) i32 plane, (R,) i32 row totals)
+    with plane = (in-row inclusive flag-cumsum << 16) | wp. Pallas kernel
+    on TPU (ops/pallas_kernels.select_csum_packed, fed the interleaved
+    planes); bit-identical XLA emulation elsewhere (unpack the linear
+    planes + v2 select + per-row cumsum)."""
+    mode = _pallas_mode()
+    R, Lp = packed_codes.shape
+    if mode != "off" and not _pallas_v1_forced():
+        from . import pallas_kernels as pk
+
+        plane, row_tot = pk.select_csum_packed(
+            il_codes, il_valid, mlen, allow_short, k=k, w=w,
+            interpret=(mode == "interpret"),
+        )
+        return plane, row_tot.reshape(R)
+    codes, validb = _stage_unpack(packed_codes, packed_valid)
+    limbs, wp_i, flag = _values_flags(
+        codes, validb, mlen, allow_short, k=k, w=w
+    )
+    del limbs  # DCE'd under jit: v3 recomputes values at slots
+    fi = flag.astype(jnp.int32)
+    cs = jnp.cumsum(fi, axis=1)
+    plane = (cs << jnp.int32(16)) | wp_i
+    return plane, cs[:, -1]
+
+
+@functools.partial(jax.jit, static_argnames=("budget",))
+def _stage_compact3(plane, row_tot, *, budget: int):
+    """Cumsum-free compaction from the kernel's in-row cumsum plane: a tiny
+    per-row offset scan (R elements) picks each slot's row, then an unrolled
+    binary search over that row's inclusive cumsum (bits 16..30 of the
+    plane) finds the slot's window position — no dense R*L pass, and the
+    search's bottom-level gathers touch ~1 cache line per slot."""
+    R, L = plane.shape
+    rt = row_tot.reshape(R)
+    c = jnp.cumsum(rt)
+    total = c[-1]
+    s = jnp.arange(budget, dtype=jnp.int32)
+    row = jnp.searchsorted(c, s + 1, side="left").astype(jnp.int32)
+    row = jnp.minimum(row, R - 1)
+    t = s - (c[row] - rt[row])  # in-row rank (0-based)
+    flat = plane.reshape(-1)
+    lo = jnp.zeros_like(s)
+    hi = jnp.full_like(s, L - 1)
+    steps = max(1, (L - 1).bit_length())
+    for _ in range(steps):  # lower_bound: first p with csum[p] >= t+1
+        mid = (lo + hi) >> 1
+        ge = (flat[row * L + mid] >> jnp.int32(16)) >= t + 1
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    p = hi
+    slot_id = row * L + p
+    slot_pos = flat[slot_id] & jnp.int32(0xFFFF)
+    slot_valid = s < jnp.minimum(total, budget)
+    return slot_id, row, slot_pos, slot_valid, total
+
+
+def _rev2_u32(x):
+    """Reverse the 16 2-bit groups of each u32 lane."""
+    x = (x >> U32(16)) | (x << U32(16))
+    x = ((x & U32(0xFF00FF00)) >> U32(8)) | ((x & U32(0x00FF00FF)) << U32(8))
+    x = ((x & U32(0xF0F0F0F0)) >> U32(4)) | ((x & U32(0x0F0F0F0F)) << U32(4))
+    x = ((x & U32(0xCCCCCCCC)) >> U32(2)) | ((x & U32(0x33333333)) << U32(2))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _stage_hash_packed(words, slot_row, slot_pos, *, k: int):
+    """XXH3-64 of the canonical k-mer value at each slot's minimizer
+    position, recomputed from the packed code words (k <= 32).
+
+    The packed stream's bits [2p, 2p+2k) are the forward value; the reverse
+    complement is the 2-bit-group reversal of its complement. Both are
+    rebuilt from <= 3 u32 word gathers per slot instead of reading dense
+    value planes the kernel would otherwise have to write (8 B/base)."""
+    assert k <= 32
+    R, LW = words.shape
+    flatw = words.reshape(-1)
+    nmax = R * LW - 1
+    q = slot_pos >> 4  # word index (wp // 16)
+    sh = ((slot_pos & jnp.int32(15)) << 1).astype(U32)
+    base = slot_row * LW + q
+    g0 = flatw[jnp.clip(base, 0, nmax)]
+    g1 = flatw[jnp.clip(base + 1, 0, nmax)]
+    g2 = flatw[jnp.clip(base + 2, 0, nmax)]
+    # funnel shift: (g_hi:g_lo) >> sh with sh in [0, 30]
+    inv = (U32(32) - sh) & U32(31)
+    hi_ok = sh > U32(0)
+    zero = jnp.zeros_like(g0)
+    f0 = (g0 >> sh) | jnp.where(hi_ok, g1 << inv, zero)
+    f1 = (g1 >> sh) | jnp.where(hi_ok, g2 << inv, zero)
+    if 2 * k < 32:
+        f0 = f0 & U32((1 << (2 * k)) - 1)
+        f1 = zero
+    elif 2 * k == 32:
+        f1 = zero
+    elif 2 * k < 64:
+        f1 = f1 & U32((1 << (2 * k - 32)) - 1)
+    # reverse complement: complement each base then reverse 2-bit groups
+    # within the 2k-bit field (reverse the 64-bit container, shift down)
+    comp_mask = U32(0xAAAAAAAA)
+    c0 = f0 ^ comp_mask
+    c1 = f1 ^ comp_mask
+    r0_64 = _rev2_u32(c1)
+    r1_64 = _rev2_u32(c0)
+    sdown = 64 - 2 * k
+    if sdown == 0:
+        r0, r1 = r0_64, r1_64
+    elif sdown < 32:
+        r0 = (r0_64 >> U32(sdown)) | (r1_64 << U32(32 - sdown))
+        r1 = r1_64 >> U32(sdown)
+    else:  # k <= 16: the field lives in one limb
+        r0 = r1_64 >> U32(sdown - 32)
+        r1 = zero
+    if 2 * k < 32:
+        r0 = r0 & U32((1 << (2 * k)) - 1)
+        r1 = zero
+    elif 2 * k == 32:
+        r1 = zero
+    elif 2 * k < 64:
+        r1 = r1 & U32((1 << (2 * k - 32)) - 1)
+    take_f = (f1 < r1) | ((f1 == r1) & (f0 <= r0))
+    v0 = jnp.where(take_f, f0, r0)
+    v1 = jnp.where(take_f, f1, r1)
+    return u64.xxh3_64_pair_u64(v0, v1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_run",))
 def _stage_probe(index_hi, index_lo, n_valid, hlo, hhi, slot_valid,
                  *, max_run: int):
@@ -938,7 +1125,7 @@ def _values_select(codes, validb, mlen, allow_short, *, k: int, w: int):
 
 def _engine_step(
     codes, validb, mlen, allow_short, rid, mate, chunk_start,
-    index_hi, index_lo, n_valid,
+    index_hi, index_lo, n_valid, il_codes=None, il_valid=None,
     *, k: int, w: int, budget: int, num_segments: int, max_run: int,
     dedup_positions: bool, packed: bool = False,
 ):
@@ -947,8 +1134,37 @@ def _engine_step(
     With packed=True, ``codes``/``validb`` are the bit-packed forms from
     host_pack_bits and are unpacked on device. ``n_valid`` ((1,) i32) masks
     the pow2-bucket pad region of the index planes.
+
+    Architecture: packed inputs route through the v3 stages (packed-input
+    kernel, cumsum-free compaction, slot-level value recomputation — see
+    the v3 section above) when the static shapes are eligible; otherwise
+    (wide k, exotic tiles, DEACON_ENGINE=2) the v2 stages run. Both are
+    bit-identical (tests/test_engine_v3.py).
     """
     if packed:
+        R, Lp = codes.shape
+        if _v3_eligible(k, Lp * 4, R) and il_codes is not None:
+            plane, row_tot = _values_csum(
+                codes, validb, il_codes, il_valid, mlen, allow_short,
+                k=k, w=w,
+            )
+            plane = lax.optimization_barrier(plane)
+            slot_id, slot_row, slot_pos, slot_valid, total = _stage_compact3(
+                plane, row_tot, budget=budget
+            )
+            hlo, hhi = _stage_hash_packed(
+                _words_view(codes), slot_row, slot_pos, k=k
+            )
+            member, pos = _stage_probe(
+                index_hi, index_lo, n_valid, hlo, hhi, slot_valid,
+                max_run=max_run,
+            )
+            hits, totals = _stage_count(
+                member, pos, slot_row, slot_pos, slot_valid, rid, mate,
+                chunk_start, num_segments=num_segments,
+                dedup_positions=dedup_positions,
+            )
+            return hits, totals, total
         codes, validb = _stage_unpack(codes, validb)
     vplanes, wpf = _values_select(
         codes, validb, mlen, allow_short, k=k, w=w
@@ -994,21 +1210,27 @@ def engine_step_fused(statics: tuple):
 
     ``statics`` = (k, w, budget, num_segments, max_run, dedup_positions).
     Returns fn(codes, validb, mlen, allow_short, rid, mate, chunk_start,
-    index_hi, index_lo, n_valid) -> fused (2R+1,) i32 output. With the
+    index_hi, index_lo, n_valid, il_codes, il_valid) -> fused (2R+1,) i32
+    output (il_codes/il_valid are the v3 kernel's interleaved planes —
+    (1, 1) dummies when the statics are v3-ineligible). With the
     pow2-padded index planes (DevicePipeline), the compiled program depends
     only on the tile statics and the index's size BUCKET — a new index of
     similar magnitude reuses the persistent-cache entry instead of paying a
     multi-minute tunnel compile.
     """
-    fn = _FUSED_STEPS.get(statics)
+    import os
+
+    key = (statics, os.environ.get("DEACON_ENGINE", ""))
+    fn = _FUSED_STEPS.get(key)
     if fn is None:
         k, w, budget, num_segments, max_run, dedup_positions = statics
 
         def whole(codes, validb, mlen, allow_short, rid, mate, chunk_start,
-                  index_hi, index_lo, n_valid):
+                  index_hi, index_lo, n_valid, il_codes, il_valid):
             hits, totals, used = _engine_step(
                 codes, validb, mlen, allow_short, rid, mate, chunk_start,
-                index_hi, index_lo, n_valid, k=k, w=w, budget=budget,
+                index_hi, index_lo, n_valid, il_codes, il_valid,
+                k=k, w=w, budget=budget,
                 num_segments=num_segments, max_run=max_run,
                 dedup_positions=dedup_positions, packed=True,
             )
@@ -1020,7 +1242,7 @@ def engine_step_fused(statics: tuple):
 
         whole.__name__ = "_engine_step"  # stable persistent-cache key name
         fn = jax.jit(whole)
-        _FUSED_STEPS[statics] = fn
+        _FUSED_STEPS[key] = fn
     return fn
 
 
@@ -1206,19 +1428,27 @@ def pack_rows_packed(rows: list["_Row"], R: int, L: int, k: int, l: int):
     return pc, pv, mlen, allow_short, rid, mate, cstart
 
 
-def default_budget_frac() -> float:
+def default_budget_frac(w: int | None = None) -> float:
     """Minimizer-slot budget as a fraction of R*L positions. The random
-    selection scheme's density is 2/(w+1) (~0.125 at w=15), so 0.25 is a
-    2x margin; overflow falls back/regrows gracefully. Round 2 shipped
-    0.35 — the budget domain (compact/hash/probe/count work per slot) is
-    a top HBM consumer, so the slack was a ~10%-of-roofline tax.
-    Override with DEACON_BUDGET_FRAC."""
+    selection scheme's density is 2/(w+1) (~0.125 at w=15); the default is
+    a 1.5x margin on that, clamped to [0.15, 0.5] (at the default w=15:
+    0.1875). Overflow falls back/regrows gracefully, and over a 512K-
+    position tile the density's variance is tiny, so 1.5x is ample. The
+    budget domain (compact/hash/probe/count work per slot) is a top HBM
+    consumer — round 2 shipped a flat 0.35, round 3 a flat 0.25; the
+    w-aware default trims the last structural slack. Override with
+    DEACON_BUDGET_FRAC."""
     import os
 
-    try:
-        return float(os.environ.get("DEACON_BUDGET_FRAC", "0.25"))
-    except ValueError:
+    env = os.environ.get("DEACON_BUDGET_FRAC")
+    if env:
+        try:
+            return float(env)
+        except ValueError:
+            pass
+    if w is None:
         return 0.25
+    return min(0.5, max(0.15, 1.5 * 2.0 / (w + 1)))
 
 
 class BudgetOverflow(RuntimeError):
@@ -1338,7 +1568,7 @@ class DevicePipeline:
         device=None,
     ):
         if budget_frac is None:
-            budget_frac = default_budget_frac()
+            budget_frac = default_budget_frac(w)
         self.k, self.w = int(k), int(w)
         self.l = self.k + self.w - 1
         if tiles is None:
@@ -1482,10 +1712,16 @@ class DevicePipeline:
         pc, pv, mlen, allow_short, rid, mate, cstart = pack_rows_packed(
             rows, R, L, self.k, self.l
         )
+        if _v3_eligible(self.k, L, R):
+            pci, pvi = host_interleave_packed(pc, pv)
+        else:
+            pci = np.zeros((1, 1), dtype=np.uint8)
+            pvi = np.zeros((1, 1), dtype=np.uint8)
         args = [
             jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
             jnp.asarray(cstart), self.index_hi, self.index_lo, self._n_valid,
+            jnp.asarray(pci), jnp.asarray(pvi),
         ]
         # only the largest tile class ever holds chunked long reads
         statics = (self.k, self.w, budget, R, self.max_run, L >= self.L_max)
@@ -1545,7 +1781,7 @@ class IndexBuildPipeline:
         device=None,
     ):
         if budget_frac is None:
-            budget_frac = default_budget_frac()
+            budget_frac = default_budget_frac(w)
         self.k, self.w = int(k), int(w)
         self.l = self.k + self.w - 1
         self.L = max(int(row_len), self.l)

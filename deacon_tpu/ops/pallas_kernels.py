@@ -334,6 +334,188 @@ def values_select_fused(codes, validb, mlen, allow_short, *, k: int, w: int,
     return tuple(out[:nl]), out[nl]
 
 
+def _select_csum_kernel_body(pci_u32, pvi_u32, mlen_col, allow_col,
+                             *, k: int, w: int, L: int):
+    """Kernel-v3 math: quarter-interleaved packed codes (TR, L/4) +
+    eighth-interleaved validity bytes (TR, L/8) -> ONE (TR, L) i32 plane
+    ((in-row flag-cumsum << 16) | wp) + (TR, 1) row totals.
+
+    Beyond v2 it (a) unpacks the 2-bit codes and validity bits in VMEM, so
+    the kernel reads 0.375 bytes/base instead of 2 and the separate XLA
+    unpack stage disappears, and (b) carries NO value payloads through the
+    doubling window-min — downstream recomputes the selected value from the
+    LINEAR packed codes at the compacted slots (engine._stage_hash_packed),
+    which the packed stream makes trivial: bits [2p, 2p+2k) ARE the forward
+    k-mer value at p. The only dense outputs are the packed word (wp in
+    the low 14 bits, in-row inclusive flag-cumsum at bits 16..30) and a
+    (TR, 1) total column, so compaction needs no dense cumsum pass either.
+
+    The interleaved layout exists because Mosaic's repeat is TILE-repeat
+    (x tiled end-to-end, lane p reads x[p mod Lp]), not element-repeat:
+    byte i of the interleaved plane holds codes {i, i+Lp, i+2Lp, i+3Lp}
+    (engine.host_interleave_packed), so after tile-repeat lane p's code
+    sits at bit 2*(p div Lp) — a shift that is CONSTANT per quarter and
+    needs only three lane-range compares, no division. Requires L <= 16384
+    (wp <= 16383 and csum << 16 < 2^31) — every DevicePipeline tile class
+    satisfies this.
+    """
+    S = _next_pow2(k)
+    nl = 2 if k <= 32 else 4
+    TR = pci_u32.shape[0]
+    Lp, Lv = L // 4, L // 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (TR, L), 1)
+
+    # codes: lane p reads interleaved byte (p mod Lp) at bit 2*(p div Lp)
+    repc = pltpu.repeat(pci_u32, 4, axis=1)
+    shq = (
+        (col >= Lp).astype(jnp.int32)
+        + (col >= 2 * Lp).astype(jnp.int32)
+        + (col >= 3 * Lp).astype(jnp.int32)
+    )
+    codes_u32 = (repc >> (U32(2) * shq.astype(U32))) & U32(3)
+    # validity: lane p reads interleaved byte (p mod Lv) at bit (p div Lv)
+    repv = pltpu.repeat(pvi_u32, 8, axis=1)
+    shv = shq - shq  # zeros
+    for m in range(1, 8):
+        shv = shv + (col >= m * Lv).astype(jnp.int32)
+    valid_u32 = (repv >> shv.astype(U32)) & U32(1)
+
+    zero = jnp.zeros_like(codes_u32)
+    f = [codes_u32] + [zero] * (nl - 1)
+    r = [codes_u32 ^ U32(2)] + [zero] * (nl - 1)
+    s = 1
+    while s < S:
+        fs = _limbs_shl([_shift_cols(x, s, 0) for x in f], 2 * s)
+        f = [a | b for a, b in zip(f, fs)]
+        t = _limbs_shl(r, 2 * s)
+        r = [a | _shift_cols(b, s, 0) for a, b in zip(t, r)]
+        s *= 2
+    if S != k:
+        full, bit = (2 * k) // 32, (2 * k) % 32
+        f = [
+            f[i] if i < full else (f[i] & U32((1 << bit) - 1) if (i == full and bit) else zero)
+            for i in range(nl)
+        ]
+        r = _limbs_shr(r, 2 * (S - k))
+    take_f = _limbs_le(f, r)
+    limbs = [jnp.where(take_f, a, b) for a, b in zip(f, r)]
+
+    fold = limbs[0]
+    for x in limbs[1:]:
+        fold = fold ^ x
+    keys = _fmix32(fold) & U32(_TOPMASK)
+    in_row = col < mlen_col
+    t = jnp.where(in_row, keys, U32(_TOPMASK)) | col.astype(U32)
+
+    inv = valid_u32 ^ U32(1)
+    span = 1
+    a = inv
+    while span * 2 <= k:
+        a = a | _shift_cols(a, span, 1)
+        span *= 2
+    if k - span > 0:
+        a = a | _shift_cols(a, k - span, 1)
+    kv = jnp.where((a == 0) & in_row, U32(1), U32(0))
+
+    ts = jax.lax.bitcast_convert_type(t ^ U32(0x80000000), jnp.int32)
+    imax = 0x7FFFFFFF
+
+    def shift_i32(x, n):
+        rr = pltpu.roll(x, shift=L - n, axis=1)
+        return jnp.where(col < L - n, rr, jnp.int32(imax))
+
+    def step(ts, kvc, n):
+        ts_sh = shift_i32(ts, n)
+        take_self = ts <= ts_sh  # unique keys: exact leftmost tie-break
+        kvc = jnp.where(take_self, kvc, _shift_cols(kvc, n, 0))
+        return jnp.minimum(ts, ts_sh), kvc
+
+    kvc = kv
+    span = 1
+    while span * 2 <= w:
+        ts, kvc = step(ts, kvc, span)
+        span *= 2
+    if w - span > 0:
+        ts, kvc = step(ts, kvc, w - span)
+    wp = jnp.minimum(ts & jnp.int32(0xFFFF), L - 1)
+
+    prev_wp = pltpu.roll(wp, shift=1, axis=1)
+    prev_wp = jnp.where(col >= 1, prev_wp, jnp.int32(-1))
+    new_min = (col == 0) | (wp != prev_wp)
+    win_valid = (col <= mlen_col - w) | (
+        (col == 0) & (allow_col > 0) & (mlen_col >= 1)
+    )
+    flag = jnp.where(
+        win_valid & new_min & (kvc == U32(1)), jnp.int32(1), jnp.int32(0)
+    )
+
+    # in-row inclusive cumsum of flags (Hillis-Steele doubling; right-shift
+    # brings earlier lanes forward)
+    cs = flag
+    n = 1
+    while n < L:
+        sh = pltpu.roll(cs, shift=n, axis=1)
+        cs = cs + jnp.where(col >= n, sh, jnp.int32(0))
+        n *= 2
+    plane = (cs << jnp.int32(16)) | wp
+    row_tot = jnp.max(cs, axis=1, keepdims=True)  # cumsum is monotone
+    return plane, row_tot
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "interpret"))
+def select_csum_packed(packed_codes, packed_valid, mlen, allow_short,
+                       *, k: int, w: int, interpret: bool = False):
+    """(R, L/4) u8 quarter-INTERLEAVED packed codes + (R, L/8) u8
+    eighth-interleaved validity bytes (engine.host_interleave_packed) +
+    per-row mlen/allow_short -> ((R, L) i32 plane, (R, 1) i32 row totals)
+    where plane = (in-row inclusive flag-cumsum << 16) | wp. See
+    _select_csum_kernel_body. R % 8 == 0, 128 | L <= 16384, k <= 32 (wide
+    k falls back to the v2 kernel in the engine)."""
+    if k > 32:
+        raise ValueError("pallas v3 kernel supports k <= 32 only")
+    R, Lp = packed_codes.shape
+    L = Lp * 4
+    TR = _ROW_BLOCK
+    assert R % TR == 0 and L % 128 == 0 and L <= 16384
+
+    def kernel(pc_ref, pv_ref, mlen_ref, allow_ref, plane_ref, tot_ref):
+        pc = pc_ref[:].astype(U32)
+        pv = pv_ref[:].astype(U32)
+        plane, row_tot = _select_csum_kernel_body(
+            pc, pv, mlen_ref[:], allow_ref[:], k=k, w=w, L=L
+        )
+        plane_ref[:] = plane
+        tot_ref[:] = row_tot
+
+    grid = (R // TR,)
+    row_block = lambda i: (i, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR, L // 4), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, L // 8), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TR, L), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, L), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        packed_codes,
+        packed_valid,
+        mlen.reshape(R, 1),
+        allow_short.astype(jnp.int32).reshape(R, 1),
+    )
+    return out[0], out[1]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "w", "interpret")
 )

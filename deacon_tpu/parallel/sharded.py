@@ -305,7 +305,7 @@ class ShardedPipeline:
 
     def _init_geometry(self, k, w, mesh, row_len, rows_per_shard, budget_frac):
         if budget_frac is None:
-            budget_frac = eng.default_budget_frac()
+            budget_frac = eng.default_budget_frac(w)
         self._budget_frac = budget_frac
         self.k, self.w = int(k), int(w)
         self.l = self.k + self.w - 1

@@ -1,0 +1,200 @@
+"""v3 engine architecture (packed-input kernel + cumsum-free compaction +
+slot-level value recomputation) == v2 stages, bit-exact.
+
+The v3 design's load-bearing invariants:
+* the packed 2-bit code stream read as little-endian u32 words has the
+  forward k-mer value at position p in bits [2p, 2p+2k) (_words_view);
+* _stage_hash_packed's recomputed canonical value at a slot equals the
+  kernel-v2 propagated value plane entry (same min(fwd, rc) math);
+* _stage_compact3's two-level search yields exactly _stage_compact2's
+  slots (same row-major flag enumeration);
+* the full _engine_step (packed=True) produces identical hits/totals under
+  DEACON_ENGINE=2 and the default v3 routing.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from deacon_tpu.ops import engine as eng  # noqa: E402
+from deacon_tpu.ops import minimizers_np as mnp  # noqa: E402
+
+
+def _random_tile(rng, R, L, k, dirty=0.05):
+    codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    validb = rng.random((R, L)) > dirty
+    mlen = rng.integers(-1, L - k + 2, (R,)).astype(np.int32)
+    mlen[0] = L - k + 1
+    mlen[1] = 0
+    allow_short = rng.random(R) > 0.5
+    return codes, validb, mlen, allow_short
+
+
+def test_words_view_is_little_endian_value_stream():
+    rng = np.random.default_rng(1)
+    R, L, k = 4, 256, 31
+    codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    pc, _ = eng.host_pack_bits(codes, np.ones((R, L), bool))
+    words = np.asarray(eng._words_view(jnp.asarray(pc)))
+    # numpy little-endian view of the same bytes
+    want = pc.reshape(R, -1).view("<u4")
+    np.testing.assert_array_equal(words, want)
+    # bits [2p, 2p+2k) == forward k-mer value at p
+    stream = np.zeros(R * L // 4, dtype=np.uint8)
+    for r in range(R):
+        p = 17
+        fwd = 0
+        for j in range(k):
+            fwd |= int(codes[r, p + j]) << (2 * j)
+        w64 = (
+            int(words[r, p // 16])
+            | (int(words[r, p // 16 + 1]) << 32)
+            | (int(words[r, p // 16 + 2]) << 64)
+        )
+        got = (w64 >> (2 * (p % 16))) & ((1 << (2 * k)) - 1)
+        assert got == fwd
+
+
+@pytest.mark.parametrize("k,w", [(31, 15), (32, 15), (21, 7), (16, 16),
+                                 (5, 3), (31, 2), (2, 15), (13, 11)])
+def test_values_csum_kernel_matches_emulation(k, w, monkeypatch):
+    rng = np.random.default_rng(k * 37 + w)
+    R, L = 16, 512
+    codes, validb, mlen, allow_short = _random_tile(rng, R, L, k)
+    l = k + w - 1
+    mlen[2] = l - k  # short read: single window via allow_short
+    allow_short[2] = True
+    pc, pv = eng.host_pack_bits(codes, validb)
+    pci, pvi = eng.host_interleave_packed(pc, pv)
+    args = (jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(pci),
+            jnp.asarray(pvi), jnp.asarray(mlen), jnp.asarray(allow_short))
+
+    monkeypatch.setenv("DEACON_PALLAS", "off")
+    want_plane, want_tot = eng._values_csum(*args, k=k, w=w)
+    monkeypatch.setenv("DEACON_PALLAS", "interpret")
+    got_plane, got_tot = eng._values_csum(*args, k=k, w=w)
+    np.testing.assert_array_equal(np.asarray(got_tot), np.asarray(want_tot))
+    np.testing.assert_array_equal(
+        np.asarray(got_plane), np.asarray(want_plane)
+    )
+
+
+@pytest.mark.parametrize("k", [31, 32, 21, 16, 15, 8, 2])
+def test_hash_packed_matches_hash2(k):
+    """Recomputed slot values hash identically to the v2 value planes."""
+    w = 15 if k > 15 else 3
+    rng = np.random.default_rng(k)
+    R, L = 16, 512
+    codes, validb, mlen, allow_short = _random_tile(rng, R, L, k, dirty=0.02)
+    pc, pv = eng.host_pack_bits(codes, validb)
+    ja = (jnp.asarray(codes), jnp.asarray(validb), jnp.asarray(mlen),
+          jnp.asarray(allow_short))
+    vplanes, wpf = eng._values_select(*ja, k=k, w=w)
+    budget = 1024
+    slot_id, slot_row, slot_pos, slot_valid, total = eng._stage_compact2(
+        wpf, budget=budget
+    )
+    want = eng._stage_hash2(vplanes, slot_id, k=k)
+    got = eng._stage_hash_packed(
+        eng._words_view(jnp.asarray(pc)), slot_row, slot_pos, k=k
+    )
+    sv = np.asarray(slot_valid)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a)[sv], np.asarray(b)[sv])
+
+
+@pytest.mark.parametrize("budget", [64, 1024, 8192])
+def test_compact3_matches_compact2(budget):
+    k, w = 31, 15
+    rng = np.random.default_rng(budget)
+    R, L = 32, 384
+    codes, validb, mlen, allow_short = _random_tile(rng, R, L, k)
+    pc, pv = eng.host_pack_bits(codes, validb)
+    ja = (jnp.asarray(codes), jnp.asarray(validb), jnp.asarray(mlen),
+          jnp.asarray(allow_short))
+    _, wpf = eng._values_select(*ja, k=k, w=w)
+    want = eng._stage_compact2(wpf, budget=budget)
+    pci, pvi = eng.host_interleave_packed(pc, pv)
+    plane, row_tot = eng._values_csum(
+        jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(pci),
+        jnp.asarray(pvi), jnp.asarray(mlen), jnp.asarray(allow_short),
+        k=k, w=w,
+    )
+    got = eng._stage_compact3(plane, row_tot, budget=budget)
+    assert int(got[4]) == int(want[4])  # total
+    sv = np.asarray(want[3])
+    np.testing.assert_array_equal(np.asarray(got[3]), sv)  # slot_valid
+    for gi, wi in ((0, 0), (1, 1), (2, 2)):  # slot_id, row, pos at valid
+        np.testing.assert_array_equal(
+            np.asarray(got[gi])[sv], np.asarray(want[wi])[sv]
+        )
+
+
+@pytest.mark.parametrize("kernel", ["off", "interpret"])
+def test_engine_step_v3_matches_v2(kernel, monkeypatch):
+    k, w = 31, 15
+    rng = np.random.default_rng(7)
+    R, L = 32, 512
+    codes, validb, mlen, allow_short = _random_tile(rng, R, L, k)
+    pc, pv = eng.host_pack_bits(codes, validb)
+    rid = np.repeat(np.arange(R // 2, dtype=np.int32), 2)
+    mate = np.tile(np.array([0, 1], np.int32), R // 2)
+    cstart = np.zeros(R, np.int32)
+    # index: hashes drawn from the tile itself so probes actually hit
+    hs = []
+    for r in range(R):
+        if mlen[r] <= 0:
+            continue
+        h, _, _ = mnp.get_minimizer_hashes_and_positions(
+            bytes(np.frombuffer(b"ACGT", np.uint8)[codes[r]]), 0, k, w
+        )
+        hs.extend(h.tolist()[:5])
+    arr = np.unique(np.array(hs, dtype=np.uint64))
+    hi, lo, nv, max_run = eng.build_padded_shard_planes(arr, 4096)
+    budget = 2048
+    pci, pvi = eng.host_interleave_packed(pc, pv)
+    args = [jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(mlen),
+            jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
+            jnp.asarray(cstart), jnp.asarray(hi), jnp.asarray(lo),
+            jnp.asarray(np.array([nv], np.int32)),
+            jnp.asarray(pci), jnp.asarray(pvi)]
+    kw = dict(k=k, w=w, budget=budget, num_segments=R // 2, max_run=max_run,
+              dedup_positions=True, packed=True)
+
+    monkeypatch.setenv("DEACON_PALLAS", kernel)
+    monkeypatch.setenv("DEACON_ENGINE", "2")
+    want = eng._engine_step(*args, **kw)
+    monkeypatch.delenv("DEACON_ENGINE")
+    got = eng._engine_step(*args, **kw)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_pipeline_v3_oracle(monkeypatch):
+    """Integrated DevicePipeline decisions through the v3 emulation path
+    (CPU default) must match the NumPy oracle exactly, including long
+    chunked reads and paired units."""
+    k, w = 31, 15
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b"ACGTNryK", dtype=np.uint8)
+    genome = rng.choice(alpha[:4], 5000).tobytes()
+    index_hashes = np.unique(mnp.compute_minimizer_hashes(genome, k, w, 0.0))
+    reads = []
+    for i in range(10):
+        n = int(rng.integers(0, 700))
+        reads.append(rng.choice(alpha, n).tobytes())
+    for i in range(6):
+        s = int(rng.integers(0, 4000))
+        reads.append(genome[s : s + 600])
+    pipe = eng.DevicePipeline(index_hashes, k, w, tiles=((384, 64),))
+    units = [(i, ((0, r),)) for i, r in enumerate(reads)]
+    resolve = pipe.launch_counts(units, len(units), prefix_length=0)
+    got_hits, got_totals = resolve()
+    idx_set = set(index_hashes.tolist())
+    for r, (gh, gt) in zip(reads, zip(got_hits, got_totals)):
+        h, _, _ = mnp.get_minimizer_hashes_and_positions(r, 0, k, w)
+        distinct = set(x for x in h.tolist() if x in idx_set)
+        assert gt == len(h), (len(r), gt, len(h))
+        assert gh == len(distinct), (len(r), gh, len(distinct))

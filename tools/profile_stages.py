@@ -128,8 +128,10 @@ timeone("CHAIN total", chain, codes, validb, mlen, allow_short, rid, mate,
 pc_np, pv_np = eng.host_pack_bits(
     mnp.PACK_CODE[raw].astype(np.uint8), mnp.VALID_BASE[raw]
 )
+pci_np, pvi_np = eng.host_interleave_packed(pc_np, pv_np)
 pcodes, pvalid = jnp.asarray(pc_np), jnp.asarray(pv_np)
+pci, pvi = jnp.asarray(pci_np), jnp.asarray(pvi_np)
 fused = eng.engine_step_fused((K, W, BUDGET, R, MAX_RUN, True))
 timeone("FUSED total", fused, pcodes, pvalid, mlen, allow_short, rid, mate,
-        cstart, ihi, ilo, inv, iters=20)
+        cstart, ihi, ilo, inv, pci, pvi, iters=20)
 print("DONE", flush=True)

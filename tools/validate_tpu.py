@@ -89,6 +89,73 @@ def check_kernel_v2() -> None:
     print("  values_select_fused (v2): compiled == XLA emulation, 4 k/w classes")
 
 
+def check_kernel_v3() -> None:
+    """Compiled select_csum_packed (Mosaic, interleaved packed inputs) ==
+    the XLA emulation path, and the full v3 engine step == v2 on chip."""
+    import os
+
+    rng = np.random.default_rng(6)
+    for k, w in [(31, 15), (32, 15), (21, 7), (13, 11)]:
+        R, L = 16, 512
+        codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+        validb = rng.random((R, L)) > 0.05
+        mlen = rng.integers(-1, L - k + 2, (R,)).astype(np.int32)
+        mlen[0] = L - k + 1
+        allow_short = rng.random(R) > 0.5
+        pc, pv = eng.host_pack_bits(codes, validb)
+        pci, pvi = eng.host_interleave_packed(pc, pv)
+        args = (jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(pci),
+                jnp.asarray(pvi), jnp.asarray(mlen), jnp.asarray(allow_short))
+        os.environ["DEACON_PALLAS"] = "0"
+        try:
+            want_p, want_t = eng._values_csum(*args, k=k, w=w)
+        finally:
+            del os.environ["DEACON_PALLAS"]
+        got_p, got_t = eng._values_csum(*args, k=k, w=w)
+        assert np.array_equal(np.asarray(got_p), np.asarray(want_p)), (k, w)
+        assert np.array_equal(np.asarray(got_t), np.asarray(want_t)), (k, w)
+    print("  select_csum_packed (v3): compiled == XLA emulation, 4 k/w classes")
+
+    # full engine step: v3 (default) vs v2 (DEACON_ENGINE=2), same inputs
+    k, w = 31, 15
+    R, L = 32, 512
+    codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    validb = rng.random((R, L)) > 0.03
+    mlen = rng.integers(-1, L - k + 2, (R,)).astype(np.int32)
+    allow_short = rng.random(R) > 0.5
+    pc, pv = eng.host_pack_bits(codes, validb)
+    pci, pvi = eng.host_interleave_packed(pc, pv)
+    rid = np.repeat(np.arange(R // 2, dtype=np.int32), 2)
+    mate = np.tile(np.array([0, 1], np.int32), R // 2)
+    cstart = np.zeros(R, np.int32)
+    hs = []
+    for r in range(R):
+        if mlen[r] <= 0:
+            continue
+        h, _, _ = mnp.get_minimizer_hashes_and_positions(
+            bytes(np.frombuffer(b"ACGT", np.uint8)[codes[r]]), 0, k, w
+        )
+        hs.extend(h.tolist()[:5])
+    arr = np.unique(np.array(hs, dtype=np.uint64))
+    hi, lo, nv, max_run = eng.build_padded_shard_planes(arr, 4096)
+    args = [jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(mlen),
+            jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
+            jnp.asarray(cstart), jnp.asarray(hi), jnp.asarray(lo),
+            jnp.asarray(np.array([nv], np.int32)),
+            jnp.asarray(pci), jnp.asarray(pvi)]
+    kw = dict(k=k, w=w, budget=2048, num_segments=R // 2, max_run=max_run,
+              dedup_positions=True, packed=True)
+    os.environ["DEACON_ENGINE"] = "2"
+    try:
+        want = eng._engine_step(*args, **kw)
+    finally:
+        del os.environ["DEACON_ENGINE"]
+    got = eng._engine_step(*args, **kw)
+    for a, b in zip(got, want):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    print("  engine step: v3 == v2 on chip (hits/totals/used)")
+
+
 def check_pipeline() -> None:
     rng = np.random.default_rng(1)
     k, w = 31, 15
@@ -198,6 +265,7 @@ def main() -> int:
         print("WARNING: not a TPU backend; this validates the fallback path")
     check_kernels()
     check_kernel_v2()
+    check_kernel_v3()
     check_pipeline()
     check_index_build()
     check_cli_e2e()
