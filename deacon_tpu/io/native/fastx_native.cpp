@@ -2625,6 +2625,46 @@ void dx_pack_tile(const uint8_t* arena, const int64_t* starts,
   }
 }
 
+// Derive the TPU kernel-v3 interleaved planes from the linear packed tile
+// planes (see deacon_tpu/ops/engine.py host_interleave_packed — this is
+// its C++ twin, bit-identical): interleaved code byte i holds codes
+// {i, i+Lp, i+2Lp, i+3Lp} at bits {0,2,4,6}; interleaved validity byte i
+// holds validity bits {i, i+Lv, ..., i+7Lv}. A 4(8)-way bit transpose of
+// each row, one streaming pass; Mosaic's tile-repeat then turns the
+// layout back into per-lane codes without any division.
+void dx_interleave_tile(const uint8_t* codes4, const uint8_t* valid8,
+                        int64_t R, int64_t L, uint8_t* il_codes,
+                        uint8_t* il_valid) {
+  const int64_t Lp = L / 4, Lv = L / 8;
+  const int64_t Lq = Lp / 4, Lvq = Lv / 8;
+  for (int64_t r = 0; r < R; r++) {
+    const uint8_t* pc = codes4 + r * Lp;
+    uint8_t* il = il_codes + r * Lp;
+    for (int64_t b = 0; b < Lq; b++) {
+      uint8_t s0 = pc[b], s1 = pc[Lq + b], s2 = pc[2 * Lq + b],
+              s3 = pc[3 * Lq + b];
+      uint8_t* o = il + 4 * b;
+      for (int t = 0; t < 4; t++) {
+        o[t] = (uint8_t)(((s0 >> (2 * t)) & 3) | (((s1 >> (2 * t)) & 3) << 2) |
+                         (((s2 >> (2 * t)) & 3) << 4) |
+                         (((s3 >> (2 * t)) & 3) << 6));
+      }
+    }
+    const uint8_t* pv = valid8 + r * Lv;
+    uint8_t* vl = il_valid + r * Lv;
+    for (int64_t b = 0; b < Lvq; b++) {
+      uint8_t s[8];
+      for (int j = 0; j < 8; j++) s[j] = pv[j * Lvq + b];
+      uint8_t* o = vl + 8 * b;
+      for (int t = 0; t < 8; t++) {
+        uint8_t v = 0;
+        for (int j = 0; j < 8; j++) v |= (uint8_t)(((s[j] >> t) & 1) << j);
+        o[t] = v;
+      }
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // bincode-standard varint u64 array codec (index file format;
 // ref: src/index.rs:130-164). Unsigned ints: <251 one raw byte; 251 + u16LE;

@@ -101,6 +101,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.dx_interleave_tile.restype = None
+        lib.dx_interleave_tile.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.dx_decode_u64_varint.restype = ctypes.c_int64
         lib.dx_decode_u64_varint.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
@@ -321,6 +327,31 @@ def native_pack_tile(arena: np.ndarray, starts: np.ndarray, lens: np.ndarray,
         valid8.ctypes.data_as(ctypes.c_void_p),
     )
     return codes4, valid8
+
+
+def native_interleave_tile(codes4: np.ndarray, valid8: np.ndarray):
+    """Derive the kernel-v3 interleaved planes from the linear packed tile
+    planes (C++ twin of engine.host_interleave_packed); None if the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    R, Lp = codes4.shape
+    L = Lp * 4
+    if L % 64 != 0 or valid8.shape != (R, L // 8):
+        return None
+    codes4 = np.ascontiguousarray(codes4)
+    valid8 = np.ascontiguousarray(valid8)
+    il_codes = np.empty_like(codes4)
+    il_valid = np.empty_like(valid8)
+    lib.dx_interleave_tile(
+        codes4.ctypes.data_as(ctypes.c_void_p),
+        valid8.ctypes.data_as(ctypes.c_void_p),
+        R, L,
+        il_codes.ctypes.data_as(ctypes.c_void_p),
+        il_valid.ctypes.data_as(ctypes.c_void_p),
+    )
+    return il_codes, il_valid
 
 
 def native_decode_u64_varint(buf: np.ndarray, offset: int, count: int):

@@ -627,6 +627,47 @@ def engine_core(
     return hits, totals, total
 
 
+def engine_core_packed(
+    pc, pv, il_codes, il_valid, mlen, allow_short, rid, mate, chunk_start,
+    probe_fn,
+    *,
+    k: int,
+    w: int,
+    budget: int,
+    num_segments: int,
+    dedup_positions: bool = True,
+):
+    """engine_core over bit-packed inputs: the v3 stage chain (packed-input
+    select kernel, cumsum-free compaction, slot value recomputation) with a
+    pluggable probe — the sharded multi-chip path calls this under
+    shard_map so it runs the same kernel as the single-chip engine. Falls
+    back to unpack + engine_core when the static shapes are v2-only."""
+    R, Lp = pc.shape
+    if not _v3_eligible(k, Lp * 4, R):
+        codes, validb = _stage_unpack(pc, pv)
+        return engine_core(
+            codes, validb, mlen, allow_short, rid, mate, chunk_start,
+            probe_fn, k=k, w=w, budget=budget, num_segments=num_segments,
+            dedup_positions=dedup_positions,
+        )
+    plane, row_tot = _values_csum(
+        pc, pv, il_codes, il_valid, mlen, allow_short, k=k, w=w
+    )
+    plane = lax.optimization_barrier(plane)
+    slot_id, slot_row, slot_pos, slot_valid, total = _stage_compact3(
+        plane, row_tot, budget=budget
+    )
+    h = _stage_hash_packed(_words_view(pc), slot_row, slot_pos, k=k)
+    member, idxpos = probe_fn(h)
+    member, idxpos = lax.optimization_barrier((member & slot_valid, idxpos))
+    hits, totals = _count_core(
+        member, idxpos, slot_row, slot_pos, slot_valid, rid, mate,
+        chunk_start, num_segments=num_segments,
+        dedup_positions=dedup_positions,
+    )
+    return hits, totals, total
+
+
 # ---------------------------------------------------------------------------
 # Staged pipeline: six small jitted dispatches instead of one mega-program.
 #
@@ -820,12 +861,20 @@ def _v3_eligible(k: int, L: int, R: int) -> bool:
 
 def host_interleave_packed(pc: np.ndarray, pv: np.ndarray):
     """Derive the kernel-v3 interleaved planes from the linear packed
-    planes (vectorized NumPy; the native packer emits these directly when
-    available). Interleaved code byte i holds codes {i, i+Lp, i+2Lp,
-    i+3Lp} at bits {0, 2, 4, 6}; interleaved validity byte i holds bits
-    {i, i+Lv, ..., i+7Lv} — the layout Mosaic's tile-repeat turns back
-    into per-lane codes with three range compares (see
-    pallas_kernels._select_csum_kernel_body)."""
+    planes (native C++ bit-transpose when available, vectorized NumPy
+    fallback — bit-identical, tests/test_engine_v3.py). Interleaved code
+    byte i holds codes {i, i+Lp, i+2Lp, i+3Lp} at bits {0, 2, 4, 6};
+    interleaved validity byte i holds bits {i, i+Lv, ..., i+7Lv} — the
+    layout Mosaic's tile-repeat turns back into per-lane codes with three
+    range compares (see pallas_kernels._select_csum_kernel_body)."""
+    try:
+        from ..io.native_loader import native_interleave_tile
+
+        out = native_interleave_tile(pc, pv)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     R, Lp = pc.shape
     Lv = pv.shape[1]
     pcv = pc.reshape(R, 4, Lp // 4)

@@ -58,21 +58,23 @@ def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
 
 
 def _sharded_step(
-    codes_p, valid_p, mlen, allow_short, rid, mate, chunk_start,
-    index_hi, index_lo, n_valid,
+    codes_p, valid_p, il_codes, il_valid, mlen, allow_short, rid, mate,
+    chunk_start, index_hi, index_lo, n_valid,
     *, k, w, budget, num_segments, max_run, gather_out=False,
 ):
     """Runs per-device under shard_map: local rows x local index shard.
 
     ``codes_p``/``valid_p`` arrive bit-packed (4 bases + 8 validity bits per
-    byte) from the native host packer and are unpacked on device — 5x fewer
-    bytes over PCIe/ICI than raw (R, L) u8 planes.
+    byte) from the native host packer (plus the kernel-v3 interleaved
+    planes ``il_codes``/``il_valid``) — 5x fewer bytes over PCIe/ICI than
+    raw (R, L) u8 planes. engine_core_packed runs the same v3 stage chain
+    as the single-chip engine (packed-input select kernel, cumsum-free
+    compaction, slot value recompute), unpacking only on v2-only shapes.
 
     An equal-hi run split across two shards is still covered exactly: the
     query's local searchsorted lands at the run's continuation (position 0)
     on the next shard, and membership ORs across shards via the psum.
     """
-    codes, validb = eng._stage_unpack(codes_p, valid_p)
 
     def probe(h):
         member_l, pos_l = eng.probe_split_u32_pos(
@@ -85,8 +87,9 @@ def _sharded_step(
         gpos = jax.lax.pmin(gpos, "shard")
         return member, jnp.where(member, gpos, jnp.int32(-1))
 
-    hits, totals, used = eng.engine_core(
-        codes, validb, mlen, allow_short, rid, mate, chunk_start, probe,
+    hits, totals, used = eng.engine_core_packed(
+        codes_p, valid_p, il_codes, il_valid, mlen, allow_short, rid, mate,
+        chunk_start, probe,
         k=k, w=w, budget=budget, num_segments=num_segments,
         dedup_positions=True,
     )
@@ -337,8 +340,10 @@ class ShardedPipeline:
         )
         row_sharding = NamedSharding(mesh, P("data"))
         self._in_shardings = (
-            row_sharding,  # codes (R, L)
-            row_sharding,  # validb
+            row_sharding,  # packed codes (R, L/4)
+            row_sharding,  # packed validity (R, L/8)
+            row_sharding,  # interleaved codes (kernel v3)
+            row_sharding,  # interleaved validity
             row_sharding,  # mlen
             row_sharding,  # allow_short
             row_sharding,  # rid
@@ -366,7 +371,7 @@ class ShardedPipeline:
             mesh=mesh,
             in_specs=(
                 P("data"), P("data"), P("data"), P("data"),
-                P("data"), P("data"), P("data"),
+                P("data"), P("data"), P("data"), P("data"), P("data"),
                 P("shard"), P("shard"), P("shard"),
             ),
             out_specs=out_specs,
@@ -501,8 +506,14 @@ class ShardedPipeline:
              cstart[base : base + self.Rs]) = eng.pack_rows_packed(
                 rows, self.Rs, L, self.k, self.l
             )
+        if eng._v3_eligible(self.k, L, self.Rs):
+            il_codes, il_valid = eng.host_interleave_packed(codes_p, valid_p)
+        else:  # unused by the v2 path, but shard_map needs real (R, *) rows
+            il_codes = np.zeros((R, 1), dtype=np.uint8)
+            il_valid = np.zeros((R, 1), dtype=np.uint8)
         return self._fn(
-            jnp.asarray(codes_p), jnp.asarray(valid_p), jnp.asarray(mlen),
+            jnp.asarray(codes_p), jnp.asarray(valid_p),
+            jnp.asarray(il_codes), jnp.asarray(il_valid), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
             jnp.asarray(cstart), self.index_hi, self.index_lo, self._n_valid,
         )

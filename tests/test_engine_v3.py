@@ -198,3 +198,24 @@ def test_device_pipeline_v3_oracle(monkeypatch):
         distinct = set(x for x in h.tolist() if x in idx_set)
         assert gt == len(h), (len(r), gt, len(h))
         assert gh == len(distinct), (len(r), gh, len(distinct))
+
+
+def test_native_interleave_matches_numpy():
+    """dx_interleave_tile (C++) == host_interleave_packed's NumPy path."""
+    import unittest.mock as um
+
+    import deacon_tpu.io.native_loader as nl
+    from deacon_tpu.io.native_loader import native_interleave_tile
+
+    rng = np.random.default_rng(13)
+    for (R, L) in [(16, 512), (8, 2048), (32, 128)]:
+        codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+        validb = rng.random((R, L)) > 0.1
+        pc, pv = eng.host_pack_bits(codes, validb)
+        nat = native_interleave_tile(pc, pv)
+        if nat is None:
+            pytest.skip("native library unavailable")
+        with um.patch.object(nl, "get_lib", lambda: None):
+            ref = eng.host_interleave_packed(pc, pv)
+        np.testing.assert_array_equal(nat[0], ref[0])
+        np.testing.assert_array_equal(nat[1], ref[1])
