@@ -4060,17 +4060,17 @@ static void tr16(__m512i m[16]) {  // 16x16 u32 in-place transpose
 }
 
 // Requires 2 <= w <= 16, m > w, and keys readable through keys[m + 15]
-// (extract_one pads scr.keys). Appends deduplicated window-argmin positions
-// to pos. sfx64 is scratch for the scalar tail.
-static void window_argmin_avx512(const uint32_t* keys, int64_t m, int w,
-                                 std::vector<uint32_t>& pos,
-                                 std::vector<uint64_t>& sfx64) {
+// (extract_one pads scr.keys). Writes deduplicated window-argmin positions
+// to out (caller guarantees m - w + 1 + 16 writable slots — compress
+// stores a full vector's worth) and returns the count; a vector resize
+// here would value-initialize ~0.5 MB per chunk (measured ~0.2 ns/base).
+// sfx64 is scratch for the scalar tail.
+static int64_t window_argmin_avx512(const uint32_t* keys, int64_t m, int w,
+                                    uint32_t* out,
+                                    std::vector<uint64_t>& sfx64) {
   const int64_t full_blocks = m / w;
   const int64_t groups = full_blocks / 16;
   uint32_t prev_last = 0xFFFFFFFFu;  // sentinel: first window always emits
-  size_t out0 = pos.size();
-  pos.resize(out0 + (size_t)m - w + 1 + 16);  // +16: compress writes a
-  uint32_t* out = pos.data() + out0;          // full vector's worth
   int64_t nout = 0;
   __m512i sfx_prev[17];
   for (int f = 0; f < 17; f++) sfx_prev[f] = _mm512_set1_epi32(-1);
@@ -4169,7 +4169,7 @@ static void window_argmin_avx512(const uint32_t* keys, int64_t m, int w,
       }
     }
   }
-  pos.resize(out0 + (size_t)nout);
+  return nout;
 }
 #endif  // __AVX512F__ && __AVX512BW__
 
@@ -4260,6 +4260,10 @@ static int64_t extract_range(const uint8_t* seq, int64_t n, int k, int w,
 
   int64_t cnt = 0;
   int64_t last_argmin = -1;  // dedup across chunk boundaries
+  // one-time scratch sizing for the per-chunk argmin outputs (+16: the
+  // SIMD emit compress-stores a full vector's worth past the last result)
+  if ((int64_t)scr.pos.size() < kChunkWindows + w + 16)
+    scr.pos.resize((size_t)(kChunkWindows + w + 16));
   for (int64_t ws = ws0; ws < ws1; ws += kChunkWindows) {
     const int64_t we = ws + kChunkWindows < ws1 ? ws + kChunkWindows : ws1;
     const int64_t m_loc =
@@ -4335,16 +4339,20 @@ static int64_t extract_range(const uint8_t* seq, int64_t n, int k, int w,
     // monotone deque measured ~55 MB/s on mispredicts). Both scans walk
     // blocks explicitly — a j % w in the hot loop costs an integer divide
     // per position and halved throughput.
-    scr.pos.clear();
+    // scr.pos is sized once (before the chunk loop); the paths below write
+    // into it by pointer and set npos — per-chunk vector resizes would
+    // value-initialize ~0.5 MB of scratch per chunk for nothing.
+    uint32_t* pos_out = scr.pos.data();
+    int64_t npos = 0;
     if (m <= w) {
       uint32_t best = 0;
       for (int64_t p = 1; p < m; p++)
         if (keys_buf[p] < keys_buf[best]) best = (uint32_t)p;
-      scr.pos.push_back(best);
+      pos_out[npos++] = best;
     }
 #if defined(__AVX512F__) && defined(__AVX512BW__)
     else if (w >= 2 && w <= 16 && m_loc >= 16 * w) {
-      window_argmin_avx512(keys_buf, m_loc, w, scr.pos, scr.sfx);
+      npos = window_argmin_avx512(keys_buf, m_loc, w, pos_out, scr.sfx);
     }
 #endif
     else {
@@ -4371,7 +4379,7 @@ static int64_t extract_range(const uint8_t* seq, int64_t n, int k, int w,
             int64_t p = (uint32_t)win;
             if (p != last) {
               last = p;
-              scr.pos.push_back((uint32_t)p);
+              pos_out[npos++] = (uint32_t)p;
             }
           }
         }
@@ -4383,7 +4391,8 @@ static int64_t extract_range(const uint8_t* seq, int64_t n, int k, int w,
     // recomputes directly. Argmin positions are non-decreasing, so the
     // chunk-boundary duplicate (a window straddling chunks re-selecting the
     // previous chunk's last minimizer) is exactly the last_argmin repeat.
-    for (uint32_t lp : scr.pos) {
+    for (int64_t pi = 0; pi < npos; pi++) {
+      const uint32_t lp = pos_out[pi];
       const int64_t p = ws + (int64_t)lp;
       if (p == last_argmin) continue;
       last_argmin = p;
