@@ -253,6 +253,35 @@ def check_cli_e2e() -> None:
     assert vals[0].count(b"@x") == 200 and vals[0].count(b"@h") == 0
     print(f"  CLI e2e: filter --device {jax.devices()[0].platform} == "
           f"--device numpy ({len(vals[0])} bytes)")
+
+    # paired: mate-OR retention + pair-union distinct counting on chip.
+    # Pair classes: both mates match / only r1 matches / neither matches.
+    with open(f"{td}/r1.fq", "wb") as f1, open(f"{td}/r2.fq", "wb") as f2:
+        for i in range(150):
+            kind = i % 3
+            s1 = (genome[i * 800 : i * 800 + 300] if kind != 2
+                  else rng.choice(a, 300).astype(np.uint8).tobytes())
+            s2 = (genome[i * 800 + 300 : i * 800 + 600] if kind == 0
+                  else rng.choice(a, 300).astype(np.uint8).tobytes())
+            f1.write(b"@p%d/1\n%s\n+\n%s\n" % (i, s1, b"I" * len(s1)))
+            f2.write(b"@p%d/2\n%s\n+\n%s\n" % (i, s2, b"I" * len(s2)))
+    pouts = {}
+    for devname in ("numpy", jax.devices()[0].platform):
+        subprocess.run(
+            cli + ["filter", f"{td}/g.idx", f"{td}/r1.fq", f"{td}/r2.fq",
+                   "-o", f"{td}/p1.{devname}.fq", "-O", f"{td}/p2.{devname}.fq",
+                   "--deplete", "-q", "--device", devname],
+            check=True,
+        )
+        with open(f"{td}/p1.{devname}.fq", "rb") as f1, \
+                open(f"{td}/p2.{devname}.fq", "rb") as f2:
+            pouts[devname] = (f1.read(), f2.read())
+    pv = list(pouts.values())
+    assert pv[0] == pv[1], "paired device CLI output != oracle CLI output"
+    # kinds 0 and 1 are depleted via mate-OR; kind 2 (50 pairs) is kept
+    assert pv[0][0].count(b"@p") == 50 and pv[0][1].count(b"@p") == 50
+    print(f"  CLI paired e2e: mate-OR retention == oracle "
+          f"({len(pv[0][0])}+{len(pv[0][1])} bytes)")
     import shutil
 
     shutil.rmtree(td, ignore_errors=True)
