@@ -3918,9 +3918,11 @@ static inline void transpose8x8(const __m512i r[8], __m512i c[8]) {
 
 static inline __m512i load8_lanes(const uint8_t* base, const int64_t* starts,
                                   int64_t off) {
-  uint64_t v[8];
-  for (int i = 0; i < 8; i++) memcpy(&v[i], base + starts[i] + off, 8);
-  return _mm512_loadu_si512((const void*)v);
+  // hardware gather: the old 8x memcpy-to-stack + vector reload pattern
+  // pays a store-forwarding stall every tile
+  const __m512i idx = _mm512_add_epi64(
+      _mm512_loadu_si512((const void*)starts), _mm512_set1_epi64(off));
+  return _mm512_i64gather_epi64(idx, (const long long*)base, 1);
 }
 
 // Vectorized selection-key finalizer: fold 8 u64 canonical values to u32,
