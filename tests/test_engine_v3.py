@@ -58,7 +58,8 @@ def test_words_view_is_little_endian_value_stream():
 
 
 @pytest.mark.parametrize("k,w", [(31, 15), (32, 15), (21, 7), (16, 16),
-                                 (5, 3), (31, 2), (2, 15), (13, 11)])
+                                 (5, 3), (31, 2), (2, 15), (13, 11),
+                                 (31, 25), (15, 63)])
 def test_values_csum_kernel_matches_emulation(k, w, monkeypatch):
     rng = np.random.default_rng(k * 37 + w)
     R, L = 16, 512
@@ -219,3 +220,26 @@ def test_native_interleave_matches_numpy():
             ref = eng.host_interleave_packed(pc, pv)
         np.testing.assert_array_equal(nat[0], ref[0])
         np.testing.assert_array_equal(nat[1], ref[1])
+
+
+def test_values_csum_kernel_L16384_boundary(monkeypatch):
+    """L = 16384 is the v3 packing ceiling (wp 14 bits, csum << 16 = 2^30):
+    the kernel must stay exact at the boundary tile width."""
+    k, w = 31, 15
+    rng = np.random.default_rng(99)
+    R, L = 8, 16384
+    codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    validb = np.ones((R, L), bool)
+    mlen = np.full(R, L - k + 1, np.int32)
+    allow_short = np.zeros(R, bool)
+    pc, pv = eng.host_pack_bits(codes, validb)
+    pci, pvi = eng.host_interleave_packed(pc, pv)
+    args = (jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(pci),
+            jnp.asarray(pvi), jnp.asarray(mlen), jnp.asarray(allow_short))
+    monkeypatch.setenv("DEACON_PALLAS", "off")
+    want_p, want_t = eng._values_csum(*args, k=k, w=w)
+    monkeypatch.setenv("DEACON_PALLAS", "interpret")
+    got_p, got_t = eng._values_csum(*args, k=k, w=w)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    assert int(np.asarray(want_p).max()) < 2**31 - 1  # no sign overflow
