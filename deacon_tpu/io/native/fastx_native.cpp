@@ -2625,6 +2625,96 @@ void dx_pack_tile(const uint8_t* arena, const int64_t* starts,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Bucketized-cuckoo probe table builder for the TPU device engine
+// (deacon_tpu/ops/engine.py build_cuckoo_planes). 2 hash choices x 2 slots
+// per bucket; bucket row = [hi0, lo0, hi1, lo1] u32; empty slot =
+// 0xFFFFFFFF/0xFFFFFFFF. Rationale: a TPU random gather costs ~7-22 ns per
+// QUERY regardless of table size (element-serial), so membership must
+// minimize gather OPS — two (B, 4)-row slice-gathers replace the sorted
+// binary search's ~25 passes + 16-slot run scan (profiled 2.7 s -> ~45 ms
+// per 3.1M-probe step; PERFNOTES round-3 "real device timeline").
+// Bucket choice: top log2(B) bits of key * C{1,2} (odd 64-bit constants
+// from splitmix64(seed)); walk-insertion with bounded evictions.
+// Returns 0 on success, -1 if the walk fails (caller doubles B).
+// ---------------------------------------------------------------------------
+
+static inline uint64_t splitmix64(uint64_t& s) {
+  uint64_t z = (s += 0x9E3779B97F4A7C15ULL);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+void dx_cuckoo_seeds(uint64_t seed, uint64_t* c1, uint64_t* c2) {
+  uint64_t s = seed;
+  *c1 = splitmix64(s) | 1ULL;
+  *c2 = splitmix64(s) | 1ULL;
+}
+
+int dx_cuckoo_build(const uint64_t* keys, int64_t n, int64_t B,
+                    uint64_t c1, uint64_t c2, uint32_t* out) {
+  if (B < 1 || (B & (B - 1))) return -1;
+  int shift = 64;
+  for (int64_t t = B; t > 1; t >>= 1) shift--;
+  // slot storage as u64 for the build; serialized to u32 pairs at the end
+  std::vector<uint64_t> slots((size_t)(2 * B), ~0ULL);
+  const uint64_t kEmpty = ~0ULL;
+  auto b1 = [&](uint64_t k) { return (int64_t)((k * c1) >> shift); };
+  auto b2 = [&](uint64_t k) { return (int64_t)((k * c2) >> shift); };
+  const int kMaxWalk = 2000;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t cur = keys[i];
+    int64_t hb1 = b1(cur), hb2 = b2(cur);
+    // empty slot in either bucket?
+    bool placed = false;
+    for (int64_t b : {hb1, hb2}) {
+      for (int s = 0; s < 2; s++) {
+        if (slots[(size_t)(2 * b + s)] == kEmpty) {
+          slots[(size_t)(2 * b + s)] = cur;
+          placed = true;
+          break;
+        }
+      }
+      if (placed) break;
+    }
+    if (placed) continue;
+    // random-walk eviction; deterministic per-insertion xorshift picks the
+    // victim slot (a plain alternation can cycle between two buckets and
+    // spuriously fail near the load threshold)
+    int64_t b = hb1;
+    uint64_t rw = cur * 0x2545F4914F6CDD1DULL + 0x9E3779B97F4A7C15ULL;
+    for (int it = 0; it < kMaxWalk; it++) {
+      rw ^= rw << 13; rw ^= rw >> 7; rw ^= rw << 17;
+      int victim = (int)(rw & 1);
+      uint64_t ev = slots[(size_t)(2 * b + victim)];
+      slots[(size_t)(2 * b + victim)] = cur;
+      cur = ev;
+      int64_t e1 = b1(cur), e2 = b2(cur);
+      int64_t nb = (b == e1) ? e2 : e1;
+      bool done = false;
+      for (int s = 0; s < 2; s++) {
+        if (slots[(size_t)(2 * nb + s)] == kEmpty) {
+          slots[(size_t)(2 * nb + s)] = cur;
+          done = true;
+          break;
+        }
+      }
+      if (done) { placed = true; break; }
+      b = nb;
+    }
+    if (!placed) return -1;
+  }
+  for (int64_t b = 0; b < B; b++) {
+    for (int s = 0; s < 2; s++) {
+      uint64_t v = slots[(size_t)(2 * b + s)];
+      out[b * 4 + 2 * s] = (uint32_t)(v >> 32);
+      out[b * 4 + 2 * s + 1] = (uint32_t)(v & 0xFFFFFFFFULL);
+    }
+  }
+  return 0;
+}
+
 // Derive the TPU kernel-v3 interleaved planes from the linear packed tile
 // planes (see deacon_tpu/ops/engine.py host_interleave_packed — this is
 // its C++ twin, bit-identical): interleaved code byte i holds codes

@@ -107,6 +107,15 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.dx_cuckoo_seeds.restype = None
+        lib.dx_cuckoo_seeds.argtypes = [
+            ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.dx_cuckoo_build.restype = ctypes.c_int
+        lib.dx_cuckoo_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
+        ]
         lib.dx_decode_u64_varint.restype = ctypes.c_int64
         lib.dx_decode_u64_varint.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
@@ -352,6 +361,22 @@ def native_interleave_tile(codes4: np.ndarray, valid8: np.ndarray):
         il_valid.ctypes.data_as(ctypes.c_void_p),
     )
     return il_codes, il_valid
+
+
+def native_cuckoo_build(keys: np.ndarray, B: int, c1: int, c2: int):
+    """Bucketized-cuckoo probe table build (C++); returns the (B, 4) u32
+    plane or None (native unavailable / walk failure — caller doubles B)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    out = np.empty((B, 4), dtype=np.uint32)
+    rc = lib.dx_cuckoo_build(
+        keys.ctypes.data_as(ctypes.c_void_p), keys.size, B,
+        ctypes.c_uint64(c1), ctypes.c_uint64(c2),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out if rc == 0 else False  # False = walk failure (caller doubles B)
 
 
 def native_decode_u64_varint(buf: np.ndarray, offset: int, count: int):

@@ -259,6 +259,176 @@ def probe_split_u32_pos(index_hi, index_lo, h, *, max_run: int, n_valid=None):
     return member, pos
 
 
+# ---------------------------------------------------------------------------
+# Bucketized-cuckoo probe: the gather-minimal membership structure.
+#
+# Profiling the real device timeline (PERFNOTES round-3) showed a TPU
+# random gather costs ~7-22 ns per QUERY regardless of table size
+# (element-serial hardware, no cache), so the sorted-plane probe's ~25
+# searchsorted passes + 16-slot run scan — not HBM bytes — dominated the
+# engine step (~2.7 s of its 3.55 s at 3.1M probes). A 2-choice x 2-slot
+# bucketized cuckoo table answers exact membership with TWO (B, 4)-row
+# slice-gathers. Bucket = top log2(B) bits of key * C{1,2} (odd 64-bit
+# constants); empty slot = the all-ones sentinel, with a has_sentinel flag
+# handling the one key value that collides with it. The matched slot id
+# (2b + s, or 2B for the sentinel key) replaces the sorted rank as the
+# distinct-count position key — any per-key-unique id works
+# (_count_core). Load factor <= ~0.8 (2 slots/bucket threshold ~0.9).
+# ---------------------------------------------------------------------------
+
+_CUCKOO_SENTINEL = 0xFFFFFFFFFFFFFFFF
+#: slot ids (2B + 1 of them) must stay valid non-negative i32 distinct keys
+_CUCKOO_MAX_LOGB = 29
+
+
+def _splitmix64(s: int):
+    s = (s + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = s
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31), s
+
+
+def _cuckoo_consts(attempt: int):
+    """Deterministic (c1, c2) odd mix constants for a build attempt.
+    Attempt 0 is fixed, so virtually every index compiles to the same
+    (c1, c2)-baked program and hits the persistent cache."""
+    s = (0xDEAC0107C0FFEE00 + attempt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    c1, s = _splitmix64(s)
+    c2, s = _splitmix64(s)
+    return c1 | 1, c2 | 1
+
+
+def _py_cuckoo_build(keys: np.ndarray, B: int, c1: int, c2: int):
+    """Pure-Python twin of dx_cuckoo_build (test/fallback scale)."""
+    shift = 64 - B.bit_length() + 1
+    mask = 0xFFFFFFFFFFFFFFFF
+    slots = np.full(2 * B, _CUCKOO_SENTINEL, dtype=np.uint64)
+    kmax = 2000
+    for k in keys.tolist():
+        b1 = ((k * c1) & mask) >> shift
+        b2 = ((k * c2) & mask) >> shift
+        placed = False
+        for b in (b1, b2):
+            for s in (0, 1):
+                if slots[2 * b + s] == _CUCKOO_SENTINEL:
+                    slots[2 * b + s] = k
+                    placed = True
+                    break
+            if placed:
+                break
+        if placed:
+            continue
+        cur, b = k, b1
+        rw = (k * 0x2545F4914F6CDD1D + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        for it in range(kmax):
+            rw = (rw ^ (rw << 13)) & 0xFFFFFFFFFFFFFFFF
+            rw = rw ^ (rw >> 7)
+            rw = (rw ^ (rw << 17)) & 0xFFFFFFFFFFFFFFFF
+            victim = rw & 1
+            cur, slots[2 * b + victim] = int(slots[2 * b + victim]), cur
+            e1 = ((cur * c1) & mask) >> shift
+            e2 = ((cur * c2) & mask) >> shift
+            nb = e2 if b == e1 else e1
+            done = False
+            for s in (0, 1):
+                if slots[2 * nb + s] == _CUCKOO_SENTINEL:
+                    slots[2 * nb + s] = cur
+                    done = True
+                    break
+            if done:
+                placed = True
+                break
+            b = nb
+        if not placed:
+            return None
+    out = np.empty((B, 4), dtype=np.uint32)
+    out[:, 0] = (slots[0::2] >> np.uint64(32)).astype(np.uint32)
+    out[:, 1] = (slots[0::2] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out[:, 2] = (slots[1::2] >> np.uint64(32)).astype(np.uint32)
+    out[:, 3] = (slots[1::2] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return out
+
+
+def build_cuckoo_planes(index_hashes: np.ndarray):
+    """(table (B, 4) u32, c1, c2, has_sentinel) or None when the index is
+    too large for i32 slot ids (caller falls back to the sorted planes).
+    B is pow2 (compiled programs depend only on the size bucket)."""
+    arr = np.unique(np.asarray(index_hashes, dtype=np.uint64))
+    has_sentinel = bool(arr.size and arr[-1] == np.uint64(_CUCKOO_SENTINEL))
+    if has_sentinel:
+        arr = arr[:-1]
+    B = 512
+    while 2 * B * 0.8 < arr.size:
+        B *= 2
+    attempt = 0
+    while True:
+        if B > (1 << _CUCKOO_MAX_LOGB):
+            return None
+        c1, c2 = _cuckoo_consts(attempt)
+        try:
+            from ..io.native_loader import native_cuckoo_build
+
+            table = native_cuckoo_build(arr, B, c1, c2)
+        except Exception:
+            table = None
+        if table is None:  # native unavailable
+            table = _py_cuckoo_build(arr, B, c1, c2)
+            if table is None:
+                table = False
+        if table is not False:
+            return table, c1, c2, has_sentinel
+        attempt += 1
+        if attempt % 2 == 0:
+            B *= 2  # two reseeds per size, then grow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c1", "c2", "has_sentinel")
+)
+def _stage_probe_cuckoo(table, hlo, hhi, slot_valid, *, c1: int, c2: int,
+                        has_sentinel: bool):
+    """Membership + unique slot id from the cuckoo planes: exactly two
+    (B, 4)-row slice-gathers (the gather-minimal probe; see the section
+    comment)."""
+    B = table.shape[0]
+    logb = B.bit_length() - 1
+    sh = U32(32 - logb)
+
+    def bucket(c: int):
+        clo, chi = U32(c & 0xFFFFFFFF), U32((c >> 32) & 0xFFFFFFFF)
+        # high u32 word of (key * c) mod 2^64: mulhi(lo,clo) + lo*chi + hi*clo
+        _, carry = u64.mul32_full(hlo, clo)
+        hw = carry + hlo * chi + hhi * clo
+        return (hw >> sh).astype(jnp.int32)
+
+    b1 = bucket(c1)
+    b2 = bucket(c2)
+    r1 = table[b1, :]
+    r2 = table[b2, :]
+    m = [
+        (r1[:, 0] == hhi) & (r1[:, 1] == hlo),
+        (r1[:, 2] == hhi) & (r1[:, 3] == hlo),
+        (r2[:, 0] == hhi) & (r2[:, 1] == hlo),
+        (r2[:, 2] == hhi) & (r2[:, 3] == hlo),
+    ]
+    cand = [2 * b1, 2 * b1 + 1, 2 * b2, 2 * b2 + 1]
+    member = m[0] | m[1] | m[2] | m[3]
+    pos = jnp.full(hlo.shape, -1, dtype=jnp.int32)
+    for mm, cc in zip(reversed(m), reversed(cand)):
+        pos = jnp.where(mm, cc, pos)
+    # a sentinel-valued query would "match" any empty slot in its buckets:
+    # its membership is decided solely by the has_sentinel build flag
+    qs = (hhi == U32(0xFFFFFFFF)) & (hlo == U32(0xFFFFFFFF))
+    if has_sentinel:
+        member = member | qs
+        pos = jnp.where(qs, jnp.int32(2 * B), pos)
+    else:
+        member = member & ~qs
+    member = member & slot_valid
+    return member, jnp.where(member, pos, jnp.int32(-1))
+
+
 def build_padded_shard_planes(shard_hashes: np.ndarray, pad_to: int):
     """(hi, lo, n_valid, max_run) probe planes for ONE value-range shard,
     padded to a common length with sort-preserving filler that can never
@@ -859,6 +1029,68 @@ def _v3_eligible(k: int, L: int, R: int) -> bool:
     return k <= 32 and R % 8 == 0 and L % 128 == 0 and L <= 16384
 
 
+def engine_arch(k: int, L: int, R: int) -> int:
+    """Which engine architecture these static shapes run: 4 (in-kernel
+    butterfly compaction, per-row slot grid — requires pow2 L), 3 (packed
+    kernel + cumsum-free compaction), or 2 (dense value planes). Forced
+    down with DEACON_ENGINE=2|3. Shared by _launch_batch (budget sizing)
+    and _engine_step (stage routing) so the two always agree."""
+    import os
+
+    env = os.environ.get("DEACON_ENGINE", "")
+    if env == "2":
+        return 2
+    if not _v3_eligible(k, L, R):
+        return 2
+    if env == "3":
+        return 3
+    if L >= 128 and (L & (L - 1)) == 0:
+        return 4
+    return 3
+
+
+def v4_row_budget(L: int, w: int, budget_frac: float) -> int:
+    """Per-row slot budget for arch 4: the budget fraction applied to the
+    row, rounded up to the 128-lane granule (floor 128)."""
+    return max(128, (int(budget_frac * L) + 127) // 128 * 128)
+
+
+def _values_compact(packed_codes, packed_valid, il_codes, il_valid, mlen,
+                    allow_short, *, k: int, w: int, Br: int):
+    """v4 selection front end: -> ((R, Br) i32 slot positions, ((R, Br)
+    u32 limb planes), (R,) i32 row totals). Pallas kernel on TPU
+    (ops/pallas_kernels.select_compact_packed); bit-identical XLA
+    emulation elsewhere (v2 select + per-row searchsorted + gathers —
+    lanes beyond a row's total are unspecified in both)."""
+    mode = _pallas_mode()
+    R, Lp = packed_codes.shape
+    L = Lp * 4
+    if mode != "off" and not _pallas_v1_forced():
+        from . import pallas_kernels as pk
+
+        pos_c, v_c, row_tot = pk.select_compact_packed(
+            il_codes, il_valid, mlen, allow_short, k=k, w=w, Br=Br,
+            interpret=(mode == "interpret"),
+        )
+        return pos_c, v_c, row_tot.reshape(R)
+    codes, validb = _stage_unpack(packed_codes, packed_valid)
+    limbs, wp_i, flag = _values_flags(
+        codes, validb, mlen, allow_short, k=k, w=w
+    )
+    cs = jnp.cumsum(flag.astype(jnp.int32), axis=1)
+    rt = cs[:, -1]
+    tq = jnp.arange(Br, dtype=jnp.int32)
+    p = jax.vmap(
+        lambda c: jnp.searchsorted(c, tq + 1, side="left").astype(jnp.int32)
+    )(cs)
+    p = jnp.minimum(p, L - 1)
+    rowix = jnp.arange(R, dtype=jnp.int32)[:, None]
+    pos_c = wp_i[rowix, p]
+    v0 = limbs[0][rowix, pos_c]
+    v1 = limbs[1][rowix, pos_c]
+    return pos_c, (v0, v1), rt
+
+
 def host_interleave_packed(pc: np.ndarray, pv: np.ndarray):
     """Derive the kernel-v3 interleaved planes from the linear packed
     planes (native C++ bit-transpose when available, vectorized NumPy
@@ -1042,8 +1274,23 @@ def _count_core(
     this math, traced both by the staged path (_stage_count) and inline by
     engine_core (single-chip and sharded pipelines must stay bit-identical).
     """
+    return _count_core_expanded(
+        member, pos, rid[slot_row], mate[slot_row],
+        chunk_start[slot_row] + slot_pos, slot_valid,
+        num_segments=num_segments, dedup_positions=dedup_positions,
+    )
+
+
+def _count_core_expanded(
+    member, pos, rid_s, mate_s, matepos_s, slot_valid,
+    *, num_segments: int, dedup_positions: bool,
+):
+    """_count_core over pre-expanded per-slot ids: the arch-4 per-row slot
+    grid builds rid_s/mate_s/matepos_s by broadcasting (R,) arrays over the
+    (R, Br) grid — elementwise, where the slot_row formulation costs three
+    ~20 ms random-gather passes per 3.1M-slot step on TPU."""
     budget = member.shape[0]
-    srid = jnp.where(slot_valid, rid[slot_row], num_segments)
+    srid = jnp.where(slot_valid, rid_s, num_segments)
     seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
 
     def neq_prev(x):
@@ -1068,7 +1315,7 @@ def _count_core(
     hits = boundary_sum(hit_flag, srid_h)
 
     if dedup_positions:
-        matepos = (mate[slot_row] << 30) | (chunk_start[slot_row] + slot_pos)
+        matepos = (mate_s << 30) | matepos_s
         srid_p, matepos_p = lax.sort((srid, matepos), num_keys=2)
         tot_flag = neq_prev(srid_p) | neq_prev(matepos_p)
         totals = boundary_sum(tot_flag, srid_p)
@@ -1082,6 +1329,10 @@ def _count_core(
 _stage_count = functools.partial(
     jax.jit, static_argnames=("num_segments", "dedup_positions")
 )(_count_core)
+
+_stage_count_expanded = functools.partial(
+    jax.jit, static_argnames=("num_segments", "dedup_positions")
+)(_count_core_expanded)
 
 
 def _pallas_mode() -> str:
@@ -1172,11 +1423,26 @@ def _values_select(codes, validb, mlen, allow_short, *, k: int, w: int):
     return vplanes, wpf
 
 
+def _probe_dispatch(index_hi, index_lo, n_valid, hlo, hhi, slot_valid,
+                    *, max_run: int, probe_extra):
+    """Route to the cuckoo probe (2-D table plane + baked mix constants)
+    or the sorted-plane searchsorted probe."""
+    if index_hi.ndim == 2:
+        c1, c2, has_sent = probe_extra
+        return _stage_probe_cuckoo(
+            index_hi, hlo, hhi, slot_valid,
+            c1=c1, c2=c2, has_sentinel=has_sent,
+        )
+    return _stage_probe(
+        index_hi, index_lo, n_valid, hlo, hhi, slot_valid, max_run=max_run
+    )
+
+
 def _engine_step(
     codes, validb, mlen, allow_short, rid, mate, chunk_start,
     index_hi, index_lo, n_valid, il_codes=None, il_valid=None,
     *, k: int, w: int, budget: int, num_segments: int, max_run: int,
-    dedup_positions: bool, packed: bool = False,
+    dedup_positions: bool, packed: bool = False, probe_extra=None,
 ):
     """Chained staged pipeline (all dispatches async; arrays stay on device).
 
@@ -1192,7 +1458,47 @@ def _engine_step(
     """
     if packed:
         R, Lp = codes.shape
-        if _v3_eligible(k, Lp * 4, R) and il_codes is not None:
+        arch = engine_arch(k, Lp * 4, R)
+        if arch == 4 and il_codes is not None:
+            # budget is the PER-ROW slot count Br for arch 4
+            pos_c, v_c, rt = _values_compact(
+                codes, validb, il_codes, il_valid, mlen, allow_short,
+                k=k, w=w, Br=budget,
+            )
+            slot_valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (R, budget), 1)
+                < jnp.minimum(rt, budget)[:, None]
+            ).reshape(-1)
+            hlo, hhi = u64.xxh3_64_pair_u64(
+                v_c[0].reshape(-1), v_c[1].reshape(-1)
+            )
+            member, pos = _probe_dispatch(
+                index_hi, index_lo, n_valid, hlo, hhi, slot_valid,
+                max_run=max_run, probe_extra=probe_extra,
+            )
+            def expand(x):
+                return jnp.broadcast_to(x[:, None], (R, budget)).reshape(-1)
+
+            slot_pos = pos_c.reshape(-1)
+            hits, totals = _stage_count_expanded(
+                member, pos, expand(rid), expand(mate),
+                expand(chunk_start) + slot_pos, slot_valid,
+                num_segments=num_segments,
+                dedup_positions=dedup_positions,
+            )
+            if not dedup_positions:
+                # the per-row slot grid leaves srid UNSORTED (invalid lanes
+                # interleave between rows), which breaks _count_core's
+                # searchsorted-based totals; per-read totals are just the
+                # segment-sum of per-row selected counts (the hits path
+                # sorts and is order-safe). The discarded totals above are
+                # DCE'd under jit.
+                totals = jax.ops.segment_sum(
+                    jnp.minimum(rt, budget), rid,
+                    num_segments=num_segments,
+                )
+            return hits, totals, jnp.max(rt)
+        if arch == 3 and il_codes is not None:
             plane, row_tot = _values_csum(
                 codes, validb, il_codes, il_valid, mlen, allow_short,
                 k=k, w=w,
@@ -1204,9 +1510,9 @@ def _engine_step(
             hlo, hhi = _stage_hash_packed(
                 _words_view(codes), slot_row, slot_pos, k=k
             )
-            member, pos = _stage_probe(
+            member, pos = _probe_dispatch(
                 index_hi, index_lo, n_valid, hlo, hhi, slot_valid,
-                max_run=max_run,
+                max_run=max_run, probe_extra=probe_extra,
             )
             hits, totals = _stage_count(
                 member, pos, slot_row, slot_pos, slot_valid, rid, mate,
@@ -1222,8 +1528,9 @@ def _engine_step(
         wpf, budget=budget
     )
     hlo, hhi = _stage_hash2(vplanes, slot_id, k=k)
-    member, pos = _stage_probe(
-        index_hi, index_lo, n_valid, hlo, hhi, slot_valid, max_run=max_run
+    member, pos = _probe_dispatch(
+        index_hi, index_lo, n_valid, hlo, hhi, slot_valid,
+        max_run=max_run, probe_extra=probe_extra,
     )
     hits, totals = _stage_count(
         member, pos, slot_row, slot_pos, slot_valid, rid, mate, chunk_start,
@@ -1272,7 +1579,12 @@ def engine_step_fused(statics: tuple):
     key = (statics, os.environ.get("DEACON_ENGINE", ""))
     fn = _FUSED_STEPS.get(key)
     if fn is None:
-        k, w, budget, num_segments, max_run, dedup_positions = statics
+        if len(statics) == 7:
+            (k, w, budget, num_segments, max_run, dedup_positions,
+             probe_extra) = statics
+        else:
+            k, w, budget, num_segments, max_run, dedup_positions = statics
+            probe_extra = None
 
         def whole(codes, validb, mlen, allow_short, rid, mate, chunk_start,
                   index_hi, index_lo, n_valid, il_codes, il_valid):
@@ -1282,6 +1594,7 @@ def engine_step_fused(statics: tuple):
                 k=k, w=w, budget=budget,
                 num_segments=num_segments, max_run=max_run,
                 dedup_positions=dedup_positions, packed=True,
+                probe_extra=probe_extra,
             )
             return jnp.concatenate([
                 hits.astype(jnp.int32),
@@ -1642,23 +1955,48 @@ class DevicePipeline:
         self.device = device if device is not None else jax.devices()[0]
         device = self.device
         arr = np.sort(np.asarray(index_hashes, dtype=np.uint64))
-        # Pad the planes to a pow2 size bucket (sort-preserving distinct-hi
-        # filler, masked by n_valid): the compiled engine step then depends
-        # only on the bucket, not the exact index size, so any index of
-        # similar magnitude hits the same persistent-cache entry. Without
-        # this, every new index forced a full whole-engine recompile —
-        # minutes through the tunneled compile service (PERFNOTES.md #7).
-        n_pad = 1024
-        while n_pad < arr.size:
-            n_pad *= 2
-        if n_pad >= PROBE_POSITION_LIMIT:
-            n_pad = arr.size  # no headroom left; exact-size (still valid)
-        hi, lo, nv, self.max_run = build_padded_shard_planes(arr, n_pad)
-        self.index_hi = jax.device_put(jnp.asarray(hi), device)
-        self.index_lo = jax.device_put(jnp.asarray(lo), device)
-        self._n_valid = jax.device_put(
-            jnp.asarray([nv], dtype=jnp.int32), device
-        )
+        # Probe representation: bucketized cuckoo by default (two slice
+        # gathers per probe — the TPU's random gathers are element-serial,
+        # so the sorted planes' searchsorted+run-scan cost ~41 gather
+        # passes per step; PERFNOTES round-3 "real device timeline").
+        # DEACON_PROBE=sorted forces the sorted planes; indexes too large
+        # for i32 cuckoo slot ids (> ~8.6e8 keys) fall back automatically.
+        import os
+
+        self._probe_extra = None
+        built = None
+        if os.environ.get("DEACON_PROBE", "cuckoo") != "sorted":
+            built = build_cuckoo_planes(arr)
+        if built is not None:
+            table, c1, c2, has_sent = built
+            self.max_run = 8  # unused by the cuckoo probe; kept static
+            self._probe_extra = (c1, c2, has_sent)
+            self.index_hi = jax.device_put(jnp.asarray(table), device)
+            self.index_lo = jax.device_put(
+                jnp.zeros(1, dtype=jnp.uint32), device
+            )
+            self._n_valid = jax.device_put(
+                jnp.zeros(1, dtype=jnp.int32), device
+            )
+        else:
+            # Pad the planes to a pow2 size bucket (sort-preserving
+            # distinct-hi filler, masked by n_valid): the compiled engine
+            # step then depends only on the bucket, not the exact index
+            # size, so any index of similar magnitude hits the same
+            # persistent-cache entry. Without this, every new index forced
+            # a full whole-engine recompile — minutes through the tunneled
+            # compile service (PERFNOTES.md #7).
+            n_pad = 1024
+            while n_pad < arr.size:
+                n_pad *= 2
+            if n_pad >= PROBE_POSITION_LIMIT:
+                n_pad = arr.size  # no headroom left; exact-size (valid)
+            hi, lo, nv, self.max_run = build_padded_shard_planes(arr, n_pad)
+            self.index_hi = jax.device_put(jnp.asarray(hi), device)
+            self.index_lo = jax.device_put(jnp.asarray(lo), device)
+            self._n_valid = jax.device_put(
+                jnp.asarray([nv], dtype=jnp.int32), device
+            )
         self.L_max = self.tiles[-1][0]
         self._stride = self.L_max - self.l + 1
         self.fetch_group = FetchGroup()
@@ -1757,11 +2095,16 @@ class DevicePipeline:
 
     def _launch_batch(self, rows: list[_Row], L: int, R: int):
         """Launch one device batch asynchronously; returns device arrays."""
-        budget = (int(self.budget_frac * L * R) + 191) // 128 * 128
+        arch = engine_arch(self.k, L, R)
+        if arch == 4:
+            # per-row slot budget (the arch-4 slot grid is (R, budget))
+            budget = v4_row_budget(L, self.w, self.budget_frac)
+        else:
+            budget = (int(self.budget_frac * L * R) + 191) // 128 * 128
         pc, pv, mlen, allow_short, rid, mate, cstart = pack_rows_packed(
             rows, R, L, self.k, self.l
         )
-        if _v3_eligible(self.k, L, R):
+        if arch >= 3:
             pci, pvi = host_interleave_packed(pc, pv)
         else:
             pci = np.zeros((1, 1), dtype=np.uint8)
@@ -1773,13 +2116,17 @@ class DevicePipeline:
             jnp.asarray(pci), jnp.asarray(pvi),
         ]
         # only the largest tile class ever holds chunked long reads
-        statics = (self.k, self.w, budget, R, self.max_run, L >= self.L_max)
+        dedup = L >= self.L_max
+        statics = (self.k, self.w, budget, R, self.max_run, dedup)
+        if self._probe_extra is not None:
+            statics = statics + (self._probe_extra,)
         import os
 
         if os.environ.get("DEACON_TPU_STAGED"):
             hits, totals, used = _engine_step(
                 *args, k=self.k, w=self.w, budget=budget, num_segments=R,
-                max_run=self.max_run, dedup_positions=statics[-1], packed=True,
+                max_run=self.max_run, dedup_positions=dedup, packed=True,
+                probe_extra=self._probe_extra,
             )
             out = _stage_fuse_out(hits, totals, used)
         else:

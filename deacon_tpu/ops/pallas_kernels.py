@@ -516,6 +516,228 @@ def select_csum_packed(packed_codes, packed_valid, mlen, allow_short,
     return out[0], out[1]
 
 
+def _select_compact_kernel_body(pci_u32, pvi_u32, mlen_col, allow_col,
+                                *, k: int, w: int, L: int, Br: int):
+    """Kernel-v4 math: quarter/eighth-interleaved packed inputs ->
+    COMPACTED per-row slots ((TR, Br) wp positions + selected-value limb
+    planes) + (TR, 1) row totals.
+
+    v4 = v3's packed-input selection front end + two additions that remove
+    every downstream per-slot random gather (TPU gathers are
+    element-serial, ~7-22 ns per query — the profiled engine bottleneck):
+
+    * the selected minimizer's value limbs ride the doubling window-min as
+      select payloads again (as in kernel v2), so no packed-word gathers
+      are needed to rebuild values;
+    * flagged windows are compacted IN-KERNEL to the front of each row by
+      LSB-first butterfly routing — a monotone (order-preserving)
+      compaction routes conflict-free through a butterfly network (the
+      reverse-banyan concentrator theorem; verified exhaustively in
+      tests), each stage being two pltpu.rolls + selects per carried
+      plane. The first Br lanes per row are the slot grid; downstream
+      hashing/probing/counting is elementwise over it.
+
+    Per-row budget Br (static, 128 | Br): rows whose selected count
+    exceeds Br lose the tail — the kernel reports per-row totals and the
+    engine raises BudgetOverflow when max(row_tot) > Br (the selection
+    density 2/(w+1) concentrates tightly at row scale, so the default
+    1.5x margin overflows only adversarially).
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, (pci_u32.shape[0], L), 1)
+    S = _next_pow2(k)
+    nl = 2 if k <= 32 else 4
+    Lp, Lv = L // 4, L // 8
+
+    repc = pltpu.repeat(pci_u32, 4, axis=1)
+    shq = (
+        (col >= Lp).astype(jnp.int32)
+        + (col >= 2 * Lp).astype(jnp.int32)
+        + (col >= 3 * Lp).astype(jnp.int32)
+    )
+    codes_u32 = (repc >> (U32(2) * shq.astype(U32))) & U32(3)
+    repv = pltpu.repeat(pvi_u32, 8, axis=1)
+    shv = jnp.zeros_like(shq)
+    for mth in range(1, 8):
+        shv = shv + (col >= mth * Lv).astype(jnp.int32)
+    valid_u32 = (repv >> shv.astype(U32)) & U32(1)
+
+    zero = jnp.zeros_like(codes_u32)
+    f = [codes_u32] + [zero] * (nl - 1)
+    r = [codes_u32 ^ U32(2)] + [zero] * (nl - 1)
+    s = 1
+    while s < S:
+        fs = _limbs_shl([_shift_cols(x, s, 0) for x in f], 2 * s)
+        f = [a | b for a, b in zip(f, fs)]
+        t = _limbs_shl(r, 2 * s)
+        r = [a | _shift_cols(b, s, 0) for a, b in zip(t, r)]
+        s *= 2
+    if S != k:
+        full, bit = (2 * k) // 32, (2 * k) % 32
+        f = [
+            f[i] if i < full else (f[i] & U32((1 << bit) - 1) if (i == full and bit) else zero)
+            for i in range(nl)
+        ]
+        r = _limbs_shr(r, 2 * (S - k))
+    take_f = _limbs_le(f, r)
+    limbs = [jnp.where(take_f, a, b) for a, b in zip(f, r)]
+
+    fold = limbs[0]
+    for x in limbs[1:]:
+        fold = fold ^ x
+    keys = _fmix32(fold) & U32(_TOPMASK)
+    in_row = col < mlen_col
+    t = jnp.where(in_row, keys, U32(_TOPMASK)) | col.astype(U32)
+
+    inv = valid_u32 ^ U32(1)
+    span = 1
+    a = inv
+    while span * 2 <= k:
+        a = a | _shift_cols(a, span, 1)
+        span *= 2
+    if k - span > 0:
+        a = a | _shift_cols(a, k - span, 1)
+    kv = jnp.where((a == 0) & in_row, U32(1), U32(0))
+
+    ts = jax.lax.bitcast_convert_type(t ^ U32(0x80000000), jnp.int32)
+    imax = 0x7FFFFFFF
+
+    def shift_i32(x, n):
+        rr = pltpu.roll(x, shift=L - n, axis=1)
+        return jnp.where(col < L - n, rr, jnp.int32(imax))
+
+    carry = list(limbs) + [kv]
+
+    def step(ts, carry, n):
+        ts_sh = shift_i32(ts, n)
+        take_self = ts <= ts_sh
+        carry = [jnp.where(take_self, c, _shift_cols(c, n, 0)) for c in carry]
+        return jnp.minimum(ts, ts_sh), carry
+
+    span = 1
+    while span * 2 <= w:
+        ts, carry = step(ts, carry, span)
+        span *= 2
+    if w - span > 0:
+        ts, carry = step(ts, carry, w - span)
+    wp = jnp.minimum(ts & jnp.int32(0xFFFF), L - 1)
+    vsel, kv_sel = carry[:nl], carry[nl]
+
+    prev_wp = pltpu.roll(wp, shift=1, axis=1)
+    prev_wp = jnp.where(col >= 1, prev_wp, jnp.int32(-1))
+    new_min = (col == 0) | (wp != prev_wp)
+    win_valid = (col <= mlen_col - w) | (
+        (col == 0) & (allow_col > 0) & (mlen_col >= 1)
+    )
+    flag = jnp.where(
+        win_valid & new_min & (kv_sel == U32(1)), jnp.int32(1), jnp.int32(0)
+    )
+
+    cs = flag
+    n = 1
+    while n < L:
+        sh = pltpu.roll(cs, shift=n, axis=1)
+        cs = cs + jnp.where(col >= n, sh, jnp.int32(0))
+        n *= 2
+    row_tot = jnp.max(cs, axis=1, keepdims=True)
+
+    # LSB-first butterfly compaction of (wp, vsel...) to the row front.
+    # Lane i holds (alive, target) — at stage b an element crosses to
+    # partner i^b iff its target's bit b differs from its lane's; monotone
+    # targets guarantee no two elements contend for a lane.
+    tgt = cs - jnp.int32(1)  # target lane for flagged elements
+    alive = flag
+    planes = [wp] + [jax.lax.bitcast_convert_type(v, jnp.int32) for v in vsel]
+    b = 1
+    while b < L:
+        colb0 = (col & b) == 0
+
+        def partner(x):
+            return jnp.where(
+                colb0,
+                pltpu.roll(x, shift=L - b, axis=1),  # from lane i+b
+                pltpu.roll(x, shift=b, axis=1),      # from lane i-b
+            )
+
+        p_tgt = partner(tgt)
+        p_alive = partner(alive)
+        here_ok = (alive == 1) & ((tgt & b) == (col & b))
+        part_ok = (p_alive == 1) & ((p_tgt & b) == (col & b))
+        take_part = jnp.logical_and(jnp.logical_not(here_ok), part_ok)
+        planes = [jnp.where(take_part, partner(x), x) for x in planes]
+        tgt = jnp.where(take_part, p_tgt, tgt)
+        alive = jnp.where(here_ok | take_part, jnp.int32(1), jnp.int32(0))
+        b *= 2
+
+    pos_c = planes[0][:, :Br]
+    v_c = [
+        jax.lax.bitcast_convert_type(x[:, :Br], jnp.uint32)
+        for x in planes[1:]
+    ]
+    return pos_c, v_c, row_tot
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "Br", "interpret"))
+def select_compact_packed(packed_codes, packed_valid, mlen, allow_short,
+                          *, k: int, w: int, Br: int,
+                          interpret: bool = False):
+    """(R, L/4)+(R, L/8) u8 interleaved packed inputs -> per-row compacted
+    slots: ((R, Br) i32 minimizer positions, [limb (R, Br) u32 planes],
+    (R, 1) i32 row totals). See _select_compact_kernel_body. R % 8 == 0,
+    128 | L <= 16384, 128 | Br <= L, k <= 32."""
+    if k > 32:
+        raise ValueError("pallas v4 kernel supports k <= 32 only")
+    R, Lp = packed_codes.shape
+    L = Lp * 4
+    TR = _ROW_BLOCK
+    assert R % TR == 0 and L % 128 == 0 and L <= 16384
+    assert Br % 128 == 0 and Br <= L
+    nl = 2
+
+    def kernel(pc_ref, pv_ref, mlen_ref, allow_ref, pos_ref, v0_ref, v1_ref,
+               tot_ref):
+        pc = pc_ref[:].astype(U32)
+        pv = pv_ref[:].astype(U32)
+        pos_c, v_c, row_tot = _select_compact_kernel_body(
+            pc, pv, mlen_ref[:], allow_ref[:], k=k, w=w, L=L, Br=Br
+        )
+        pos_ref[:] = pos_c
+        v0_ref[:] = v_c[0]
+        v1_ref[:] = v_c[1]
+        tot_ref[:] = row_tot
+
+    grid = (R // TR,)
+    row_block = lambda i: (i, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR, L // 4), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, L // 8), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TR, Br), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, Br), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, Br), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), row_block, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, Br), jnp.int32),
+            jax.ShapeDtypeStruct((R, Br), jnp.uint32),
+            jax.ShapeDtypeStruct((R, Br), jnp.uint32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        packed_codes,
+        packed_valid,
+        mlen.reshape(R, 1),
+        allow_short.astype(jnp.int32).reshape(R, 1),
+    )
+    return out[0], (out[1], out[2]), out[3]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "w", "interpret")
 )

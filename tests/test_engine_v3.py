@@ -167,10 +167,21 @@ def test_engine_step_v3_matches_v2(kernel, monkeypatch):
     monkeypatch.setenv("DEACON_PALLAS", kernel)
     monkeypatch.setenv("DEACON_ENGINE", "2")
     want = eng._engine_step(*args, **kw)
-    monkeypatch.delenv("DEACON_ENGINE")
+    monkeypatch.setenv("DEACON_ENGINE", "3")
     got = eng._engine_step(*args, **kw)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # arch 4: per-row slot grid — hits/totals identical, `used` is the max
+    # per-row total (a different overflow metric by design)
+    monkeypatch.delenv("DEACON_ENGINE")
+    assert eng.engine_arch(k, L, R) == 4
+    kw4 = dict(kw)
+    kw4["budget"] = 256  # per-row Br
+    got4 = eng._engine_step(*args, **kw4)
+    for a, b in zip(got4[:2], want[:2]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(got4[2]) <= 256
 
 
 def test_device_pipeline_v3_oracle(monkeypatch):
@@ -243,3 +254,130 @@ def test_values_csum_kernel_L16384_boundary(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
     assert int(np.asarray(want_p).max()) < 2**31 - 1  # no sign overflow
+
+
+def test_cuckoo_probe_matches_isin():
+    """Cuckoo membership + unique positions == ground truth, including the
+    all-ones sentinel key as a real member and as a non-member query."""
+    rng = np.random.default_rng(21)
+    keys = np.unique(rng.integers(0, 2**64, 50_000, dtype=np.uint64))
+    keys = np.concatenate([keys, np.array([0xFFFFFFFFFFFFFFFF], np.uint64)])
+    table, c1, c2, has_sent = eng.build_cuckoo_planes(keys)
+    assert has_sent
+    queries = np.concatenate([
+        keys[rng.integers(0, keys.size, 30_000)],
+        rng.integers(0, 2**64, 30_000, dtype=np.uint64),
+        np.array([0xFFFFFFFFFFFFFFFF], np.uint64),
+    ])
+    qlo = jnp.asarray((queries & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    qhi = jnp.asarray((queries >> np.uint64(32)).astype(np.uint32))
+    sv = jnp.ones(queries.shape, dtype=bool)
+    member, pos = eng._stage_probe_cuckoo(
+        jnp.asarray(table), qlo, qhi, sv, c1=c1, c2=c2, has_sentinel=True
+    )
+    member, pos = np.asarray(member), np.asarray(pos)
+    want = np.isin(queries, keys)
+    np.testing.assert_array_equal(member, want)
+    # positions: unique per distinct key, equal for equal keys, -1 otherwise
+    assert (pos[~member] == -1).all()
+    by_key = {}
+    for q, p in zip(queries[member].tolist(), pos[member].tolist()):
+        by_key.setdefault(q, set()).add(p)
+    assert all(len(v) == 1 for v in by_key.values())
+    all_pos = [next(iter(v)) for v in by_key.values()]
+    assert len(set(all_pos)) == len(all_pos)
+
+
+def test_cuckoo_without_sentinel_rejects_sentinel_query():
+    rng = np.random.default_rng(22)
+    keys = np.unique(rng.integers(0, 2**64, 10_000, dtype=np.uint64))
+    table, c1, c2, has_sent = eng.build_cuckoo_planes(keys)
+    assert not has_sent
+    q = np.array([0xFFFFFFFFFFFFFFFF], np.uint64)
+    member, pos = eng._stage_probe_cuckoo(
+        jnp.asarray(table),
+        jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((q >> np.uint64(32)).astype(np.uint32)),
+        jnp.ones(1, dtype=bool), c1=c1, c2=c2, has_sentinel=False,
+    )
+    assert not bool(member[0]) and int(pos[0]) == -1
+
+
+def test_device_pipeline_cuckoo_matches_sorted(monkeypatch):
+    """DevicePipeline decisions must be identical under the cuckoo probe
+    (default) and DEACON_PROBE=sorted."""
+    k, w = 31, 15
+    rng = np.random.default_rng(23)
+    alpha = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    genome = rng.choice(alpha[:4], 4000).tobytes()
+    index_hashes = np.unique(mnp.compute_minimizer_hashes(genome, k, w, 0.0))
+    reads = [rng.choice(alpha, int(rng.integers(0, 500))).tobytes()
+             for _ in range(10)]
+    reads += [genome[s : s + 400] for s in (0, 700, 2200)]
+    units = [(i, ((0, r),)) for i, r in enumerate(reads)]
+
+    pipe = eng.DevicePipeline(index_hashes, k, w)
+    assert pipe._probe_extra is not None  # cuckoo active by default
+    got = pipe.launch_counts(units, len(units), prefix_length=0)()
+
+    monkeypatch.setenv("DEACON_PROBE", "sorted")
+    pipe2 = eng.DevicePipeline(index_hashes, k, w)
+    assert pipe2._probe_extra is None
+    want = pipe2.launch_counts(units, len(units), prefix_length=0)()
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("k,w", [(31, 15), (32, 15), (21, 7), (13, 11),
+                                 (5, 3), (31, 2)])
+def test_values_compact_kernel_matches_emulation(k, w, monkeypatch):
+    """v4 kernel (in-kernel butterfly compaction) == XLA emulation on the
+    valid slot region of every row."""
+    rng = np.random.default_rng(k * 41 + w)
+    R, L, Br = 16, 512, 256
+    codes, validb, mlen, allow_short = _random_tile(rng, R, L, k)
+    l = k + w - 1
+    mlen[2] = l - k
+    allow_short[2] = True
+    pc, pv = eng.host_pack_bits(codes, validb)
+    pci, pvi = eng.host_interleave_packed(pc, pv)
+    args = (jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(pci),
+            jnp.asarray(pvi), jnp.asarray(mlen), jnp.asarray(allow_short))
+    monkeypatch.setenv("DEACON_PALLAS", "off")
+    wpos, (wv0, wv1), wrt = eng._values_compact(*args, k=k, w=w, Br=Br)
+    monkeypatch.setenv("DEACON_PALLAS", "interpret")
+    gpos, (gv0, gv1), grt = eng._values_compact(*args, k=k, w=w, Br=Br)
+    np.testing.assert_array_equal(np.asarray(grt), np.asarray(wrt))
+    rt = np.asarray(wrt)
+    assert rt.max() <= Br  # fixture stays inside the row budget
+    valid = np.arange(Br)[None, :] < rt[:, None]
+    for g, wnt in ((gpos, wpos), (gv0, wv0), (gv1, wv1)):
+        np.testing.assert_array_equal(
+            np.asarray(g)[valid], np.asarray(wnt)[valid]
+        )
+
+
+def test_device_pipeline_v4_sparse_rows_oracle():
+    """Regression: arch-4's per-row slot grid leaves srid unsorted, which
+    broke the non-chunked (dedup_positions=False) totals path for sparse
+    rows (reads with 1-2 minimizers among many-N bases). Default pow2
+    tiles -> arch 4 on the small tile classes."""
+    k, w = 31, 15
+    rng = np.random.default_rng(31)
+    a = np.frombuffer(b"ACGTACGTNn", dtype=np.uint8)
+    genome = rng.choice(a[:4], 3000).tobytes()
+    index_hashes = np.unique(mnp.compute_minimizer_hashes(genome, k, w, 0.0))
+    # heavy-N reads (few minimizers), empty reads, normal reads
+    reads = [rng.choice(a, int(rng.integers(0, 1800))).tobytes()
+             for _ in range(16)]
+    reads += [genome[s : s + 250] for s in (0, 500, 900)]
+    assert eng.engine_arch(k, 256, 8192) == 4
+    pipe = eng.DevicePipeline(index_hashes, k, w)
+    units = [(i, ((0, r),)) for i, r in enumerate(reads)]
+    got_hits, got_totals = pipe.launch_counts(units, len(units), 0)()
+    idx_set = set(index_hashes.tolist())
+    for r, (gh, gt) in zip(reads, zip(got_hits, got_totals)):
+        h, p, _ = mnp.get_minimizer_hashes_and_positions(r, 0, k, w)
+        distinct = set(x for x in h.tolist() if x in idx_set)
+        assert gt == len(h), (len(r), gt, len(h))
+        assert gh == len(distinct), (len(r), gh, len(distinct))

@@ -150,10 +150,54 @@ def check_kernel_v3() -> None:
         want = eng._engine_step(*args, **kw)
     finally:
         del os.environ["DEACON_ENGINE"]
-    got = eng._engine_step(*args, **kw)
+    os.environ["DEACON_ENGINE"] = "3"
+    try:
+        got = eng._engine_step(*args, **kw)
+    finally:
+        del os.environ["DEACON_ENGINE"]
     for a, b in zip(got, want):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     print("  engine step: v3 == v2 on chip (hits/totals/used)")
+
+    # arch 4 (default): in-kernel butterfly compaction + per-row slot grid
+    assert eng.engine_arch(k, L, R) == 4
+    kw4 = dict(kw)
+    kw4["budget"] = 256  # per-row Br
+    got4 = eng._engine_step(*args, **kw4)
+    for a, b in zip(got4[:2], want[:2]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    print("  engine step: v4 == v2 on chip (hits/totals)")
+
+    # v4 kernel compiled == XLA emulation on the valid slot region
+    for kk, ww in [(31, 15), (21, 7), (13, 11)]:
+        rng2 = np.random.default_rng(kk)
+        Rk, Lk, Br = 16, 512, 256
+        codes = rng2.integers(0, 4, (Rk, Lk)).astype(np.uint8)
+        validb = rng2.random((Rk, Lk)) > 0.05
+        mlenk = rng2.integers(-1, Lk - kk + 2, (Rk,)).astype(np.int32)
+        mlenk[0] = Lk - kk + 1
+        allowk = rng2.random(Rk) > 0.5
+        pck, pvk = eng.host_pack_bits(codes, validb)
+        pcik, pvik = eng.host_interleave_packed(pck, pvk)
+        argk = (jnp.asarray(pck), jnp.asarray(pvk), jnp.asarray(pcik),
+                jnp.asarray(pvik), jnp.asarray(mlenk), jnp.asarray(allowk))
+        os.environ["DEACON_PALLAS"] = "0"
+        try:
+            wpos, (wv0, wv1), wrt = eng._values_compact(
+                *argk, k=kk, w=ww, Br=Br
+            )
+        finally:
+            del os.environ["DEACON_PALLAS"]
+        gpos, (gv0, gv1), grt = eng._values_compact(*argk, k=kk, w=ww, Br=Br)
+        assert np.array_equal(np.asarray(grt), np.asarray(wrt)), (kk, ww)
+        rt = np.asarray(wrt)
+        validm = np.arange(Br)[None, :] < rt[:, None]
+        for g, wnt in ((gpos, wpos), (gv0, wv0), (gv1, wv1)):
+            assert np.array_equal(
+                np.asarray(g)[validm], np.asarray(wnt)[validm]
+            ), (kk, ww)
+    print("  select_compact_packed (v4): compiled == XLA emulation, "
+          "3 k/w classes")
 
 
 def check_pipeline() -> None:
