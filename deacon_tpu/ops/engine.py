@@ -807,19 +807,51 @@ def engine_core_packed(
     num_segments: int,
     dedup_positions: bool = True,
 ):
-    """engine_core over bit-packed inputs: the v3 stage chain (packed-input
-    select kernel, cumsum-free compaction, slot value recomputation) with a
-    pluggable probe — the sharded multi-chip path calls this under
-    shard_map so it runs the same kernel as the single-chip engine. Falls
-    back to unpack + engine_core when the static shapes are v2-only."""
+    """engine_core over bit-packed inputs: the gather-minimal v4 stage
+    chain (in-kernel butterfly compaction, per-row slot grid, broadcast
+    slot ids) with a pluggable probe — the sharded multi-chip path calls
+    this under shard_map so it runs the same kernels as the single-chip
+    engine. ``budget`` is the PER-ROW slot count on the v4 path. Falls
+    back to the v3 chain (non-pow2 L) or unpack + engine_core (v2-only
+    shapes)."""
     R, Lp = pc.shape
-    if not _v3_eligible(k, Lp * 4, R):
+    arch = engine_arch(k, Lp * 4, R)
+    if arch == 2:
         codes, validb = _stage_unpack(pc, pv)
         return engine_core(
             codes, validb, mlen, allow_short, rid, mate, chunk_start,
             probe_fn, k=k, w=w, budget=budget, num_segments=num_segments,
             dedup_positions=dedup_positions,
         )
+    if arch == 4:
+        pos_c, v_c, rt = _values_compact(
+            pc, pv, il_codes, il_valid, mlen, allow_short, k=k, w=w,
+            Br=budget,
+        )
+        slot_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, budget), 1)
+            < jnp.minimum(rt, budget)[:, None]
+        ).reshape(-1)
+        h = u64.xxh3_64_pair_u64(v_c[0].reshape(-1), v_c[1].reshape(-1))
+        member, idxpos = probe_fn(h)
+        member, idxpos = lax.optimization_barrier(
+            (member & slot_valid, idxpos)
+        )
+
+        def expand(x):
+            return jnp.broadcast_to(x[:, None], (R, budget)).reshape(-1)
+
+        slot_pos = pos_c.reshape(-1)
+        hits, totals = _count_core_expanded(
+            member, idxpos, expand(rid), expand(mate),
+            expand(chunk_start) + slot_pos, slot_valid,
+            num_segments=num_segments, dedup_positions=dedup_positions,
+        )
+        if not dedup_positions:
+            totals = jax.ops.segment_sum(
+                jnp.minimum(rt, budget), rid, num_segments=num_segments
+            )
+        return hits, totals, jnp.max(rt)
     plane, row_tot = _values_csum(
         pc, pv, il_codes, il_valid, mlen, allow_short, k=k, w=w
     )

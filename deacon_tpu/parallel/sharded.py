@@ -318,7 +318,15 @@ class ShardedPipeline:
         self.L = max(int(row_len), self.l)
         self.Rs = int(rows_per_shard)  # rows per data shard
         self.R = self.Rs * self.n_data
-        self.budget_per_shard = (int(budget_frac * self.L * self.Rs) + 191) // 128 * 128
+        if eng.engine_arch(self.k, self.L, self.Rs) == 4:
+            # arch 4: budget is the PER-ROW slot count (engine_core_packed)
+            self.budget_per_shard = eng.v4_row_budget(
+                self.L, self.w, budget_frac
+            )
+        else:
+            self.budget_per_shard = (
+                int(budget_frac * self.L * self.Rs) + 191
+            ) // 128 * 128
         self._stride = self.L - self.l + 1
         # cross-batch d2h amortizer (ops/engine.py FetchGroup). On a
         # process-spanning mesh (pod mode) the device-side concat is skipped:
