@@ -16,9 +16,11 @@ Prints ONE JSON line. Fields:
   device_step_ms  profiler-measured ms per (R, L) engine step.
   vs_baseline   value / 2.0 (reference: >2 Gbp/s uncompressed per host,
                 BASELINE.md; reference README.md:14).
-  roofline_bound_gbps   (tunnel only) an HBM-bandwidth bound on what the
-                measured program could actually sustain on a v5e chip at
-                ~819 GB/s. Round-3 v3-architecture model, ~19.4 bytes of
+  roofline_bound_gbps   (tunnel only) an HBM-bytes bound — NOTE: real-
+                device profiling showed the engine is bound by its two
+                element-serial cuckoo gather passes, not HBM bytes, so
+                the real ceiling sits well below this number; kept for
+                the record. Round-3 v3-architecture model, ~19.4 bytes of
                 HBM traffic per base (packed-input select kernel with
                 in-VMEM unpack + in-row flag-cumsum emission, cumsum-free
                 two-level compaction, slot-level canonical-value
