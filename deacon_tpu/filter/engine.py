@@ -114,7 +114,8 @@ class DeviceDecider:
     during the journal flush.
     """
 
-    def __init__(self, index, k: int, w: int, device: str, fallback: HostDecider):
+    def __init__(self, index, k: int, w: int, device: str,
+                 fallback: HostDecider, index_path=None):
         import os
 
         import jax
@@ -125,7 +126,9 @@ class DeviceDecider:
         dev = None
         if device in ("tpu", "cpu"):
             dev = jax.devices(device)[0]
-        self.pipe = DevicePipeline(index.hashes, k, w, device=dev)
+        self.pipe = DevicePipeline(
+            index.hashes, k, w, device=dev, cache_path=index_path
+        )
         self.fallback = fallback
         self.resolve_depth = int(os.environ.get("DEACON_RESOLVE_DEPTH", "64"))
 
@@ -366,7 +369,8 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
         if default_backend_is_tunneled():
             return host
     try:
-        return DeviceDecider(index, k, w, cfg.device, host)
+        return DeviceDecider(index, k, w, cfg.device, host,
+                             index_path=cfg.minimizers_path)
     except Exception:
         if cfg.device in ("tpu", "cpu"):
             raise

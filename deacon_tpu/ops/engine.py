@@ -350,11 +350,90 @@ def _py_cuckoo_build(keys: np.ndarray, B: int, c1: int, c2: int):
     return out
 
 
-def build_cuckoo_planes(index_hashes: np.ndarray):
+def _cuckoo_sidecar_token(index_path: str):
+    import os
+
+    st = os.stat(index_path)
+    return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+
+def _cuckoo_sidecar_load(index_path: str, n_keys: int):
+    """Load `<index>.cuckoo` if present and bound to this index file
+    (size+mtime+key count — the host probe sidecar's identity rule)."""
+    import json as _json
+    import os
+
+    meta_p = index_path + ".cuckoo.json"
+    tab_p = index_path + ".cuckoo"
+    try:
+        if not (os.path.exists(meta_p) and os.path.exists(tab_p)):
+            return None
+        with open(meta_p) as f:
+            meta = _json.load(f)
+        tok = _cuckoo_sidecar_token(index_path)
+        if (
+            meta.get("version") != 1
+            or meta.get("size") != tok["size"]
+            or meta.get("mtime_ns") != tok["mtime_ns"]
+            or meta.get("n_keys") != n_keys
+        ):
+            return None
+        B = int(meta["B"])
+        table = np.fromfile(tab_p, dtype=np.uint32)
+        if table.size != B * 4:
+            return None
+        return (
+            table.reshape(B, 4), int(meta["c1"]), int(meta["c2"]),
+            bool(meta["has_sentinel"]),
+        )
+    except Exception:
+        return None
+
+
+def _cuckoo_sidecar_save(index_path: str, n_keys: int, table, c1, c2,
+                         has_sentinel) -> None:
+    """Best-effort atomic write of the cuckoo sidecar (tmp + rename)."""
+    import json as _json
+    import os
+
+    try:
+        tok = _cuckoo_sidecar_token(index_path)
+        tab_p = index_path + ".cuckoo"
+        tmp = tab_p + f".tmp.{os.getpid()}"
+        table.tofile(tmp)
+        os.replace(tmp, tab_p)
+        meta = {
+            "version": 1, "B": int(table.shape[0]), "c1": int(c1),
+            "c2": int(c2), "has_sentinel": bool(has_sentinel),
+            "n_keys": int(n_keys), **tok,
+        }
+        tmpm = index_path + f".cuckoo.json.tmp.{os.getpid()}"
+        with open(tmpm, "w") as f:
+            _json.dump(meta, f)
+        os.replace(tmpm, index_path + ".cuckoo.json")
+    except Exception:
+        pass
+
+
+def build_cuckoo_planes(index_hashes: np.ndarray, cache_path=None):
     """(table (B, 4) u32, c1, c2, has_sentinel) or None when the index is
     too large for i32 slot ids (caller falls back to the sorted planes).
-    B is pow2 (compiled programs depend only on the size bucket)."""
+    B is pow2 (compiled programs depend only on the size bucket).
+
+    ``cache_path``: the index file the hashes came from — a valid
+    ``<index>.cuckoo`` sidecar (bound to the file's size+mtime+count)
+    skips the build (the walk costs ~0.1 s per 1M keys: real at
+    panhuman scale), and a fresh build writes one best-effort."""
     arr = np.unique(np.asarray(index_hashes, dtype=np.uint64))
+    if cache_path is not None:
+        cached = _cuckoo_sidecar_load(str(cache_path), int(arr.size))
+        if cached is not None:
+            tb, c1, c2, hs = cached
+            has_sentinel = bool(
+                arr.size and arr[-1] == np.uint64(_CUCKOO_SENTINEL)
+            )
+            if hs == has_sentinel:
+                return tb, c1, c2, hs
     has_sentinel = bool(arr.size and arr[-1] == np.uint64(_CUCKOO_SENTINEL))
     if has_sentinel:
         arr = arr[:-1]
@@ -377,6 +456,11 @@ def build_cuckoo_planes(index_hashes: np.ndarray):
             if table is None:
                 table = False
         if table is not False:
+            if cache_path is not None:
+                _cuckoo_sidecar_save(
+                    str(cache_path), int(arr.size) + int(has_sentinel),
+                    table, c1, c2, has_sentinel,
+                )
             return table, c1, c2, has_sentinel
         attempt += 1
         if attempt % 2 == 0:
@@ -1960,6 +2044,7 @@ class DevicePipeline:
         tiles=None,
         budget_frac: float | None = None,
         device=None,
+        cache_path=None,
     ):
         if budget_frac is None:
             budget_frac = default_budget_frac(w)
@@ -1998,7 +2083,7 @@ class DevicePipeline:
         self._probe_extra = None
         built = None
         if os.environ.get("DEACON_PROBE", "cuckoo") != "sorted":
-            built = build_cuckoo_planes(arr)
+            built = build_cuckoo_planes(arr, cache_path=cache_path)
         if built is not None:
             table, c1, c2, has_sent = built
             self.max_run = 8  # unused by the cuckoo probe; kept static

@@ -381,3 +381,25 @@ def test_device_pipeline_v4_sparse_rows_oracle():
         distinct = set(x for x in h.tolist() if x in idx_set)
         assert gt == len(h), (len(r), gt, len(h))
         assert gh == len(distinct), (len(r), gh, len(distinct))
+
+
+def test_cuckoo_sidecar_roundtrip(tmp_path):
+    """A valid sidecar skips the build; stale/mismatched ones are ignored."""
+    import os
+
+    rng = np.random.default_rng(41)
+    keys = np.unique(rng.integers(0, 2**64, 20_000, dtype=np.uint64))
+    idx_file = tmp_path / "x.idx"
+    idx_file.write_bytes(b"fake-index-bytes")
+    t1 = eng.build_cuckoo_planes(keys, cache_path=str(idx_file))
+    assert (tmp_path / "x.idx.cuckoo").exists()
+    t2 = eng.build_cuckoo_planes(keys, cache_path=str(idx_file))
+    np.testing.assert_array_equal(t1[0], t2[0])
+    assert t1[1:] == t2[1:]
+    # different key set under the same file -> count mismatch -> rebuild
+    t3 = eng.build_cuckoo_planes(keys[:-5], cache_path=str(idx_file))
+    assert t3 is not None
+    # touching the index invalidates
+    os.utime(idx_file, ns=(1, 1))
+    t4 = eng.build_cuckoo_planes(keys, cache_path=str(idx_file))
+    np.testing.assert_array_equal(t4[0], t1[0])
