@@ -28,7 +28,13 @@ R = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 L = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
 NIDX = int(float(sys.argv[3]) if len(sys.argv) > 3 else 100) * 1_000_000
 K, W = 31, 15
+# the staged v2/v3 stage timings below use the global budget; the FUSED
+# production program (arch 4 on pow2 L) uses the per-row budget
 BUDGET = (int(0.35 * R * L) + 191) // 128 * 128
+BUDGET_FUSED = (
+    eng.v4_row_budget(L, W, eng.default_budget_frac(W))
+    if eng.engine_arch(31, L, R) == 4 else BUDGET
+)
 
 rng = np.random.default_rng(0)
 raw = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(R, L)).astype(np.uint8)
@@ -131,7 +137,7 @@ pc_np, pv_np = eng.host_pack_bits(
 pci_np, pvi_np = eng.host_interleave_packed(pc_np, pv_np)
 pcodes, pvalid = jnp.asarray(pc_np), jnp.asarray(pv_np)
 pci, pvi = jnp.asarray(pci_np), jnp.asarray(pvi_np)
-fused = eng.engine_step_fused((K, W, BUDGET, R, MAX_RUN, True))
+fused = eng.engine_step_fused((K, W, BUDGET_FUSED, R, MAX_RUN, True))
 timeone("FUSED total", fused, pcodes, pvalid, mlen, allow_short, rid, mate,
         cstart, ihi, ilo, inv, pci, pvi, iters=20)
 print("DONE", flush=True)
