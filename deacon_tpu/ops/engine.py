@@ -1789,6 +1789,28 @@ def _extract_step(
     return hlo, hhi, srid, slot_valid, total
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w", "Br"))
+def _extract_step_v4(pc, pv, pci, pvi, mlen, allow_short, rid,
+                     *, k: int, w: int, Br: int):
+    """Index-build extraction on the gather-free v4 chain (entropy off):
+    in-kernel butterfly compaction + elementwise hashing over the per-row
+    slot grid, fused into ONE program (the unjitted chain paid ~0.5 ms of
+    per-op dispatches for the xxh3 math alone). Returns (hlo, hhi, srid,
+    valid, max_row_total) with arrays of length R*Br."""
+    R = mlen.shape[0]
+    pos_c, v_c, rt = _values_compact(
+        pc, pv, pci, pvi, mlen, allow_short, k=k, w=w, Br=Br
+    )
+    slot_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, Br), 1)
+        < jnp.minimum(rt, Br)[:, None]
+    ).reshape(-1)
+    hlo, hhi = u64.xxh3_64_pair_u64(v_c[0].reshape(-1), v_c[1].reshape(-1))
+    rid_x = jnp.broadcast_to(rid[:, None], (R, Br)).reshape(-1)
+    srid = jnp.where(slot_valid, rid_x, jnp.int32(2**31 - 1))
+    return hlo, hhi, srid, slot_valid, jnp.max(rt)
+
+
 @jax.jit
 def _fuse_extract_out(hlo, hhi, srid, valid, total):
     """Fuse one extract-chunk's outputs into a single (4B+1,) u32 array
@@ -2301,6 +2323,16 @@ class IndexBuildPipeline:
         self.R = int(rows_per_batch)
         self.budget = (int(budget_frac * self.L * self.R) + 191) // 128 * 128
         self.entropy = float(entropy_threshold)
+        # entropy filtering needs per-slot base-composition gathers from
+        # the original codes, so only entropy-off builds take the
+        # gather-free v4 chain
+        self._v4 = (
+            engine_arch(k, self.L, self.R) == 4
+            and (self.entropy == 0.0 or self.k < 10)
+            and self.k <= 32
+        )
+        self.budget_row = v4_row_budget(self.L, self.w, budget_frac)
+        self._slots = self.R * self.budget_row if self._v4 else self.budget
         self.device = device
         self._stride = self.L - self.l + 1
 
@@ -2360,13 +2392,24 @@ class IndexBuildPipeline:
             allow_short[:n] = lens < self.l
             rid[:n] = np.fromiter((g for g, _, _ in chunk), dtype=np.int32,
                                   count=n)
-            hlo, hhi, srid, valid, total = _extract_step(
-                jnp.asarray(codes), jnp.asarray(orig), jnp.asarray(validb),
-                jnp.asarray(mlen), jnp.asarray(allow_short), jnp.asarray(rid),
-                jnp.float32(self.entropy),
-                k=self.k, w=self.w, budget=self.budget,
-                use_entropy=self.entropy != 0.0 and self.k >= 10,
-            )
+            if self._v4:
+                pc, pv = host_pack_bits(codes, validb)
+                pci, pvi = host_interleave_packed(pc, pv)
+                hlo, hhi, srid, valid, total = _extract_step_v4(
+                    jnp.asarray(pc), jnp.asarray(pv), jnp.asarray(pci),
+                    jnp.asarray(pvi), jnp.asarray(mlen),
+                    jnp.asarray(allow_short), jnp.asarray(rid),
+                    k=self.k, w=self.w, Br=self.budget_row,
+                )
+            else:
+                hlo, hhi, srid, valid, total = _extract_step(
+                    jnp.asarray(codes), jnp.asarray(orig),
+                    jnp.asarray(validb), jnp.asarray(mlen),
+                    jnp.asarray(allow_short), jnp.asarray(rid),
+                    jnp.float32(self.entropy),
+                    k=self.k, w=self.w, budget=self.budget,
+                    use_entropy=self.entropy != 0.0 and self.k >= 10,
+                )
             outs.append(_fuse_extract_out(hlo, hhi, srid, valid, total))
 
         if not outs:
@@ -2375,12 +2418,13 @@ class IndexBuildPipeline:
             fused = np.asarray(outs[0])
         else:
             fused = np.asarray(_extract_concat(outs))
-        B = self.budget
+        B = self._slots
+        cap = self.budget_row if self._v4 else self.budget
         for chunk in fused.reshape(len(outs), 4 * B + 1):
             total = int(chunk[4 * B].view(np.int32))
-            if total > B:
+            if total > cap:
                 raise BudgetOverflow(
-                    f"minimizer budget exceeded: {total} > {B}"
+                    f"minimizer budget exceeded: {total} > {cap}"
                 )
             hv = chunk[:B].astype(np.uint64) | (
                 chunk[B : 2 * B].astype(np.uint64) << np.uint64(32)
