@@ -74,8 +74,11 @@ HBM_BYTES_PER_BASE = 19.4
 V5E_HBM_BYTES_PER_S = 8.19e11
 
 
-def _best_wall(cmd, env, tries=2, timeout=900):
-    best = None
+def _wall_runs(cmd, env, tries=2, timeout=900):
+    """Wall times of `tries` successful runs (None on failure/timeout).
+    The 2-vCPU box's hypervisor noise makes single measurements wobble
+    0.22-0.41 Gbp/s (r3 VERDICT weak #7) — callers report the median."""
+    runs = []
     for _ in range(tries):
         t0 = time.monotonic()
         try:
@@ -88,8 +91,13 @@ def _best_wall(cmd, env, tries=2, timeout=900):
         dt = time.monotonic() - t0
         if proc.returncode != 0:
             return None
-        best = dt if best is None else min(best, dt)
-    return best
+        runs.append(dt)
+    return runs
+
+
+def _best_wall(cmd, env, tries=2, timeout=900):
+    runs = _wall_runs(cmd, env, tries=tries, timeout=timeout)
+    return min(runs) if runs else None
 
 
 def run_e2e() -> dict:
@@ -146,11 +154,18 @@ def run_e2e() -> dict:
 
         base_cmd = [sys.executable, "-m", "deacon_tpu", "filter", idx, fq,
                     "-o", "/dev/null", "--deplete", "-q"]
-        wall = _best_wall(base_cmd, env, tries=2)
-        if wall is not None:
-            net = max(wall - startup, 1e-6)
-            out["host_gbps"] = round(total_bp / net / 1e9, 4)
-            out["host_wall_s"] = round(wall, 3)
+        # best-of-5, median headline (r3 VERDICT item 9): single runs on
+        # this 2-vCPU box wobble ~2x with hypervisor noise
+        n_host = int(os.environ.get("DEACON_BENCH_HOST_RUNS", "5"))
+        runs = _wall_runs(base_cmd, env, tries=n_host)
+        if runs:
+            gbps = sorted(
+                total_bp / max(w - startup, 1e-6) / 1e9 for w in runs
+            )
+            med = gbps[len(gbps) // 2]
+            out["host_gbps"] = round(med, 4)
+            out["host_gbps_runs"] = [round(g, 4) for g in gbps]
+            out["host_wall_s"] = round(sorted(runs)[len(runs) // 2], 3)
 
         # device path on the FULL input: the engine dispatches everything
         # before ONE fused d2h at EOF, so on the tunnel the wall is a fixed

@@ -357,9 +357,22 @@ def _cuckoo_sidecar_token(index_path: str):
     return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
 
 
-def _cuckoo_sidecar_load(index_path: str, n_keys: int):
+def _keys_fingerprint(arr: np.ndarray) -> str:
+    """Cheap content fingerprint of the (sorted unique) key array:
+    (count, first, last, xor-fold). Binds probe sidecars to the index
+    CONTENT, not just size+mtime — a timestamp-preserving replacement
+    (cp -p / rsync -t) whose size and key count coincide would otherwise
+    silently serve a stale table (r3 advisor finding #1)."""
+    if arr.size == 0:
+        return "0:0:0:0"
+    x = int(np.bitwise_xor.reduce(arr))
+    return f"{arr.size}:{int(arr[0]):x}:{int(arr[-1]):x}:{x:x}"
+
+
+def _cuckoo_sidecar_load(index_path: str, n_keys: int, fp: str):
     """Load `<index>.cuckoo` if present and bound to this index file
-    (size+mtime+key count — the host probe sidecar's identity rule)."""
+    (size+mtime+key count+content fingerprint — the probe sidecar's
+    identity rule)."""
     import json as _json
     import os
 
@@ -376,6 +389,7 @@ def _cuckoo_sidecar_load(index_path: str, n_keys: int):
             or meta.get("size") != tok["size"]
             or meta.get("mtime_ns") != tok["mtime_ns"]
             or meta.get("n_keys") != n_keys
+            or meta.get("keys_fp") != fp
         ):
             return None
         B = int(meta["B"])
@@ -391,7 +405,7 @@ def _cuckoo_sidecar_load(index_path: str, n_keys: int):
 
 
 def _cuckoo_sidecar_save(index_path: str, n_keys: int, table, c1, c2,
-                         has_sentinel) -> None:
+                         has_sentinel, fp: str = "") -> None:
     """Best-effort atomic write of the cuckoo sidecar (tmp + rename)."""
     import json as _json
     import os
@@ -405,7 +419,7 @@ def _cuckoo_sidecar_save(index_path: str, n_keys: int, table, c1, c2,
         meta = {
             "version": 1, "B": int(table.shape[0]), "c1": int(c1),
             "c2": int(c2), "has_sentinel": bool(has_sentinel),
-            "n_keys": int(n_keys), **tok,
+            "n_keys": int(n_keys), "keys_fp": fp, **tok,
         }
         tmpm = index_path + f".cuckoo.json.tmp.{os.getpid()}"
         with open(tmpm, "w") as f:
@@ -425,8 +439,9 @@ def build_cuckoo_planes(index_hashes: np.ndarray, cache_path=None):
     skips the build (the walk costs ~0.1 s per 1M keys: real at
     panhuman scale), and a fresh build writes one best-effort."""
     arr = np.unique(np.asarray(index_hashes, dtype=np.uint64))
+    fp = _keys_fingerprint(arr)
     if cache_path is not None:
-        cached = _cuckoo_sidecar_load(str(cache_path), int(arr.size))
+        cached = _cuckoo_sidecar_load(str(cache_path), int(arr.size), fp)
         if cached is not None:
             tb, c1, c2, hs = cached
             has_sentinel = bool(
@@ -459,7 +474,7 @@ def build_cuckoo_planes(index_hashes: np.ndarray, cache_path=None):
             if cache_path is not None:
                 _cuckoo_sidecar_save(
                     str(cache_path), int(arr.size) + int(has_sentinel),
-                    table, c1, c2, has_sentinel,
+                    table, c1, c2, has_sentinel, fp,
                 )
             return table, c1, c2, has_sentinel
         attempt += 1
@@ -1692,7 +1707,14 @@ def engine_step_fused(statics: tuple):
     """
     import os
 
-    key = (statics, os.environ.get("DEACON_ENGINE", ""))
+    # DEACON_PALLAS is read at trace time (_values_csum/_values_compact),
+    # so it must be part of the cache key alongside DEACON_ENGINE —
+    # flipping it mid-process must not serve a stale compiled program
+    key = (
+        statics,
+        os.environ.get("DEACON_ENGINE", ""),
+        os.environ.get("DEACON_PALLAS", ""),
+    )
     fn = _FUSED_STEPS.get(key)
     if fn is None:
         if len(statics) == 7:
@@ -1945,7 +1967,13 @@ def default_budget_frac(w: int | None = None) -> float:
         try:
             return float(env)
         except ValueError:
-            pass
+            import sys
+
+            print(
+                f"deacon: WARNING: DEACON_BUDGET_FRAC={env!r} is not a "
+                "number; using the w-aware default",
+                file=sys.stderr,
+            )
     if w is None:
         return 0.25
     return min(0.5, max(0.15, 1.5 * 2.0 / (w + 1)))
@@ -2106,6 +2134,21 @@ class DevicePipeline:
         built = None
         if os.environ.get("DEACON_PROBE", "cuckoo") != "sorted":
             built = build_cuckoo_planes(arr, cache_path=cache_path)
+        if built is None and os.environ.get("DEACON_PROBE", "cuckoo") != "sorted":
+            # r3 VERDICT item 5: the flagship-scale union (panhuman +
+            # panmouse ~ 9.6e8 keys) crosses the cuckoo i32-slot-id
+            # ceiling and used to lose ~40x silently
+            import sys
+
+            print(
+                f"deacon: WARNING: index has {arr.size} keys, above the "
+                "cuckoo probe ceiling (~8.6e8); falling back to the "
+                "sorted-plane probe (~10-40x slower device steps). Shard "
+                "the index across devices (--mesh) or split it "
+                "(index diff/union) to stay under the ceiling. "
+                "[DEACON_PROBE=sorted silences this]",
+                file=sys.stderr,
+            )
         if built is not None:
             table, c1, c2, has_sent = built
             self.max_run = 8  # unused by the cuckoo probe; kept static

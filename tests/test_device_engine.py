@@ -111,3 +111,19 @@ def test_many_random_reads_vs_oracle(pipe):
     for i, s in enumerate(seqs):
         oh, ot = oracle_counts_single(s)
         assert (hits[i], totals[i]) == (oh, ot), f"read {i} len {len(s)}"
+
+
+def test_cuckoo_fallback_warns(monkeypatch, capsys):
+    """Crossing the cuckoo probe ceiling must warn on stderr naming the
+    consequence and the DEACON_PROBE knob (r3 VERDICT item 5) — and the
+    explicit DEACON_PROBE=sorted opt-out must stay silent."""
+    from deacon_tpu.ops import engine as eng
+
+    monkeypatch.setattr(eng, "build_cuckoo_planes", lambda *a, **k: None)
+    DevicePipeline(IDX_HASHES, 31, 15, tiles=TILES)
+    err = capsys.readouterr().err
+    assert "cuckoo probe ceiling" in err and "DEACON_PROBE" in err
+
+    monkeypatch.setenv("DEACON_PROBE", "sorted")
+    DevicePipeline(IDX_HASHES, 31, 15, tiles=TILES)
+    assert "ceiling" not in capsys.readouterr().err
