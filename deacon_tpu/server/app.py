@@ -269,10 +269,17 @@ def make_handler(state: ServerState):
                 return
             body = self.rfile.read(length)
             paired = self.path.endswith("_paired")
+            binary = protocol.is_binary_request(body)
             try:
-                batch, abs_t, rel_t, deplete, k, debug = protocol.decode_request(
-                    body, paired
-                )
+                if binary:
+                    (batch, abs_t, rel_t, deplete, k, debug,
+                     req_paired) = protocol.decode_binary_request(body)
+                    if req_paired != paired:
+                        raise ValueError("paired flag/route mismatch")
+                else:
+                    batch, abs_t, rel_t, deplete, k, debug = (
+                        protocol.decode_request(body, paired)
+                    )
                 if paired:
                     decisions = state.backend.decide_paired(
                         batch, k, abs_t, rel_t, deplete, debug
@@ -281,7 +288,13 @@ def make_handler(state: ServerState):
                     decisions = state.backend.decide_unpaired(
                         batch, k, abs_t, rel_t, deplete, debug
                     )
-                self._send(200, protocol.encode_response(decisions))
+                if binary:
+                    self._send(
+                        200, protocol.encode_binary_response(decisions),
+                        protocol.BINARY_CTYPE,
+                    )
+                else:
+                    self._send(200, protocol.encode_response(decisions))
             except Exception as e:  # noqa: BLE001 - report to client
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
 

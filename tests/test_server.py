@@ -212,3 +212,76 @@ def test_client_mesh_pod_is_ignored_with_warning(server, tmp_path):
                     "-q", "--mesh", "pod"])
     assert b"--mesh is ignored in client mode" in proc.stderr
     assert fastq_ids(read_output(out)) == ["m"]
+
+
+def test_binary_wire_roundtrip():
+    """Packed binary frame encode/decode (protocol extension): exact
+    structural roundtrip for unpaired and paired batches."""
+    from deacon_tpu.server import protocol as pr
+
+    rng = np.random.default_rng(3)
+    batch = [
+        (
+            rng.integers(0, 2**64, int(n), dtype=np.uint64),
+            rng.integers(0, 2**32, int(n), dtype=np.uint32),
+            bytes(rng.integers(65, 90, int(n) + 30, dtype=np.uint8)),
+        )
+        for n in rng.integers(0, 50, 7)
+    ]
+    body = pr.encode_binary_request(batch, 2, 0.01, True, 31, False, False)
+    assert pr.is_binary_request(body)
+    got, abs_t, rel_t, deplete, k, debug, paired = pr.decode_binary_request(body)
+    assert (abs_t, rel_t, deplete, k, debug, paired) == (2, 0.01, True, 31, False)[:5] + (False,)
+    for (h, p, s), (h2, p2, s2) in zip(batch, got):
+        assert np.array_equal(h, h2) and np.array_equal(p, p2) and s == s2
+
+    pbatch = [
+        (h, p, (s[:10], s[10:])) for h, p, s in batch
+    ]
+    body = pr.encode_binary_request(pbatch, 1, 0.5, False, 21, False, True)
+    got, abs_t, rel_t, deplete, k, debug, paired = pr.decode_binary_request(body)
+    assert (abs_t, rel_t, deplete, k, paired) == (1, 0.5, False, 21, True)
+    for (h, p, ss), (h2, p2, ss2) in zip(pbatch, got):
+        assert np.array_equal(h, h2) and ss == ss2
+
+    dec = [(True, 3, 10, []), (False, 0, 7, [])]
+    assert pr.decode_binary_response(pr.encode_binary_response(dec)) == dec
+
+
+def test_binary_wire_against_server(server):
+    """The negotiated binary frame must return byte-identical decisions to
+    the JSON wire against a live server, and the client must fall back to
+    JSON when the server rejects binary."""
+    import os
+
+    from deacon_tpu.ops import minimizers_np as mnp
+    from deacon_tpu.server.client import RemoteBackend
+
+    genome = server["genome"]
+    reads = [(FRAGMENT_60 + genome[:40]).encode(), random_dna(80).encode(), genome[100:200].encode()]
+    batch = []
+    for s in reads:
+        h, p, eff = mnp.get_minimizer_hashes_and_positions(s, 0, 31, 15)
+        batch.append((h.astype(np.uint64), p.astype(np.uint32), eff))
+
+    rb = RemoteBackend(server["addr"])
+    assert rb._binary is None
+    out_bin = rb.decide_unpaired(batch, 31, 2, 0.01, True, False)
+    assert rb._binary is True  # negotiated
+    rb2 = RemoteBackend(server["addr"])
+    rb2._binary = False  # force JSON
+    out_json = rb2.decide_unpaired(batch, 31, 2, 0.01, True, False)
+    assert out_bin == out_json
+
+    # paired too
+    pb = [(batch[0][0], batch[0][1], (reads[0][:40], reads[0][40:]))]
+    assert rb.decide_paired(pb, 31, 2, 0.01, True, False) == \
+        rb2.decide_paired(pb, 31, 2, 0.01, True, False)
+
+    # env kill-switch
+    os.environ["DEACON_WIRE"] = "json"
+    try:
+        rb3 = RemoteBackend(server["addr"])
+        assert rb3._binary is False
+    finally:
+        del os.environ["DEACON_WIRE"]

@@ -72,13 +72,16 @@ def measure(name, fn, args, iters=8):
         for e in ev
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
+    # top-level jit_ events only (inner HLO ops are nested inside them and
+    # would double-count)
     dev_us = 0.0
     per_op = {}
     for e in ev:
         if e.get("ph") == "X" and str(pids.get(e["pid"], "")).startswith("/device:TPU"):
-            dev_us += e.get("dur", 0)
-            n = str(e.get("name", ""))[:46]
-            per_op[n] = per_op.get(n, 0.0) + e.get("dur", 0)
+            n = str(e.get("name", ""))
+            if n.startswith("jit_"):
+                dev_us += e.get("dur", 0)
+            per_op[n[:46]] = per_op.get(n[:46], 0.0) + e.get("dur", 0)
     ms = dev_us / 1e3 / iters
     print(f"LAB {name:28s} {ms:9.3f} ms/iter", flush=True)
     top = sorted(per_op.items(), key=lambda kv: -kv[1])[:4]
@@ -252,7 +255,193 @@ def exp_stream():
     measure("stream sum 400MB", f, (big,))
 
 
+def exp_fhist():
+    # factorized one-hot histogram on the MXU: counts[hi,lo] =
+    # A[hi,q]·B[q,lo] with A,B byte one-hots — exact (f32 accum, Q < 2^24),
+    # no (Q, bins) materialization. Lab2 showed jax.nn.one_hot @ ones
+    # lowers to a 56 ms select_reduce; this is the replacement.
+    rid = jnp.asarray(rng.integers(0, R, Q, dtype=np.int32))
+    flag = jnp.asarray(rng.integers(0, 2, Q, dtype=np.int8))
+
+    @jax.jit
+    def f(rid, flag):
+        hi = rid >> 7
+        lo = rid & 127
+        steps = jnp.arange(128, dtype=jnp.int32)
+        A = (hi[None, :] == steps[:, None]).astype(jnp.bfloat16)
+        A = A * flag.astype(jnp.bfloat16)[None, :]
+        B = (lo[:, None] == steps[None, :]).astype(jnp.bfloat16)
+        C = jax.lax.dot_general(
+            A, B, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return C.reshape(-1).astype(jnp.int32)  # counts per rid
+
+    measure("fhist mxu Qx16K", f, (rid, flag))
+
+
+def exp_pwin():
+    # Pallas probe kernel, STATIC-TILE design: grid over fixed 1024-query
+    # tiles of the sorted arrays (BlockSpec, no dynamic query DMA at all
+    # — the i32 DMA granule is 1024 elements, so dynamic windows are
+    # impossible anyway). Per tile the kernel DMAs a 512-row slab of the
+    # byte-plane table at a prefetched 32-aligned row base
+    # (double-buffered), then probes 8 sub-windows of 128 queries via
+    # int8 one-hot matmuls against 128-row VMEM sub-slices, and
+    # accumulates the factorized (128,128) rid histogram on the MXU.
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P_ = 21                 # fine-bucket bits (table; lambda = 47.7)
+    NPL = 6                 # stored byte planes (P >= 17)
+    K_ = 128                # slots per bucket (128-granule lane dim)
+    NK = NPL * K_           # row width 768
+    TQ = 1024               # queries per tile
+    SUB = 128               # queries per sub-window
+    FW = 512                # table rows per tile slab (32-aligned base)
+    FSUB = 128              # table rows per sub-window slice
+    n_tiles = Q // TQ
+    sh_np = np.sort(rng.integers(0, 2**31, Q, dtype=np.int32))
+    sh = jnp.asarray(sh_np)
+    sl = jnp.asarray(rng.integers(0, 2**31, Q, dtype=np.int32))
+    first = jnp.asarray(rng.integers(0, 2, Q, dtype=np.int32))
+    rid = jnp.asarray(rng.integers(0, R, Q, dtype=np.int32))
+    # per-tile slab base + per-sub-window local base (32-aligned),
+    # host-built here; XLA-built in the real pipeline
+    fid_np = (sh_np >> (31 - P_)) & ((1 << P_) - 1)
+    tb = fid_np[::TQ]
+    tbase_np = np.clip((tb - 8) // 32 * 32, 0, (1 << P_) - FW).astype(np.int32)
+    sb = fid_np[::SUB].reshape(n_tiles, TQ // SUB)
+    sbase_np = np.clip(
+        (sb - 8) // 32 * 32 - tbase_np[:, None], 0, FW - FSUB
+    ).astype(np.int32)
+    bases = jnp.asarray(
+        np.concatenate([tbase_np[:, None], sbase_np], axis=1).reshape(-1)
+    )  # (n_tiles * 9,)
+    planes = jnp.asarray(
+        rng.integers(0, 127, (1 << P_, NK), dtype=np.int8)
+    )
+
+    import os as _os
+    SKIP = set(_os.environ.get("DEACON_LAB_SKIP", "").split(","))
+
+    def kern(bases_ref, sh_ref, sl_ref, first_ref, rid_ref, pl_ref,
+             hist_ref, slab, acc, sem):
+        t = pl.program_id(0)
+        nt = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            b0 = pl.multiple_of(bases_ref[0], 32)
+            cp = pltpu.make_async_copy(
+                pl_ref.at[pl.ds(b0, FW), :], slab.at[0], sem.at[0]
+            )
+            cp.start()
+
+        # prefetch next tile's slab while computing this one
+        @pl.when(t + 1 < nt)
+        def _():
+            bn = pl.multiple_of(bases_ref[(t + 1) * 9], 32)
+            cp = pltpu.make_async_copy(
+                pl_ref.at[pl.ds(bn, FW), :], slab.at[(t + 1) % 2],
+                sem.at[(t + 1) % 2],
+            )
+            cp.start()
+
+        b = pl.multiple_of(bases_ref[t * 9], 32)
+        pltpu.make_async_copy(
+            pl_ref.at[pl.ds(b, FW), :], slab.at[t % 2], sem.at[t % 2]
+        ).wait()
+        whi = sh_ref[:].reshape(8, SUB)
+        wlo = sl_ref[:].reshape(8, SUB)
+        members = []
+        for s in range(8):
+            qh = whi[s, :][:, None]              # (SUB, 1)
+            ql = wlo[s, :][:, None]
+            fid = (qh >> (31 - P_)) & ((1 << P_) - 1)
+            lb = pl.multiple_of(bases_ref[t * 9 + 1 + s], 32)
+            loc = fid - (b + lb)
+            oh = jnp.where(
+                loc == jax.lax.broadcasted_iota(jnp.int32, (SUB, FSUB), 1),
+                1, 0,
+            ).astype(jnp.int8)
+            eqc = jnp.zeros((SUB, K_), jnp.int32)
+            for p in range(NPL if "mm" not in SKIP else 1):
+                blk = slab[t % 2, pl.ds(lb, FSUB), p * K_:(p + 1) * K_]
+                got = jax.lax.dot_general(
+                    oh, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )                                 # (SUB, K_)
+                qb = ((qh if p >= 4 else ql) >> (8 * (p % 4))) & 255
+                qb = ((qb + 128) & 255) - 128
+                if "cmp" in SKIP:
+                    eqc += got
+                else:
+                    eqc += jnp.where(got == qb, 1, 0)
+            members.append(
+                jnp.sum(jnp.where(eqc == NPL, 1, 0), axis=1)[None, :]
+            )
+        member = jnp.concatenate(members, axis=0)      # (8, SUB)
+        flag = jnp.minimum(member, 1) * first_ref[:].reshape(8, SUB)
+        rid2 = rid_ref[:].reshape(8, SUB)
+        h = jnp.zeros((128, 128), jnp.float32)
+        for s in range(8 if "hist" not in SKIP else 1):
+            hi = (rid2[s, :] >> 7)[None, :]
+            lo = (rid2[s, :] & 127)[:, None]
+            A = jnp.where(
+                hi == jax.lax.broadcasted_iota(jnp.int32, (128, SUB), 0),
+                flag[s, :][None, :], 0,
+            ).astype(jnp.bfloat16)
+            B = jnp.where(
+                lo == jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1),
+                1, 0,
+            ).astype(jnp.bfloat16)
+            h += jax.lax.dot_general(
+                A, B, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc[:] += h
+
+        @pl.when(t == nt - 1)
+        def _():
+            hist_ref[:] = acc[:].astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TQ,), lambda i, b: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ,), lambda i, b: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ,), lambda i, b: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ,), lambda i, b: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (128, 128), lambda i, b: (0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, FW, NK), jnp.int8),
+            pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    @jax.jit
+    def f(bases, sh, sl, first, rid, planes):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
+            grid_spec=grid_spec,
+        )(bases, sh, sl, first, rid, planes)
+
+    measure("pallas static-tile probe", f,
+            (bases, sh, sl, first, rid, planes))
+
+
 EXPS = {
+    "fhist": exp_fhist,
+    "pwin": exp_pwin,
     "sort2": exp_sort2,
     "sort3": exp_sort3,
     "sort4": exp_sort4,
