@@ -85,6 +85,36 @@ class HostDecider:
         return lambda: result
 
 
+class RemoteDecider(HostDecider):
+    """HostDecider whose launches run extract+POST on a small thread pool,
+    overlapping client-side extraction and write-back with in-flight HTTP
+    requests (and with the server's decision work — a separate process).
+    The engine loop's resolve deque preserves output order. The reference
+    client is strictly sequential here (src/remote_filter.rs:731-792);
+    this is the TPU-era extension measured in tools/server_bench.py."""
+
+    def __init__(self, backend, k: int, w: int):
+        import concurrent.futures
+        import os
+
+        super().__init__(backend, k, w)
+        workers = max(1, int(os.environ.get("DEACON_CLIENT_INFLIGHT", "3")))
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=workers
+        )
+        self.resolve_depth = workers
+
+    def launch_unpaired(self, seqs, prefix_length, cfg):
+        fut = self._pool.submit(
+            self.decide_unpaired, seqs, prefix_length, cfg
+        )
+        return fut.result
+
+    def launch_paired(self, pairs, prefix_length, cfg):
+        fut = self._pool.submit(self.decide_paired, pairs, prefix_length, cfg)
+        return fut.result
+
+
 def _decisions_from_counts(hits, totals, cfg: FilterConfig):
     """Vectorized (keep, hits, total, kmers=[]) decisions from device counts
     (shared by the device and sharded deciders)."""
@@ -343,7 +373,10 @@ def make_decider(index, backend, k: int, w: int, cfg: FilterConfig):
             "the server).",
             file=sys.stderr,
         )
-    host = HostDecider(backend, k, w)
+    if type(backend).__name__ == "RemoteBackend":
+        host = RemoteDecider(backend, k, w)
+    else:
+        host = HostDecider(backend, k, w)
     if getattr(cfg, "mesh", None) and index is not None:
         sd = ShardedDecider(index, k, w, cfg.mesh, host)
         if cfg.debug:

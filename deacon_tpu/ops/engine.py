@@ -1559,6 +1559,11 @@ def _probe_dispatch(index_hi, index_lo, n_valid, hlo, hhi, slot_valid,
     """Route to the cuckoo probe (2-D table plane + baked mix constants)
     or the sorted-plane searchsorted probe."""
     if index_hi.ndim == 2:
+        if not (isinstance(probe_extra, tuple) and len(probe_extra) == 3):
+            raise RuntimeError(
+                "radix probe planes reached the member/pos probe path — "
+                "DEACON_ENGINE was changed after the pipeline was built"
+            )
         c1, c2, has_sent = probe_extra
         return _stage_probe_cuckoo(
             index_hi, hlo, hhi, slot_valid,
@@ -1590,6 +1595,53 @@ def _engine_step(
     if packed:
         R, Lp = codes.shape
         arch = engine_arch(k, Lp * 4, R)
+        is_radix = (
+            isinstance(probe_extra, tuple) and len(probe_extra) >= 1
+            and probe_extra[0] in ("radix", "radix_emul")
+        )
+        if arch == 4 and il_codes is not None and is_radix:
+            # arch 5: gather-free radix-window probe + grid-side totals
+            # (ops/radix_probe.py). Overflow (adversarial span/density)
+            # rides bit 30 of the fused `used` word; the host reruns the
+            # batch through the exact emulation twin.
+            from . import radix_probe as _rp
+
+            tag, rp_p, rp_k, rp_npl = probe_extra
+            pos_c, v_c, rt = _values_compact(
+                codes, validb, il_codes, il_valid, mlen, allow_short,
+                k=k, w=w, Br=budget,
+            )
+            valid2d = (
+                jax.lax.broadcasted_iota(jnp.int32, (R, budget), 1)
+                < jnp.minimum(rt, budget)[:, None]
+            )
+            hlo, hhi = u64.xxh3_64_pair_u64(
+                v_c[0].reshape(-1), v_c[1].reshape(-1)
+            )
+            mode = "emulate"
+            if tag == "radix":
+                pm = _pallas_mode()
+                if pm == "compiled":
+                    mode = "compiled"
+                elif pm == "interpret":
+                    mode = "interpret"
+            rid_s = jnp.broadcast_to(rid[:, None], (R, budget))
+            hits, overflow = _rp.radix_probe_hits(
+                index_hi, rp_p, rp_k, rp_npl, hlo, hhi, valid2d,
+                rid_s, pos_c, num_segments=num_segments, mode=mode,
+            )
+            L = Lp * 4
+            l = k + w - 1
+            totals = _rp.totals_grid(
+                pos_c, valid2d, rid, mate, chunk_start,
+                num_segments=num_segments, k=k, l=l,
+                stride=max(1, L - l + 1),
+                dedup_positions=dedup_positions,
+            )
+            used = jnp.max(rt) | (
+                overflow.astype(jnp.int32) << jnp.int32(30)
+            )
+            return hits, totals, used
         if arch == 4 and il_codes is not None:
             # budget is the PER-ROW slot count Br for arch 4
             pos_c, v_c, rt = _values_compact(
@@ -2132,9 +2184,39 @@ class DevicePipeline:
 
         self._probe_extra = None
         built = None
-        if os.environ.get("DEACON_PROBE", "cuckoo") != "sorted":
+        probe_pref = os.environ.get("DEACON_PROBE", "radix")
+        # arch-5 radix-window probe (gather-free; ops/radix_probe.py) is
+        # the default whenever every tile class routes through the arch-4
+        # slot-grid front end (its probe contract is hits-per-read, not
+        # member/pos, so v2/v3 tile classes can't consume it)
+        if (
+            probe_pref == "radix"
+            and k <= 32
+            and all(
+                engine_arch(k, L, R) == 4 and R <= 16384
+                for (L, R) in self.tiles
+            )
+        ):
+            from .radix_probe import build_radix_table
+
+            rt = build_radix_table(arr, cache_path=cache_path)
+            if rt is not None:
+                self._probe_extra = ("radix", rt.p, rt.k, rt.nplanes)
+                self.max_run = 8  # unused by the radix probe; kept static
+                self.index_hi = jax.device_put(jnp.asarray(rt.planes), device)
+                self.index_lo = jax.device_put(
+                    jnp.zeros(1, dtype=jnp.uint32), device
+                )
+                self._n_valid = jax.device_put(
+                    jnp.zeros(1, dtype=jnp.int32), device
+                )
+                self.L_max = self.tiles[-1][0]
+                self._stride = self.L_max - self.l + 1
+                self.fetch_group = FetchGroup()
+                return
+        if probe_pref not in ("sorted",):
             built = build_cuckoo_planes(arr, cache_path=cache_path)
-        if built is None and os.environ.get("DEACON_PROBE", "cuckoo") != "sorted":
+        if built is None and probe_pref != "sorted":
             # r3 VERDICT item 5: the flagship-scale union (panhuman +
             # panmouse ~ 9.6e8 keys) crosses the cuckoo i32-slot-id
             # ceiling and used to lose ~40x silently
@@ -2235,8 +2317,8 @@ class DevicePipeline:
                 rows_local = [
                     _Row(local[r.rid], r.mate, r.chunk_start, r.seq) for r in batch
                 ]
-                out, budget = self._launch_batch(rows_local, L, R)
-                in_flight.append((local, out, R, budget))
+                out, budget, args = self._launch_batch(rows_local, L, R)
+                in_flight.append((local, out, R, budget, args))
                 batch, gid_map = [], []
 
             for rows in groups:
@@ -2249,15 +2331,22 @@ class DevicePipeline:
         # one ticket per launch_counts call: all of this call's batches (and
         # any other calls still in flight, when the engine runs resolve_depth
         # deep) materialize together in one fused d2h
-        ticket = self.fetch_group.register([out for _, out, _, _ in in_flight])
+        ticket = self.fetch_group.register(
+            [out for _, out, _, _, _ in in_flight]
+        )
 
         def resolve():
             hits = np.zeros(n_logical, dtype=np.int64)
             totals = np.zeros(n_logical, dtype=np.int64)
             fetched = self.fetch_group.materialize(ticket)
-            for (local, _out, R, budget), arr in zip(in_flight, fetched):
+            for (local, _out, R, budget, args), arr in zip(in_flight, fetched):
                 arr = arr.astype(np.int64)
                 used = int(arr[2 * R])
+                if used & (1 << 30):
+                    # radix-probe span overflow (adversarial density):
+                    # rerun this batch through the exact emulation twin
+                    arr = self._radix_overflow_rerun(args, R, budget)
+                    used = int(arr[2 * R]) & ~(1 << 30)
                 if used > budget:
                     raise BudgetOverflow(
                         f"minimizer budget exceeded: {used} > {budget}"
@@ -2317,7 +2406,34 @@ class DevicePipeline:
         # materializes many batches' outputs in one fused d2h instead
         # (per-batch async copies are redundant traffic on that path, and
         # on the tunneled backend each d2h sync costs a flat ~23 ms).
-        return out, budget
+        # args ride along so a radix-probe span overflow can rerun the
+        # batch through the exact emulation twin (kept only while the
+        # batch is in flight).
+        keep_args = args if self._probe_extra is not None and (
+            self._probe_extra[0] == "radix"
+        ) else None
+        return out, budget, keep_args
+
+    def _radix_overflow_rerun(self, args, R: int, budget: int):
+        """Exact rerun of one batch whose radix-probe spans overflowed the
+        static kernel sizing (adversarial read content): the XLA emulation
+        twin has no span limits. Rare; pays one extra compile the first
+        time it ever happens in a process."""
+        import sys
+
+        print(
+            "deacon: note: radix probe span overflow — batch rerun via the "
+            "emulation path (adversarially repetitive input?)",
+            file=sys.stderr,
+        )
+        tag, p, kk, npl = self._probe_extra
+        statics = (
+            self.k, self.w, budget, R, self.max_run,
+            bool(args[0].shape[1] * 4 >= self.L_max),
+            ("radix_emul", p, kk, npl),
+        )
+        out = engine_step_fused(statics)(*args)
+        return np.asarray(out).astype(np.int64)
 
     # ------------------------------------------------------------------
     # decision API

@@ -150,6 +150,9 @@ def build_radix_table(
         if k <= 256:
             break
         p += 1  # extreme skew (can't happen for real hashes): split finer
+    max_gb = float(os.environ.get("DEACON_RADIX_MAX_GB", "8"))
+    if (1 << p) * n_planes_for(p) * k > max_gb * 1e9:
+        return None  # caller falls back (cuckoo, then sorted planes)
     planes = _pack_planes(arr, p, k)
     t = RadixTable(planes, p, k, int(arr.size), fp)
     if cache_path is not None:
@@ -225,3 +228,366 @@ def _sidecar_save(index_path: str, t: RadixTable) -> None:
         os.replace(tmpm, index_path + ".radix.json")
     except Exception:
         pass
+
+
+# ===========================================================================
+# Device probe (arch 5): sort + static-tile Pallas kernel
+# ===========================================================================
+#
+# Step shape: the engine's (R, Br) slot grids are flattened to Q queries,
+# sorted by (key_hi, key_lo, rid), and processed in STATIC tiles of TQ
+# consecutive sorted queries (the i32 HBM DMA granule is 1024 elements, so
+# dynamic per-group windows are impossible; static tiles also delete the
+# whole group-histogram/window machinery).  Per tile the kernel DMAs a
+# slab of table rows at a prefetched 32-aligned base (double-buffered),
+# probes sub-windows of SUB queries via int8 one-hot matmuls against
+# 32-aligned VMEM sub-slices, and accumulates a factorized (128,128) rid
+# histogram of member&first flags on the MXU — hits per read, no random
+# HBM access anywhere.  Invalid slots become uniformly-spread filler keys
+# so tile spans stay density-invariant; the valid bit rides the rid sort
+# operand so filler/real collisions cannot suppress a first-flag.
+
+def _radix_sizing(q: int, p: int):
+    """Static tile sizing for (queries, table bits) — returns dict or
+    None when the shape can't run the kernel (caller falls back)."""
+    def a32(x):
+        return max(32, (int(x) + 31) // 32 * 32)
+
+    tq = 2048
+    if q % tq or q < 2 * tq:
+        tq = 1024
+        if q % tq:
+            return None
+    sub = 128
+    nrows = 1 << p
+    alpha = nrows / q  # expected table rows per sorted query
+    fsub = min(a32(sub * alpha * 1.6 + 72), nrows)
+    fw = min(a32(tq * alpha * 1.25 + fsub + 64), nrows)
+    if fw > 4096:  # slab VMEM cap (~2x fw x 768B buffers)
+        return None
+    if fsub > fw:
+        fsub = fw
+    return {"tq": tq, "sub": sub, "fsub": fsub, "fw": fw,
+            "n_tiles": q // tq}
+
+
+def _spread_fill_u32(n):
+    """Deterministic uniform-ish u32 spread for invalid-slot filler keys
+    (Weyl sequence): keeps sorted-tile spans density-invariant no matter
+    how many slots are invalid."""
+    import jax.numpy as jnp
+
+    i = jnp.arange(n, dtype=jnp.uint32)
+    return i * jnp.uint32(2654435761)
+
+
+def _prep_sorted(hlo, hhi, slot_valid, rid_s, pos_s):
+    """Flatten slot grids, swap invalid slots to spread filler, sort by
+    (khi, klo, srid).  srid packs valid(bit31=0 for REAL so reals sort
+    before any equal-key filler)<<31 | rid<<17 | pos."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    q = hhi.size
+    sv = slot_valid.reshape(q)
+    khi = jnp.where(sv, hhi.reshape(q), _spread_fill_u32(q))
+    klo = jnp.where(
+        sv, hlo.reshape(q), _spread_fill_u32(q) ^ jnp.uint32(0x9E3779B9)
+    )
+    srid = jnp.where(
+        sv,
+        (rid_s.reshape(q).astype(jnp.uint32) << jnp.uint32(17))
+        | (pos_s.reshape(q) & 0x1FFFF).astype(jnp.uint32),
+        jnp.uint32(0x80000000) | jnp.arange(q, dtype=jnp.uint32),
+    )
+    skhi, sklo, ssrid = lax.sort((khi, klo, srid), num_keys=3)
+    # first occurrence of (key, valid|rid): group boundaries can only be
+    # equal-key, so the j=0-of-tile case needs the global shifted compare
+    rc = ssrid >> jnp.uint32(17)
+    first = jnp.concatenate([
+        jnp.ones((1,), dtype=jnp.int32),
+        (
+            (skhi[1:] != skhi[:-1])
+            | (sklo[1:] != sklo[:-1])
+            | (rc[1:] != rc[:-1])
+        ).astype(jnp.int32),
+    ])
+    return skhi, sklo, ssrid, first
+
+
+def _bases_and_overflow(skhi, p, sz):
+    """32-aligned slab/sub-slice bases from strided boundary fids, plus
+    the span-overflow flag (overflow => host reruns via the emulation)."""
+    import jax.numpy as jnp
+
+    tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
+    n_tiles = sz["n_tiles"]
+    nrows = 1 << p
+    fid = (skhi >> jnp.uint32(32 - p)).astype(jnp.int32) if p < 32 else (
+        skhi.astype(jnp.int32)
+    )
+    f_first_t = fid[::tq]                            # (n_tiles,)
+    tbase = jnp.clip((f_first_t - 8) & ~31, 0, nrows - fw)
+    f_first_s = fid[::sub].reshape(n_tiles, tq // sub)
+    sbase = jnp.clip(
+        ((f_first_s - 8) & ~31) - tbase[:, None], 0, fw - fsub
+    )
+    # span checks: last fid of each sub-window / tile must fit the slice
+    f_last_s = fid[sub - 1::sub].reshape(n_tiles, tq // sub)
+    ov_s = jnp.any(f_last_s - (tbase[:, None] + sbase) > fsub - 1)
+    f_last_t = fid[tq - 1::tq]
+    ov_t = jnp.any(f_last_t - tbase > fw - 1)
+    bases = jnp.concatenate(
+        [tbase[:, None], sbase], axis=1
+    ).reshape(-1).astype(jnp.int32)
+    return bases, (ov_s | ov_t)
+
+
+def _probe_kernel_body(sz, npl, k, p, nseg):
+    """Kernel closure for pl.pallas_call (static sizing baked in)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
+    nsub = tq // sub
+    nk = npl * k
+
+    def kern(bases_ref, khi_ref, klo_ref, srid_ref, first_ref, pl_ref,
+             hist_ref, slab, acc, sem):
+        t = pl.program_id(0)
+        nt = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            b0 = pl.multiple_of(bases_ref[0], 32)
+            pltpu.make_async_copy(
+                pl_ref.at[pl.ds(b0, fw), :], slab.at[0], sem.at[0]
+            ).start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            bn = pl.multiple_of(bases_ref[(t + 1) * (nsub + 1)], 32)
+            pltpu.make_async_copy(
+                pl_ref.at[pl.ds(bn, fw), :], slab.at[(t + 1) % 2],
+                sem.at[(t + 1) % 2],
+            ).start()
+
+        b = pl.multiple_of(bases_ref[t * (nsub + 1)], 32)
+        pltpu.make_async_copy(
+            pl_ref.at[pl.ds(b, fw), :], slab.at[t % 2], sem.at[t % 2]
+        ).wait()
+        whi = khi_ref[:].reshape(nsub, sub)
+        wlo = klo_ref[:].reshape(nsub, sub)
+        shift = jnp.uint32(32 - p)
+        flags = []
+        for s in range(nsub):
+            qh = whi[s, :][:, None]
+            ql = wlo[s, :][:, None]
+            fid = (qh >> shift).astype(jnp.int32) if p < 32 else (
+                qh.astype(jnp.int32))
+            lb = pl.multiple_of(bases_ref[t * (nsub + 1) + 1 + s], 32)
+            loc = fid - (b + lb)
+            oh = jnp.where(
+                loc == jax.lax.broadcasted_iota(jnp.int32, (sub, fsub), 1),
+                1, 0,
+            ).astype(jnp.int8)
+            ne = jnp.zeros((sub, k), jnp.int32)
+            for pli in range(npl):
+                blk = slab[t % 2, pl.ds(lb, fsub), pli * k:(pli + 1) * k]
+                got = jax.lax.dot_general(
+                    oh, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                qb = ((qh if pli >= 4 else ql)
+                      >> jnp.uint32(8 * (pli % 4))).astype(jnp.int32) & 255
+                qb = ((qb + 128) & 255) - 128
+                ne = ne | (got ^ qb)
+            flags.append(
+                jnp.where(jnp.min(ne & 255, axis=1) == 0, 1, 0)[None, :]
+            )
+        member = jnp.concatenate(flags, axis=0)        # (nsub, sub)
+        srid = srid_ref[:].reshape(nsub, sub)
+        valid = (srid < jnp.uint32(0x80000000)).astype(jnp.int32)
+        flag = member * valid * first_ref[:].reshape(nsub, sub)
+        rid = ((srid >> jnp.uint32(17)) & jnp.uint32(0x3FFF)).astype(jnp.int32)
+        h = jnp.zeros((128, 128), jnp.float32)
+        for s in range(nsub):
+            hi = (rid[s, :] >> 7)[None, :]
+            lo = (rid[s, :] & 127)[:, None]
+            A = jnp.where(
+                hi == jax.lax.broadcasted_iota(jnp.int32, (128, sub), 0),
+                flag[s, :][None, :], 0,
+            ).astype(jnp.bfloat16)
+            B = jnp.where(
+                lo == jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1),
+                1, 0,
+            ).astype(jnp.bfloat16)
+            h += jax.lax.dot_general(
+                A, B, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc[:] += h
+
+        @pl.when(t == nt - 1)
+        def _():
+            hist_ref[:] = acc[:].astype(jnp.int32)
+
+    return kern
+
+
+def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
+                     *, num_segments: int, mode: str = "compiled"):
+    """hits per read-unit via the sorted static-tile probe.
+
+    planes: (2**p, npl*k) int8 device array.  hlo/hhi/slot_valid: slot
+    grids (any shape, flattened).  rid_s/pos_s: per-slot unit id and
+    chunk-local position (same shape).  Returns (hits (num_segments,) i32,
+    overflow bool scalar).  mode: 'compiled' | 'interpret' | 'emulate'
+    (emulate = pure-XLA row-gather twin: CPU tests + overflow reruns).
+    """
+    import jax
+    import jax.numpy as jnp
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = hhi.size
+    skhi, sklo, ssrid, first = _prep_sorted(hlo, hhi, slot_valid, rid_s,
+                                            pos_s)
+    sz = _radix_sizing(q, p)
+    use_kernel = mode in ("compiled", "interpret") and sz is not None
+    if use_kernel:
+        bases, overflow = _bases_and_overflow(skhi, p, sz)
+        kern = _probe_kernel_body(sz, npl, k, p, num_segments)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(sz["n_tiles"],),
+            in_specs=[
+                pl.BlockSpec((sz["tq"],), lambda i, b: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sz["tq"],), lambda i, b: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sz["tq"],), lambda i, b: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sz["tq"],), lambda i, b: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (128, 128), lambda i, b: (0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, sz["fw"], npl * k), jnp.int8),
+                pltpu.VMEM((128, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        hist = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
+            grid_spec=grid_spec,
+            interpret=(mode == "interpret"),
+        )(bases, skhi, sklo, ssrid, first, planes)
+        hits = hist.reshape(16384)[:num_segments]
+        return hits, overflow
+    # ---- XLA emulation: bucket-row gather + plane compare (exact) ----
+    fid = (skhi >> jnp.uint32(32 - p)).astype(jnp.int32) if p < 32 else (
+        skhi.astype(jnp.int32))
+    rows = planes[fid]                                # (q, npl*k) gather
+    rows = rows.reshape(q, npl, k).astype(jnp.int32)
+    qb = []
+    for pli in range(npl):
+        src = skhi if pli >= 4 else sklo
+        v = ((src >> jnp.uint32(8 * (pli % 4))).astype(jnp.int32)) & 255
+        qb.append(((v + 128) & 255) - 128)
+    ne = jnp.zeros((q, k), jnp.int32)
+    for pli in range(npl):
+        ne = ne | (rows[:, pli, :] ^ qb[pli][:, None])
+    member = (jnp.min(ne & 255, axis=1) == 0)
+    valid = ssrid < jnp.uint32(0x80000000)
+    flag = (member & valid & (first > 0)).astype(jnp.bfloat16)
+    rid = ((ssrid >> jnp.uint32(17)) & jnp.uint32(0x3FFF)).astype(jnp.int32)
+    hi = (rid >> 7)[None, :]
+    lo = (rid & 127)[:, None]
+    steps = jnp.arange(128, dtype=jnp.int32)
+    A = jnp.where(hi == steps[:, None], flag[None, :], 0).astype(jnp.bfloat16)
+    B = jnp.where(lo == steps[None, :], 1, 0).astype(jnp.bfloat16)
+    import jax.lax as lax
+
+    hist = lax.dot_general(
+        A, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    hits = hist.reshape(16384)[:num_segments]
+    return hits, jnp.zeros((), dtype=bool)
+
+
+def totals_grid(slot_pos, slot_valid, rid, mate, cstart, *,
+                num_segments: int, k: int, l: int, stride: int,
+                dedup_positions: bool):
+    """Per-unit totals straight from the (R, Br) slot grids — no sorts.
+
+    totals = distinct (mate, global position) per unit.  Duplicate
+    positions arise ONLY from long-read chunk overlap: the same global
+    base position re-selected in up to OVR = ceil((l-1)/stride) following
+    rows of the same (unit, mate).  Any overlap interval holds at most
+    l-k = w-1 selectable positions, and compacted slot positions ascend
+    within a row, so row r's overlap copies sit in its first
+    S = roundup8(l-k+1) slots — compare that prefix against the previous
+    OVR rows' full slot lists (R x S x Br, tiny) instead of the v4
+    (rid, matepos) global sort that cost ~6 ms/step
+    (r3 VERDICT item 4).  Distinct semantics preserved:
+    /root/reference/src/filter_common.rs:129-155.
+    """
+    import jax.numpy as jnp
+
+    R, Br = slot_pos.shape
+    valid = slot_valid.reshape(R, Br)
+    if not dedup_positions:
+        row_tot = jnp.sum(valid.astype(jnp.int32), axis=1)
+        return _segment_sum_rows(row_tot, rid, num_segments)
+    ovr = max(1, -(-(l - 1) // max(stride, 1)))
+    ovr = min(ovr, R - 1) if R > 1 else 0
+    s_pref = min(Br, ((l - k + 1 + 7) // 8) * 8) if l > k else 8
+    # prefix slots' global positions per row
+    gpos = cstart[:, None] + slot_pos
+    pref = gpos[:, :s_pref]
+    pref_valid = valid[:, :s_pref]
+    dup = jnp.zeros((R, s_pref), dtype=bool)
+    for o in range(1, ovr + 1):
+        same = (
+            (rid[o:] == rid[:-o]) & (mate[o:] == mate[:-o])
+        )[:, None, None]
+        eq = (
+            pref[o:, :, None] == gpos[:-o, None, :]
+        ) & pref_valid[o:, :, None] & valid[:-o, None, :]
+        hit = jnp.any(eq & same, axis=2)
+        dup = dup.at[o:].set(dup[o:] | hit)
+    row_tot = (
+        jnp.sum(valid.astype(jnp.int32), axis=1)
+        - jnp.sum(dup.astype(jnp.int32), axis=1)
+    )
+    return _segment_sum_rows(row_tot, rid, num_segments)
+
+
+def _segment_sum_rows(row_vals, rid, num_segments: int):
+    """(R,) per-row values -> (num_segments,) per-unit sums via the
+    factorized one-hot matmul (R and num_segments both <= 16384)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    r = row_vals.shape[0]
+    rid = rid.astype(jnp.int32)
+    hi = (rid >> 7)[None, :]
+    lo = (rid & 127)[:, None]
+    steps = jnp.arange(128, dtype=jnp.int32)
+    A = jnp.where(
+        hi == steps[:, None], row_vals.astype(jnp.float32)[None, :], 0.0
+    )
+    B = jnp.where(lo == steps[None, :], 1.0, 0.0)
+    hist = lax.dot_general(
+        A, B, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    return hist.reshape(16384)[:num_segments]

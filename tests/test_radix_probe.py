@@ -1,0 +1,174 @@
+"""Arch-5 radix-window probe: builder/oracle, device-path equality vs a
+brute-force set oracle, grid-side totals, and the full DevicePipeline on
+arch-4 tiles (CPU backend; the kernel runs its XLA emulation twin here —
+tools/validate_tpu.py exercises the compiled Mosaic path on chip)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from deacon_tpu.index.store import IndexHeader, MinimizerIndex  # noqa: E402
+from deacon_tpu.ops import minimizers_np as mnp  # noqa: E402
+from deacon_tpu.ops import radix_probe as rp  # noqa: E402
+from deacon_tpu.ops.engine import DevicePipeline  # noqa: E402
+
+RNG = np.random.default_rng(77)
+_B = np.frombuffer(b"ACGT", np.uint8)
+
+
+def rs(n):
+    return RNG.choice(_B, size=n).tobytes()
+
+
+def test_builder_and_oracle_membership():
+    for n in (0, 1, 5, 630, 120_000):
+        keys = np.unique(RNG.integers(0, 2**64, n, dtype=np.uint64))
+        t = rp.build_radix_table(keys)
+        qm = RNG.choice(keys, size=min(n, 3000)) if n else np.array([], np.uint64)
+        qr = RNG.integers(0, 2**64, 3000, dtype=np.uint64)
+        q = np.concatenate([qm, qr])
+        got = rp.oracle_member(t, q)
+        kset = set(keys.tolist())
+        want = np.array([int(x) in kset for x in q.tolist()])
+        assert np.array_equal(got, want), n
+
+
+def test_probe_hits_emulate_and_interpret_vs_bruteforce():
+    keys = np.unique(RNG.integers(0, 2**64, 150_000, dtype=np.uint64))
+    t = rp.build_radix_table(keys)
+    planes = jnp.asarray(t.planes)
+    R, Br, nseg = 32, 128, 16
+    rid_rows = np.repeat(np.arange(nseg, dtype=np.int32), 2)
+    rid_s = jnp.asarray(np.broadcast_to(rid_rows[:, None], (R, Br)).copy())
+    pos_s = jnp.asarray(
+        np.broadcast_to(np.arange(Br, dtype=np.int32)[None, :], (R, Br)).copy()
+    )
+    qk = np.where(
+        RNG.random((R, Br)) < 0.5,
+        RNG.choice(keys, size=(R, Br)),
+        RNG.integers(0, 2**64, (R, Br), dtype=np.uint64),
+    )
+    qk[1, :] = qk[0, :]          # whole-row duplicate (same unit)
+    qk[2, :16] = qk[2, 0]        # in-row duplicates
+    valid = RNG.random((R, Br)) < 0.8
+    hlo = jnp.asarray((qk & 0xFFFFFFFF).astype(np.uint32))
+    hhi = jnp.asarray((qk >> 32).astype(np.uint32))
+    sv = jnp.asarray(valid)
+    kset = set(keys.tolist())
+    want = np.zeros(nseg, np.int64)
+    for u in range(nseg):
+        vals = set()
+        for r in np.nonzero(rid_rows == u)[0]:
+            for j in range(Br):
+                if valid[r, j] and int(qk[r, j]) in kset:
+                    vals.add(int(qk[r, j]))
+        want[u] = len(vals)
+    for mode in ("emulate", "interpret"):
+        hits, ov = rp.radix_probe_hits(
+            planes, t.p, t.k, t.nplanes, hlo, hhi, sv, rid_s, pos_s,
+            num_segments=nseg, mode=mode,
+        )
+        assert not bool(np.asarray(ov))
+        assert np.array_equal(np.asarray(hits), want), mode
+
+
+def test_totals_grid_overlap_dedup():
+    k, w = 31, 15
+    l = k + w - 1
+    L = 64
+    stride = L - l + 1
+    R, Br, nseg = 12, 16, 4
+    rid = np.repeat(np.arange(nseg, dtype=np.int32), 3)
+    mate = np.zeros(R, np.int32)
+    cstart = np.tile(np.arange(3, dtype=np.int32) * stride, nseg)
+    slot_pos = np.zeros((R, Br), np.int32)
+    valid = np.zeros((R, Br), bool)
+    truth = [set() for _ in range(nseg)]
+    for r in range(R):
+        cnt = int(RNG.integers(5, 10))
+        ps = np.sort(RNG.choice(np.arange(0, L - k + 1), cnt, replace=False))
+        slot_pos[r, :cnt] = ps
+        valid[r, :cnt] = True
+        for p_ in ps:
+            truth[rid[r]].add(int(cstart[r] + p_))
+    for r in (1, 2, 4, 7, 10):  # force overlap duplicates
+        prev = slot_pos[r - 1][valid[r - 1]] + cstart[r - 1]
+        cand = prev[(prev >= cstart[r]) & (prev <= cstart[r] + L - k)]
+        if cand.size:
+            p_ = int(cand[-1]) - int(cstart[r])
+            row = np.sort(np.unique(
+                np.concatenate([slot_pos[r][valid[r]], [p_]])
+            ))
+            slot_pos[r, :] = 0
+            valid[r, :] = False
+            slot_pos[r, :row.size] = row
+            valid[r, :row.size] = True
+            truth[rid[r]].add(p_ + int(cstart[r]))
+    want = np.array([len(s) for s in truth])
+    tot = rp.totals_grid(
+        jnp.asarray(slot_pos), jnp.asarray(valid), jnp.asarray(rid),
+        jnp.asarray(mate), jnp.asarray(cstart),
+        num_segments=nseg, k=k, l=l, stride=stride, dedup_positions=True,
+    )
+    assert np.array_equal(np.asarray(tot), want)
+
+
+@pytest.fixture(scope="module")
+def radix_pipe():
+    genome = rs(120_000)
+    idx = np.unique(mnp.compute_minimizer_hashes(genome, 31, 15))
+    pipe = DevicePipeline(idx, 31, 15, tiles=((128, 32), (256, 16)))
+    assert pipe._probe_extra and pipe._probe_extra[0] == "radix"
+    return pipe, genome, MinimizerIndex(IndexHeader.new(31, 15), idx)
+
+
+def test_pipeline_radix_vs_oracle(radix_pipe):
+    pipe, genome, index = radix_pipe
+
+    def oracle(seq):
+        h, _, _ = mnp.get_minimizer_hashes_and_positions(seq, 0, 31, 15)
+        m = index.contains(h)
+        return int(np.unique(h[m]).size), int(h.size)
+
+    seqs = []
+    for _ in range(50):
+        n = int(RNG.integers(31, 700))
+        if RNG.random() < 0.5:
+            s = int(RNG.integers(0, len(genome) - n))
+            seqs.append(genome[s:s + n])
+        else:
+            seqs.append(rs(n))
+    seqs.append(b"A" * 100)               # duplicate-value read
+    seqs.append(genome[1000:1031] * 2)    # tandem repeat
+    hits, totals = pipe.counts_single(seqs, 0)
+    for i, s in enumerate(seqs):
+        assert (hits[i], totals[i]) == oracle(s), (i, len(s))
+
+
+def test_pipeline_radix_paired_union(radix_pipe):
+    pipe, genome, index = radix_pipe
+    pairs = [
+        (genome[0:100], genome[50:150]),
+        (genome[200:260], genome[200:260]),  # shared minimizers count once
+        (rs(80), genome[500:600]),
+    ]
+    ph, pt = pipe.counts_paired(pairs, 0)
+    for i, (a, b) in enumerate(pairs):
+        ha, _, _ = mnp.get_minimizer_hashes_and_positions(a, 0, 31, 15)
+        hb, _, _ = mnp.get_minimizer_hashes_and_positions(b, 0, 31, 15)
+        hs = np.concatenate([ha, hb])
+        m = index.contains(hs)
+        assert (ph[i], pt[i]) == (
+            int(np.unique(hs[m]).size), int(ha.size + hb.size)
+        ), i
+
+
+def test_radix_sidecar_roundtrip(tmp_path):
+    ip = tmp_path / "x.idx"
+    ip.write_bytes(b"dummy")
+    keys = np.unique(RNG.integers(0, 2**64, 50_000, dtype=np.uint64))
+    t1 = rp.build_radix_table(keys, cache_path=str(ip))
+    t2 = rp.build_radix_table(keys, cache_path=str(ip))
+    assert np.array_equal(t1.planes, t2.planes) and (t1.p, t1.k) == (t2.p, t2.k)

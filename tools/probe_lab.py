@@ -439,7 +439,50 @@ def exp_pwin():
             (bases, sh, sl, first, rid, planes))
 
 
+def exp_arch5():
+    # FULL arch-5 engine step at the bench tile (R=16384, L=1024) against
+    # a 100M-key radix table: extraction kernel + sort3 + radix-window
+    # probe kernel + grid totals, one fused program — the number that
+    # replaces the v4 88 ms step.
+    from deacon_tpu.ops import engine as eng
+    from deacon_tpu.ops import minimizers_np as mnp
+    from deacon_tpu.ops import radix_probe as rp
+
+    R_, L_ = 16384, 1024
+    K_, W_ = 31, 15
+    keys = np.unique(rng.integers(0, 2**64, NIDX, dtype=np.uint64))
+    t = rp.build_radix_table(keys)
+    print(f"table: P={t.p} K={t.k} npl={t.nplanes} "
+          f"{t.nbytes/1e9:.2f} GB", flush=True)
+    planes = jnp.asarray(t.planes)
+    raw = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(R_, L_))
+    pc, pv = eng.host_pack_bits(
+        mnp.PACK_CODE[raw].astype(np.uint8), mnp.VALID_BASE[raw]
+    )
+    pci, pvi = eng.host_interleave_packed(pc, pv)
+    budget = eng.v4_row_budget(L_, W_, eng.default_budget_frac(W_))
+    mlen = jnp.asarray(np.full(R_, L_ - K_ + 1, np.int32))
+    allow_short = jnp.asarray(np.zeros(R_, bool))
+    rid = jnp.asarray(np.arange(R_, dtype=np.int32))
+    mate = jnp.asarray(np.zeros(R_, np.int32))
+    cstart = jnp.asarray(np.zeros(R_, np.int32))
+    dummy_lo = jnp.zeros(1, dtype=jnp.uint32)
+    dummy_nv = jnp.zeros(1, dtype=jnp.int32)
+    statics = (K_, W_, budget, R_, 8, True,
+               ("radix", t.p, t.k, t.nplanes))
+    fn = eng.engine_step_fused(statics)
+    args = (jnp.asarray(pc), jnp.asarray(pv), mlen, allow_short, rid,
+            mate, cstart, planes, dummy_lo, dummy_nv,
+            jnp.asarray(pci), jnp.asarray(pvi))
+    measure("arch5 full step (16.8Mbp)", f_wrap(fn), args, iters=8)
+
+
+def f_wrap(fn):
+    return fn
+
+
 EXPS = {
+    "arch5": exp_arch5,
     "fhist": exp_fhist,
     "pwin": exp_pwin,
     "sort2": exp_sort2,
