@@ -1766,6 +1766,9 @@ def engine_step_fused(statics: tuple):
         statics,
         os.environ.get("DEACON_ENGINE", ""),
         os.environ.get("DEACON_PALLAS", ""),
+        os.environ.get("DEACON_RADIX_TQ", ""),
+        os.environ.get("DEACON_RADIX_FACTOR", ""),
+        os.environ.get("DEACON_RADIX_SLACK", ""),
     )
     fn = _FUSED_STEPS.get(key)
     if fn is None:

@@ -253,15 +253,18 @@ def _radix_sizing(q: int, p: int):
     def a32(x):
         return max(32, (int(x) + 31) // 32 * 32)
 
-    tq = 2048
-    if q % tq or q < 2 * tq:
-        tq = 1024
-        if q % tq:
-            return None
+    tq = int(os.environ.get("DEACON_RADIX_TQ", "1024"))
+    tq = max(1024, tq)  # 1024 = the i32 tile granule (tq=512 fails Mosaic)
+    while tq > 1024 and (q % tq or q < 2 * tq):
+        tq //= 2
+    if q % tq:
+        return None
     sub = 128
     nrows = 1 << p
     alpha = nrows / q  # expected table rows per sorted query
-    fsub = min(a32(sub * alpha * 1.6 + 72), nrows)
+    factor = float(os.environ.get("DEACON_RADIX_FACTOR", "1.6"))
+    slack = int(os.environ.get("DEACON_RADIX_SLACK", "72"))
+    fsub = min(a32(sub * alpha * factor + slack), nrows)
     fw = min(a32(tq * alpha * 1.25 + fsub + 64), nrows)
     if fw > 4096:  # slab VMEM cap (~2x fw x 768B buffers)
         return None
@@ -337,14 +340,24 @@ def _bases_and_overflow(skhi, p, sz):
     ov_s = jnp.any(f_last_s - (tbase[:, None] + sbase) > fsub - 1)
     f_last_t = fid[tq - 1::tq]
     ov_t = jnp.any(f_last_t - tbase > fw - 1)
+    # per-tile layout: [tile_base, tile_last_fid, sub_base_1..nsub]
+    # (tile_last_fid lets a sharded kernel skip tiles whose query range
+    # cannot intersect its bucket-row shard)
     bases = jnp.concatenate(
-        [tbase[:, None], sbase], axis=1
+        [tbase[:, None], f_last_t[:, None], sbase], axis=1
     ).reshape(-1).astype(jnp.int32)
     return bases, (ov_s | ov_t)
 
 
-def _probe_kernel_body(sz, npl, k, p, nseg):
-    """Kernel closure for pl.pallas_call (static sizing baked in)."""
+def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
+    """Kernel closure for pl.pallas_call (static sizing baked in).
+
+    ``shard_rows``: bucket rows held locally (= 2**p single-chip).  The
+    runtime row offset of the local planes block arrives via the second
+    scalar-prefetch arg; bases are GLOBAL and get clamped into the local
+    range, matches outside the clamped slice are masked off (cover), and
+    tiles whose whole query fid range misses the shard skip their slab
+    DMA and compute — that is what makes the sharded probe scale."""
     import jax
     import jax.numpy as jnp
     import jax.experimental.pallas as pl
@@ -352,44 +365,69 @@ def _probe_kernel_body(sz, npl, k, p, nseg):
 
     tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
     nsub = tq // sub
+    stride = nsub + 2
     nk = npl * k
 
-    def kern(bases_ref, khi_ref, klo_ref, srid_ref, first_ref, pl_ref,
-             hist_ref, slab, acc, sem):
+    def kern(bases_ref, lo_ref, khi_ref, klo_ref, srid_ref, first_ref,
+             pl_ref, hist_ref, slab, acc, sem):
         t = pl.program_id(0)
         nt = pl.num_programs(0)
+        lo = lo_ref[0]
+        hi = lo + shard_rows
+
+        def tile_base(tt):
+            bg = bases_ref[tt * stride]
+            return pl.multiple_of(
+                jnp.clip(bg, lo, hi - fw) - lo, 32
+            )
+
+        def tile_active(tt):
+            bg = bases_ref[tt * stride]
+            last = bases_ref[tt * stride + 1]
+            return (last >= lo) & (bg < hi)
 
         @pl.when(t == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
-            b0 = pl.multiple_of(bases_ref[0], 32)
-            pltpu.make_async_copy(
-                pl_ref.at[pl.ds(b0, fw), :], slab.at[0], sem.at[0]
-            ).start()
 
-        @pl.when(t + 1 < nt)
+        @pl.when((t == 0) & tile_active(0))
         def _():
-            bn = pl.multiple_of(bases_ref[(t + 1) * (nsub + 1)], 32)
             pltpu.make_async_copy(
-                pl_ref.at[pl.ds(bn, fw), :], slab.at[(t + 1) % 2],
-                sem.at[(t + 1) % 2],
+                pl_ref.at[pl.ds(tile_base(0), fw), :], slab.at[0],
+                sem.at[0],
             ).start()
 
-        b = pl.multiple_of(bases_ref[t * (nsub + 1)], 32)
-        pltpu.make_async_copy(
-            pl_ref.at[pl.ds(b, fw), :], slab.at[t % 2], sem.at[t % 2]
-        ).wait()
+        @pl.when((t + 1 < nt) & tile_active(t + 1))
+        def _():
+            pltpu.make_async_copy(
+                pl_ref.at[pl.ds(tile_base(t + 1), fw), :],
+                slab.at[(t + 1) % 2], sem.at[(t + 1) % 2],
+            ).start()
+
+        @pl.when(tile_active(t))
+        def _():
+            pltpu.make_async_copy(
+                pl_ref.at[pl.ds(tile_base(t), fw), :], slab.at[t % 2],
+                sem.at[t % 2],
+            ).wait()
+        b_g = bases_ref[t * stride]
+        b_c = jnp.clip(b_g, lo, hi - fw)               # global, clamped
+        b_l = b_c - lo                                  # local slab row 0
         whi = khi_ref[:].reshape(nsub, sub)
         wlo = klo_ref[:].reshape(nsub, sub)
         shift = jnp.uint32(32 - p)
+        active = tile_active(t)
         flags = []
         for s in range(nsub):
             qh = whi[s, :][:, None]
             ql = wlo[s, :][:, None]
             fid = (qh >> shift).astype(jnp.int32) if p < 32 else (
                 qh.astype(jnp.int32))
-            lb = pl.multiple_of(bases_ref[t * (nsub + 1) + 1 + s], 32)
-            loc = fid - (b + lb)
+            sb_g = b_g + bases_ref[t * stride + 2 + s]
+            sb_c = jnp.clip(sb_g, lo, hi - fsub)       # global, clamped
+            lb = pl.multiple_of(sb_c - b_c, 32)        # within slab
+            loc = fid - sb_c
+            cover = (loc >= 0) & (loc < fsub)
             oh = jnp.where(
                 loc == jax.lax.broadcasted_iota(jnp.int32, (sub, fsub), 1),
                 1, 0,
@@ -405,9 +443,9 @@ def _probe_kernel_body(sz, npl, k, p, nseg):
                       >> jnp.uint32(8 * (pli % 4))).astype(jnp.int32) & 255
                 qb = ((qb + 128) & 255) - 128
                 ne = ne | (got ^ qb)
-            flags.append(
-                jnp.where(jnp.min(ne & 255, axis=1) == 0, 1, 0)[None, :]
-            )
+            m = jnp.where(jnp.min(ne & 255, axis=1) == 0, 1, 0)
+            m = jnp.where(cover[:, 0] & active, m, 0)
+            flags.append(m[None, :])
         member = jnp.concatenate(flags, axis=0)        # (nsub, sub)
         srid = srid_ref[:].reshape(nsub, sub)
         valid = (srid < jnp.uint32(0x80000000)).astype(jnp.int32)
@@ -439,14 +477,19 @@ def _probe_kernel_body(sz, npl, k, p, nseg):
 
 
 def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
-                     *, num_segments: int, mode: str = "compiled"):
+                     *, num_segments: int, mode: str = "compiled",
+                     shard_lo=None, shard_rows: int | None = None):
     """hits per read-unit via the sorted static-tile probe.
 
-    planes: (2**p, npl*k) int8 device array.  hlo/hhi/slot_valid: slot
-    grids (any shape, flattened).  rid_s/pos_s: per-slot unit id and
-    chunk-local position (same shape).  Returns (hits (num_segments,) i32,
-    overflow bool scalar).  mode: 'compiled' | 'interpret' | 'emulate'
-    (emulate = pure-XLA row-gather twin: CPU tests + overflow reruns).
+    planes: (2**p, npl*k) int8 device array — or, under shard_map, the
+    LOCAL (shard_rows, npl*k) block of it with ``shard_lo`` its first
+    global bucket row (a traced scalar) — matches outside the local range
+    are masked off, so a psum of per-shard hits over the shard axis is
+    the exact global answer.  hlo/hhi/slot_valid: slot grids (any shape,
+    flattened).  rid_s/pos_s: per-slot unit id and chunk-local position
+    (same shape).  Returns (hits (num_segments,) i32, overflow bool
+    scalar).  mode: 'compiled' | 'interpret' | 'emulate' (emulate =
+    pure-XLA row-gather twin: CPU tests + overflow reruns).
     """
     import jax
     import jax.numpy as jnp
@@ -454,29 +497,36 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
     from jax.experimental.pallas import tpu as pltpu
 
     q = hhi.size
+    if shard_rows is None:
+        shard_rows = 1 << p
+    sharded = shard_lo is not None
+    if not sharded:
+        shard_lo = 0
     skhi, sklo, ssrid, first = _prep_sorted(hlo, hhi, slot_valid, rid_s,
                                             pos_s)
     sz = _radix_sizing(q, p)
     use_kernel = mode in ("compiled", "interpret") and sz is not None
     if use_kernel:
         bases, overflow = _bases_and_overflow(skhi, p, sz)
-        kern = _probe_kernel_body(sz, npl, k, p, num_segments)
+        lo_arr = jnp.asarray(shard_lo, dtype=jnp.int32).reshape(1)
+        kern = _probe_kernel_body(sz, npl, k, p, num_segments, shard_rows)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(sz["n_tiles"],),
             in_specs=[
-                pl.BlockSpec((sz["tq"],), lambda i, b: (i,),
+                pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((sz["tq"],), lambda i, b: (i,),
+                pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((sz["tq"],), lambda i, b: (i,),
+                pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((sz["tq"],), lambda i, b: (i,),
+                pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (128, 128), lambda i, b: (0, 0), memory_space=pltpu.VMEM
+                (128, 128), lambda i, b, lo: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, sz["fw"], npl * k), jnp.int8),
@@ -489,13 +539,15 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
             out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
             grid_spec=grid_spec,
             interpret=(mode == "interpret"),
-        )(bases, skhi, sklo, ssrid, first, planes)
+        )(bases, lo_arr, skhi, sklo, ssrid, first, planes)
         hits = hist.reshape(16384)[:num_segments]
         return hits, overflow
     # ---- XLA emulation: bucket-row gather + plane compare (exact) ----
     fid = (skhi >> jnp.uint32(32 - p)).astype(jnp.int32) if p < 32 else (
         skhi.astype(jnp.int32))
-    rows = planes[fid]                                # (q, npl*k) gather
+    fid_l = fid - jnp.asarray(shard_lo, dtype=jnp.int32)
+    in_range = (fid_l >= 0) & (fid_l < shard_rows)
+    rows = planes[jnp.clip(fid_l, 0, shard_rows - 1)]  # (q, npl*k) gather
     rows = rows.reshape(q, npl, k).astype(jnp.int32)
     qb = []
     for pli in range(npl):
@@ -505,7 +557,7 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
     ne = jnp.zeros((q, k), jnp.int32)
     for pli in range(npl):
         ne = ne | (rows[:, pli, :] ^ qb[pli][:, None])
-    member = (jnp.min(ne & 255, axis=1) == 0)
+    member = (jnp.min(ne & 255, axis=1) == 0) & in_range
     valid = ssrid < jnp.uint32(0x80000000)
     flag = (member & valid & (first > 0)).astype(jnp.bfloat16)
     rid = ((ssrid >> jnp.uint32(17)) & jnp.uint32(0x3FFF)).astype(jnp.int32)

@@ -103,6 +103,58 @@ def _sharded_step(
     return hits, totals, used
 
 
+def _sharded_step_radix(
+    codes_p, valid_p, il_codes, il_valid, mlen, allow_short, rid, mate,
+    chunk_start, planes, _dummy_lo, _dummy_nv,
+    *, k, w, budget, num_segments, p, kslots, npl, rows_local, l, stride,
+    mode, gather_out=False,
+):
+    """Arch-5 radix-window probe under shard_map: the byte-plane table is
+    ROW-SHARDED over the ``shard`` axis (each device holds a contiguous
+    bucket-row range = a contiguous key-value range, since buckets are the
+    keys' top bits).  Every shard runs the same static-tile kernel over
+    its local queries with GLOBAL bases clamped into its range; matches
+    outside the range are masked, so a single psum of per-shard hit
+    histograms is the exact global distinct-hit count — no slot-id
+    bookkeeping at all (dedup is by value+rid, not index position, which
+    is what un-blocked the v4-class probe for meshes; r3 VERDICT item 3).
+    Totals are shard-independent (grid-side) and stay replicated."""
+    from ..ops import radix_probe as rp
+
+    R_local = codes_p.shape[0]
+    pos_c, v_c, rt = eng._values_compact(
+        codes_p, valid_p, il_codes, il_valid, mlen, allow_short,
+        k=k, w=w, Br=budget,
+    )
+    valid2d = (
+        jax.lax.broadcasted_iota(jnp.int32, (R_local, budget), 1)
+        < jnp.minimum(rt, budget)[:, None]
+    )
+    hlo, hhi = eng.u64.xxh3_64_pair_u64(
+        v_c[0].reshape(-1), v_c[1].reshape(-1)
+    )
+    shard_lo = jax.lax.axis_index("shard").astype(jnp.int32) * rows_local
+    rid_s = jnp.broadcast_to(rid[:, None], (R_local, budget))
+    hits_l, ov = rp.radix_probe_hits(
+        planes, p, kslots, npl, hlo, hhi, valid2d, rid_s, pos_c,
+        num_segments=num_segments, mode=mode,
+        shard_lo=shard_lo, shard_rows=rows_local,
+    )
+    hits = jax.lax.psum(hits_l, "shard")
+    totals = rp.totals_grid(
+        pos_c, valid2d, rid, mate, chunk_start,
+        num_segments=num_segments, k=k, l=l, stride=stride,
+        dedup_positions=True,
+    )
+    used = jnp.max(rt) | (ov.astype(jnp.int32) << jnp.int32(30))
+    used = jnp.reshape(used, (1,))
+    if gather_out:
+        hits = jax.lax.all_gather(hits, "data", tiled=True)
+        totals = jax.lax.all_gather(totals, "data", tiled=True)
+        used = jax.lax.all_gather(used, "data", tiled=True)
+    return hits, totals, used
+
+
 class ShardedPipeline:
     """Device-mesh version of ops.engine.DevicePipeline.
 
@@ -124,6 +176,8 @@ class ShardedPipeline:
         self._init_geometry(k, w, mesh, row_len, rows_per_shard, budget_frac)
 
         arr = np.sort(np.asarray(index_hashes, dtype=np.uint64))
+        if self._try_radix(arr):
+            return
         pad = (-arr.size) % self.n_shard
         if arr.size == 0:
             self._empty_index = True
@@ -145,6 +199,83 @@ class ShardedPipeline:
             jnp.full((self.n_shard,), shard_size, jnp.int32), idx_sharding
         )
         self._compile(max_run, idx_sharding)
+
+    def _try_radix(self, arr: np.ndarray) -> bool:
+        """Build + compile the sharded arch-5 radix probe when eligible;
+        returns False to fall through to the sorted-plane path."""
+        import os
+
+        if os.environ.get("DEACON_PROBE", "radix") != "radix":
+            return False
+        if eng.engine_arch(self.k, self.L, self.Rs) != 4 or self.Rs > 16384:
+            return False
+        from ..ops.radix_probe import _radix_sizing, build_radix_table
+
+        t = build_radix_table(arr)
+        if t is None:
+            return False
+        nrows = 1 << t.p
+        if nrows % self.n_shard:
+            return False
+        rows_local = nrows // self.n_shard
+        q = self.Rs * self.budget_per_shard
+        sz = _radix_sizing(q, t.p)
+        if sz is None or rows_local % 32 or rows_local < sz["fw"]:
+            return False
+        self._radix = (t.p, t.k, t.nplanes, rows_local)
+        self._empty_index = arr.size == 0
+        self._raw_hashes = arr  # host copy for the lazy --debug hash probe
+        idx_sharding = NamedSharding(self.mesh, P("shard"))
+        self.index_hi = jax.device_put(jnp.asarray(t.planes), idx_sharding)
+        self.index_lo = jax.device_put(
+            jnp.zeros(self.n_shard, dtype=jnp.uint32), idx_sharding
+        )
+        self._n_valid = jax.device_put(
+            jnp.zeros(self.n_shard, dtype=jnp.int32), idx_sharding
+        )
+        self._max_run = 8
+        mode = "compiled" if eng._pallas_mode() == "compiled" else "emulate"
+        self._fn = self._compile_radix(mode, idx_sharding)
+        self._fn_emul_cache = None
+        return True
+
+    def _fn_emul(self):
+        if self._fn_emul_cache is None:
+            idx_sharding = NamedSharding(self.mesh, P("shard"))
+            self._fn_emul_cache = self._compile_radix("emulate", idx_sharding)
+        return self._fn_emul_cache
+
+    def _compile_radix(self, mode: str, idx_sharding):
+        mesh = self.mesh
+        gather_out = len({d.process_index for d in mesh.devices.flat}) > 1
+        row_sharding = NamedSharding(mesh, P("data"))
+        self._in_shardings = (row_sharding,) * 9 + (idx_sharding,) * 3
+        p, kslots, npl, rows_local = self._radix
+        fn = functools.partial(
+            _sharded_step_radix,
+            k=self.k, w=self.w, budget=self.budget_per_shard,
+            num_segments=self.Rs, p=p, kslots=kslots, npl=npl,
+            rows_local=rows_local, l=self.l, stride=self._stride,
+            mode=mode, gather_out=gather_out,
+        )
+        out_specs = (
+            (P(), P(), P()) if gather_out
+            else (P("data"), P("data"), P(("data",)))
+        )
+        smap_kwargs = dict(
+            mesh=mesh,
+            in_specs=(
+                P("data"), P("data"), P("data"), P("data"),
+                P("data"), P("data"), P("data"), P("data"), P("data"),
+                P("shard"), P("shard"), P("shard"),
+            ),
+            out_specs=out_specs,
+        )
+        try:
+            mapped = shard_map(fn, check_vma=False, **smap_kwargs)
+        except TypeError:
+            mapped = shard_map(fn, check_rep=False, **smap_kwargs)
+        return jax.jit(mapped, in_shardings=self._in_shardings)
 
     @classmethod
     def from_shards(
@@ -303,10 +434,40 @@ class ShardedPipeline:
         clone.index_hi = self.index_hi
         clone.index_lo = self.index_lo
         clone._n_valid = self._n_valid
-        clone._compile(self._max_run, NamedSharding(self.mesh, P("shard")))
+        clone._max_run = self._max_run
+        if self._radix is not None:
+            # re-derive sizing for the new geometry; if the new (Q, P)
+            # can't run the kernel, fall back to emulation mode (exact)
+            from ..ops.radix_probe import _radix_sizing
+
+            p, kslots, npl, rows_local = self._radix
+            clone._radix = self._radix
+            clone._raw_hashes = self._raw_hashes
+            clone._fn_emul_cache = None
+            clone.budget_per_shard = eng.v4_row_budget(
+                clone.L, clone.w, clone._budget_frac
+            )
+            sz = _radix_sizing(clone.Rs * clone.budget_per_shard, p)
+            mode = (
+                "compiled"
+                if eng._pallas_mode() == "compiled" and sz is not None
+                and rows_local >= sz["fw"]
+                and eng.engine_arch(clone.k, clone.L, clone.Rs) == 4
+                else "emulate"
+            )
+            idx_sharding = NamedSharding(self.mesh, P("shard"))
+            clone._fn = clone._compile_radix(mode, idx_sharding)
+        else:
+            clone._compile(
+                self._max_run, NamedSharding(self.mesh, P("shard"))
+            )
         return clone
 
     def _init_geometry(self, k, w, mesh, row_len, rows_per_shard, budget_frac):
+        # every constructor path funnels through here; the radix probe
+        # (arch 5) is opted in afterwards by _try_radix
+        self._radix = None
+        self._raw_hashes = None
         if budget_frac is None:
             budget_frac = eng.default_budget_frac(w)
         self._budget_frac = budget_frac
@@ -401,10 +562,13 @@ class ShardedPipeline:
         guarantees that)."""
         probe = getattr(self, "_hash_probe", None)
         if probe is None:
-            probe = eng.DeviceHashProbe.from_planes(
-                self.index_hi, self.index_lo, self._n_valid,
-                self._max_run, self.mesh,
-            )
+            if self._radix is not None:
+                probe = eng.DeviceHashProbe(self._raw_hashes, self.mesh)
+            else:
+                probe = eng.DeviceHashProbe.from_planes(
+                    self.index_hi, self.index_lo, self._n_valid,
+                    self._max_run, self.mesh,
+                )
             self._hash_probe = probe
         member = probe(np.asarray(hashes, dtype=np.uint64))
         if self._empty_index:
@@ -440,7 +604,7 @@ class ShardedPipeline:
                     )
                 groups.append(rows)
 
-        batches = []  # (shard_gids, hits_dev, totals_dev, used_dev)
+        batches = []  # (shard_gids, args, hits_dev, totals_dev, used_dev)
         gi = 0
         while gi < len(groups):
             # fill one global batch: n_data shards x Rs rows
@@ -462,12 +626,11 @@ class ShardedPipeline:
                         shard_gids[tgt].append(groups[gi][0].rid)
                         gi += 1
                         progressed = True
-            batches.append(
-                (shard_gids, *self._launch_global_batch(shard_rows))
-            )
+            args, outs = self._launch_global_batch(shard_rows)
+            batches.append((shard_gids, args, *outs))
 
         flat_outs: list = []
-        for _, h_dev, t_dev, used_dev in batches:
+        for _, _a, h_dev, t_dev, used_dev in batches:
             flat_outs.extend((h_dev, t_dev, used_dev))
         ticket = self.fetch_group.register(flat_outs)
 
@@ -475,8 +638,19 @@ class ShardedPipeline:
             hits = np.zeros(n_logical, dtype=np.int64)
             totals = np.zeros(n_logical, dtype=np.int64)
             fetched = self.fetch_group.materialize(ticket)
-            for bi, (shard_gids, _h, _t, _u) in enumerate(batches):
+            for bi, (shard_gids, args, _h, _t, _u) in enumerate(batches):
                 h, t, used = fetched[3 * bi : 3 * bi + 3]
+                if self._radix is not None and int(used.max()) & (1 << 30):
+                    import sys
+
+                    print(
+                        "deacon: note: radix probe span overflow — sharded "
+                        "batch rerun via the emulation path",
+                        file=sys.stderr,
+                    )
+                    h, t, used = (
+                        np.asarray(x) for x in self._fn_emul()(*args)
+                    )
                 if int(used.max()) > self.budget_per_shard:
                     raise eng.BudgetOverflow(
                         f"minimizer budget exceeded: {used.max()} > "
@@ -519,12 +693,15 @@ class ShardedPipeline:
         else:  # unused by the v2 path, but shard_map needs real (R, *) rows
             il_codes = np.zeros((R, 1), dtype=np.uint8)
             il_valid = np.zeros((R, 1), dtype=np.uint8)
-        return self._fn(
+        args = (
             jnp.asarray(codes_p), jnp.asarray(valid_p),
             jnp.asarray(il_codes), jnp.asarray(il_valid), jnp.asarray(mlen),
             jnp.asarray(allow_short), jnp.asarray(rid), jnp.asarray(mate),
             jnp.asarray(cstart), self.index_hi, self.index_lo, self._n_valid,
         )
+        # inputs ride along only for the (rare) radix overflow rerun
+        keep = args if self._radix is not None else None
+        return keep, self._fn(*args)
 
     # ------------------------------------------------------------------
     def counts_single(self, seqs, prefix_length: int = 0):

@@ -96,3 +96,49 @@ def test_cli_filter_mesh(tmp_path):
     out = (tmp_path / "out.fq").read_text()
     assert "@host1" in out and "@host2" in out
     assert "rand1" not in out and "rand2" not in out
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_radix_counts_match_oracle():
+    """Arch-5 radix probe under shard_map (row-sharded byte-plane table,
+    psum of per-shard hit histograms) must match the oracle exactly."""
+    from deacon_tpu.parallel.sharded import ShardedPipeline, make_mesh
+
+    genome = rs(600_000)
+    idx_hashes = np.unique(mnp.compute_minimizer_hashes(genome, 31, 15))
+    index = MinimizerIndex(IndexHeader.new(31, 15), idx_hashes)
+
+    mesh = make_mesh(4, 2)
+    pipe = ShardedPipeline(
+        idx_hashes, 31, 15, mesh, row_len=256, rows_per_shard=64
+    )
+    assert pipe._radix is not None, "radix path not selected"
+
+    seqs = []
+    for _ in range(40):
+        n = int(RNG.integers(31, 600))
+        if RNG.random() < 0.5:
+            s = int(RNG.integers(0, len(genome) - n))
+            seqs.append(genome[s:s + n])
+        else:
+            seqs.append(rs(n))
+    seqs.append(b"A" * 80)
+    hits, totals = pipe.counts_single(seqs)
+    for i, s in enumerate(seqs):
+        h, _, _ = mnp.get_minimizer_hashes_and_positions(s, 0, 31, 15)
+        m = index.contains(h)
+        assert (hits[i], totals[i]) == (
+            int(np.unique(h[m]).size), int(h.size)
+        ), (i, len(s))
+
+    # paired units across data shards
+    pairs = [(genome[:100], genome[60:160]), (rs(90), genome[300:400])]
+    ph, pt = pipe.counts_paired(pairs)
+    for i, (a, b) in enumerate(pairs):
+        ha, _, _ = mnp.get_minimizer_hashes_and_positions(a, 0, 31, 15)
+        hb, _, _ = mnp.get_minimizer_hashes_and_positions(b, 0, 31, 15)
+        hs = np.concatenate([ha, hb])
+        m = index.contains(hs)
+        assert (ph[i], pt[i]) == (
+            int(np.unique(hs[m]).size), int(ha.size + hb.size)
+        ), i

@@ -84,7 +84,7 @@ def measure(name, fn, args, iters=8):
             per_op[n[:46]] = per_op.get(n[:46], 0.0) + e.get("dur", 0)
     ms = dev_us / 1e3 / iters
     print(f"LAB {name:28s} {ms:9.3f} ms/iter", flush=True)
-    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:4]
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:14]
     for n, us in top:
         print(f"      {n:50s} {us/1e3/iters:8.3f} ms", flush=True)
     return ms

@@ -243,6 +243,58 @@ def check_pipeline() -> None:
     print(f"  ShardedPipeline 1x1: {len(seqs)} reads == oracle")
 
 
+def check_radix() -> None:
+    """Compiled Mosaic radix-window probe == XLA emulation twin ==
+    NumPy set oracle on chip, including duplicate-heavy query grids."""
+    import jax.numpy as jnp
+
+    from deacon_tpu.ops import radix_probe as rp
+
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(0, 2**64, 500_000, dtype=np.uint64))
+    t = rp.build_radix_table(keys)
+    planes = jnp.asarray(t.planes)
+    R, Br, nseg = 64, 128, 32
+    rid_rows = np.repeat(np.arange(nseg, dtype=np.int32), 2)
+    rid_s = jnp.asarray(np.broadcast_to(rid_rows[:, None], (R, Br)).copy())
+    pos_s = jnp.asarray(
+        np.broadcast_to(np.arange(Br, dtype=np.int32)[None, :], (R, Br)).copy()
+    )
+    qk = np.where(
+        rng.random((R, Br)) < 0.5,
+        rng.choice(keys, size=(R, Br)),
+        rng.integers(0, 2**64, (R, Br), dtype=np.uint64),
+    )
+    qk[1] = qk[0]
+    qk[5, :] = qk[5, 0]  # massive in-row duplication
+    valid = rng.random((R, Br)) < 0.8
+    hlo = jnp.asarray((qk & 0xFFFFFFFF).astype(np.uint32))
+    hhi = jnp.asarray((qk >> 32).astype(np.uint32))
+    sv = jnp.asarray(valid)
+    outs = {}
+    for mode in ("compiled", "emulate"):
+        h, ov = rp.radix_probe_hits(
+            planes, t.p, t.k, t.nplanes, hlo, hhi, sv, rid_s, pos_s,
+            num_segments=nseg, mode=mode,
+        )
+        assert not bool(np.asarray(ov)), mode
+        outs[mode] = np.asarray(h)
+    assert np.array_equal(outs["compiled"], outs["emulate"])
+    kset = set(keys.tolist())
+    want = np.zeros(nseg, np.int64)
+    for u in range(nseg):
+        vals = {
+            int(qk[r, j])
+            for r in np.nonzero(rid_rows == u)[0]
+            for j in range(Br)
+            if valid[r, j] and int(qk[r, j]) in kset
+        }
+        want[u] = len(vals)
+    assert np.array_equal(outs["compiled"], want)
+    print("  radix probe: compiled == emulation == set oracle "
+          f"(P={t.p} K={t.k} npl={t.nplanes})")
+
+
 def check_index_build() -> None:
     rng = np.random.default_rng(2)
     k, w = 31, 15
@@ -348,6 +400,7 @@ def main() -> int:
     check_kernels()
     check_kernel_v2()
     check_kernel_v3()
+    check_radix()
     check_pipeline()
     check_index_build()
     check_cli_e2e()
