@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 U32 = jnp.uint32
 _TOPMASK = 0xFFFF0000
-_ROW_BLOCK = 8
+import os as _os
+
+_ROW_BLOCK = int(_os.environ.get("DEACON_ROW_BLOCK", "8"))
 
 
 def _next_pow2(k: int) -> int:

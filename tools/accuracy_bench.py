@@ -204,6 +204,15 @@ def main() -> None:
     ap.add_argument("--forensics", action="store_true",
                     help="classify escaped host reads: errors-destroyed-"
                          "evidence vs scheme-miss (loads the index in-process)")
+    ap.add_argument("--pangenome", type=int, default=1,
+                    help="simulate a pangenome-style index: N divergent "
+                         "haplotypes (--divergence SNP rate) of one random "
+                         "genome indexed together — the apples-to-apples "
+                         "fixture for the reference's panhuman bar, where "
+                         "errored reads can still hit neighboring "
+                         "haplotypes (r3 VERDICT item 6)")
+    ap.add_argument("--divergence", type=float, default=0.02,
+                    help="per-base SNP divergence between haplotypes")
     ap.add_argument("--err-sweep", default=None,
                     help="comma-separated Illumina substitution rates, e.g. "
                          "'0,0.001,0.005,0.01' — prints a sensitivity curve")
@@ -215,9 +224,14 @@ def main() -> None:
         host_seqs = load_fasta_seqs(args.host_fasta)
         host_fa = args.host_fasta
     else:
-        host_seqs = [rng.choice(BASES, size=int(args.genome_mbp * 1e6)).astype(np.uint8)]
+        base = rng.choice(BASES, size=int(args.genome_mbp * 1e6)).astype(np.uint8)
+        host_seqs = [base]
+        for _h in range(args.pangenome - 1):
+            host_seqs.append(mutate_subs(rng, base, args.divergence))
         host_fa = f"{td}/host.fa"
-        write_fasta(host_fa, {"host1": host_seqs[0].tobytes()})
+        write_fasta(host_fa, {
+            f"hap{i}": s.tobytes() for i, s in enumerate(host_seqs)
+        })
     other = rng.choice(BASES, size=int(args.genome_mbp * 1e6)).astype(np.uint8)
 
     cli = [sys.executable, "-m", "deacon_tpu"]
