@@ -307,15 +307,27 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     rng = np.random.default_rng(1)
     # panhuman-scale random index in the SAME probe representation the CLI
-    # uses (bucketized cuckoo by default; sorted planes when forced or too
-    # large), pow2-bucketed so the compiled program is index-size-stable
+    # uses (arch-5 radix-window by default, then bucketized cuckoo, then
+    # sorted planes when forced or too large)
     idx = np.sort(rng.integers(0, 2**64, size=n_index, dtype=np.uint64))
     probe_extra = None
-    if os.environ.get("DEACON_PROBE", "cuckoo") != "sorted":
+    built = None
+    probe_pref = os.environ.get("DEACON_PROBE", "radix")
+    if probe_pref == "radix" and eng.engine_arch(k, L, R) == 4:
+        from deacon_tpu.ops.radix_probe import build_radix_table
+
+        rt = build_radix_table(idx)
+        if rt is not None:
+            probe_extra = ("radix", rt.p, rt.k, rt.nplanes)
+            max_run = 8
+            index_hi = jax.device_put(jnp.asarray(rt.planes), dev)
+            index_lo = jax.device_put(jnp.zeros(1, dtype=jnp.uint32), dev)
+            index_nv = jax.device_put(jnp.zeros(1, dtype=jnp.int32), dev)
+    if probe_extra is None and probe_pref != "sorted":
         built = eng.build_cuckoo_planes(idx)
-    else:
-        built = None
-    if built is not None:
+    if probe_extra is not None:
+        pass
+    elif built is not None:
         table, c1, c2, has_sent = built
         probe_extra = (c1, c2, has_sent)
         max_run = 8

@@ -638,8 +638,12 @@ def _segment_sum_rows(row_vals, rid, num_segments: int):
         hi == steps[:, None], row_vals.astype(jnp.float32)[None, :], 0.0
     )
     B = jnp.where(lo == steps[None, :], 1.0, 0.0)
+    # row_vals reach thousands: TPU's DEFAULT matmul precision truncates
+    # f32 operands to bf16 (2046 -> 2048, caught by the bench oracle
+    # gate); HIGHEST keeps f32-exact integer sums (< 2^24)
     hist = lax.dot_general(
         A, B, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     return hist.reshape(16384)[:num_segments]
