@@ -247,9 +247,19 @@ def _sidecar_save(index_path: str, t: RadixTable) -> None:
 # so tile spans stay density-invariant; the valid bit rides the rid sort
 # operand so filler/real collisions cannot suppress a first-flag.
 
-def _radix_sizing(q: int, p: int):
+def _radix_sizing(q: int, p: int, max_fw: int | None = None):
     """Static tile sizing for (queries, table bits) — returns dict or
-    None when the shape can't run the kernel (caller falls back)."""
+    None when the shape can't run the kernel (caller falls back).
+
+    Two window widths per sub-window: ``fs`` covers the span of 128
+    consecutive REAL queries at full slot density (every grid slot
+    valid); ``fsub`` covers it down to 1/SPARSE of the slots being real
+    (sparser batches overflow and rerun via the emulation).  The kernel
+    runs the cheap fs-wide gather and widens to fsub only for the
+    sub-windows whose measured span needs it, so dense batches never pay
+    for the sparse headroom.  Likewise the slab is fetched in CH-row DMA
+    ladder chunks, so a tile only streams the table rows its real
+    queries span."""
     def a32(x):
         return max(32, (int(x) + 31) // 32 * 32)
 
@@ -261,90 +271,116 @@ def _radix_sizing(q: int, p: int):
         return None
     sub = 128
     nrows = 1 << p
-    alpha = nrows / q  # expected table rows per sorted query
+    alpha = nrows / q  # expected table rows per sorted query (dense)
     factor = float(os.environ.get("DEACON_RADIX_FACTOR", "1.6"))
     slack = int(os.environ.get("DEACON_RADIX_SLACK", "72"))
-    fsub = min(a32(sub * alpha * factor + slack), nrows)
-    fw = min(a32(tq * alpha * 1.25 + fsub + 64), nrows)
+    sparse = float(os.environ.get("DEACON_RADIX_SPARSE", "3.5"))
+    cap = nrows if max_fw is None else min(nrows, int(max_fw))
+    cap = cap & ~31
+    if cap < 32:
+        return None
+    fs = min(a32(sub * alpha * factor + slack), cap)
+    fsub = min(a32(sub * alpha * sparse * 1.25 + slack), cap)
+    fsub = max(fsub, fs)
+    fw = min(a32(tq * alpha * sparse * 1.25 + fsub + 64), cap)
     if fw > 4096:  # slab VMEM cap (~2x fw x 768B buffers)
         return None
     if fsub > fw:
         fsub = fw
-    return {"tq": tq, "sub": sub, "fsub": fsub, "fw": fw,
-            "n_tiles": q // tq}
-
-
-def _spread_fill_u32(n):
-    """Deterministic uniform-ish u32 spread for invalid-slot filler keys
-    (Weyl sequence): keeps sorted-tile spans density-invariant no matter
-    how many slots are invalid."""
-    import jax.numpy as jnp
-
-    i = jnp.arange(n, dtype=jnp.uint32)
-    return i * jnp.uint32(2654435761)
+    if fs > fsub:
+        fs = fsub
+    # DMA ladder: chunk granule (fw padded up to a whole number of chunks;
+    # when the padding would exceed the caps, stay single-chunk)
+    ch = int(os.environ.get("DEACON_RADIX_CH", "1024"))
+    if fw > ch and -(-fw // ch) * ch <= min(cap, 4096):
+        nch = -(-fw // ch)
+        fw = nch * ch
+    else:
+        ch, nch = fw, 1
+    return {"tq": tq, "sub": sub, "fs": fs, "fsub": fsub, "fw": fw,
+            "ch": ch, "nch": nch, "n_tiles": q // tq}
 
 
 def _prep_sorted(hlo, hhi, slot_valid, rid_s, pos_s):
-    """Flatten slot grids, swap invalid slots to spread filler, sort by
-    (khi, klo, srid).  srid packs valid(bit31=0 for REAL so reals sort
-    before any equal-key filler)<<31 | rid<<17 | pos."""
+    """Flatten slot grids, swap invalid slots to the MAX filler key, sort
+    by (khi, klo, srid16).  srid16 packs filler(bit15, so reals sort
+    before any equal-key filler) | rid; the returned ssrid is converted
+    to the kernel's u32 layout (filler bit31, rid at bits 17..30).
+
+    Filler entries sort to the global tail (their key is the maximum
+    u64), so the tiles beyond the real/filler boundary are skippable and
+    every span is a REAL-query span — the probe's cost scales with the
+    batch's real minimizer count, not the padded grid size."""
     import jax.numpy as jnp
     from jax import lax
 
     q = hhi.size
     sv = slot_valid.reshape(q)
-    khi = jnp.where(sv, hhi.reshape(q), _spread_fill_u32(q))
-    klo = jnp.where(
-        sv, hlo.reshape(q), _spread_fill_u32(q) ^ jnp.uint32(0x9E3779B9)
-    )
+    del pos_s  # position no longer rides the sort (nothing reads it)
+    fmax = jnp.uint32(0xFFFFFFFF)
+    khi = jnp.where(sv, hhi.reshape(q), fmax)
+    klo = jnp.where(sv, hlo.reshape(q), fmax)
     srid = jnp.where(
         sv,
-        (rid_s.reshape(q).astype(jnp.uint32) << jnp.uint32(17))
-        | (pos_s.reshape(q) & 0x1FFFF).astype(jnp.uint32),
-        jnp.uint32(0x80000000) | jnp.arange(q, dtype=jnp.uint32),
+        rid_s.reshape(q).astype(jnp.uint32) << jnp.uint32(17),
+        jnp.uint32(0x80000000),
     )
     skhi, sklo, ssrid = lax.sort((khi, klo, srid), num_keys=3)
     # first occurrence of (key, valid|rid): group boundaries can only be
     # equal-key, so the j=0-of-tile case needs the global shifted compare
-    rc = ssrid >> jnp.uint32(17)
     first = jnp.concatenate([
         jnp.ones((1,), dtype=jnp.int32),
         (
             (skhi[1:] != skhi[:-1])
             | (sklo[1:] != sklo[:-1])
-            | (rc[1:] != rc[:-1])
+            | (ssrid[1:] != ssrid[:-1])
         ).astype(jnp.int32),
     ])
     return skhi, sklo, ssrid, first
 
 
-def _bases_and_overflow(skhi, p, sz):
+def _bases_and_overflow(skhi, ssrid, p, sz):
     """32-aligned slab/sub-slice bases from strided boundary fids, plus
-    the span-overflow flag (overflow => host reruns via the emulation)."""
+    per-tile/per-sub LAST REAL fids and the span-overflow flag (overflow
+    => host reruns via the emulation).
+
+    Spans are measured over REAL queries only (fillers sort to the tail
+    with the maximum key): an all-filler tile gets last_fid=-1, which the
+    kernel's activity test turns into a full compute+DMA skip, and a
+    sub-window whose real span fits ``fs`` skips its widening dot."""
     import jax.numpy as jnp
 
     tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
+    fs = sz["fs"]
     n_tiles = sz["n_tiles"]
+    nsub = tq // sub
     nrows = 1 << p
     fid = (skhi >> jnp.uint32(32 - p)).astype(jnp.int32) if p < 32 else (
         skhi.astype(jnp.int32)
     )
+    fidm = jnp.where(ssrid < jnp.uint32(0x80000000), fid, jnp.int32(-1))
+    # reals sort before fillers under the same key and fillers hold the
+    # maximum key, so within any tile/sub the reals are a prefix: the
+    # FIRST entry is real whenever any entry is
     f_first_t = fid[::tq]                            # (n_tiles,)
     tbase = jnp.clip((f_first_t - 8) & ~31, 0, nrows - fw)
-    f_first_s = fid[::sub].reshape(n_tiles, tq // sub)
+    f_first_s = fid[::sub].reshape(n_tiles, nsub)
     sbase = jnp.clip(
         ((f_first_s - 8) & ~31) - tbase[:, None], 0, fw - fsub
     )
-    # span checks: last fid of each sub-window / tile must fit the slice
-    f_last_s = fid[sub - 1::sub].reshape(n_tiles, tq // sub)
-    ov_s = jnp.any(f_last_s - (tbase[:, None] + sbase) > fsub - 1)
-    f_last_t = fid[tq - 1::tq]
-    ov_t = jnp.any(f_last_t - tbase > fw - 1)
-    # per-tile layout: [tile_base, tile_last_fid, sub_base_1..nsub]
-    # (tile_last_fid lets a sharded kernel skip tiles whose query range
-    # cannot intersect its bucket-row shard)
+    # last REAL fid per tile / sub-window (-1 when all filler)
+    last_t = jnp.max(fidm.reshape(n_tiles, tq), axis=1)
+    last_s = jnp.max(fidm.reshape(n_tiles * nsub, sub), axis=1).reshape(
+        n_tiles, nsub
+    )
+    # span checks over real queries only
+    ov_s = jnp.any(last_s - (tbase[:, None] + sbase) > fsub - 1)
+    ov_t = jnp.any(last_t - tbase > fw - 1)
+    # per-tile layout: [tile_base, tile_last_real_fid, sub_base_1..nsub,
+    # sub_last_real_fid_1..nsub]; last fids drive the sharded/all-filler
+    # tile skip, the DMA ladder depth, and the per-sub widening choice
     bases = jnp.concatenate(
-        [tbase[:, None], f_last_t[:, None], sbase], axis=1
+        [tbase[:, None], last_t[:, None], sbase, last_s], axis=1
     ).reshape(-1).astype(jnp.int32)
     return bases, (ov_s | ov_t)
 
@@ -355,17 +391,28 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
     ``shard_rows``: bucket rows held locally (= 2**p single-chip).  The
     runtime row offset of the local planes block arrives via the second
     scalar-prefetch arg; bases are GLOBAL and get clamped into the local
-    range, matches outside the clamped slice are masked off (cover), and
-    tiles whose whole query fid range misses the shard skip their slab
-    DMA and compute — that is what makes the sharded probe scale."""
+    range, matches outside the clamped slice are masked off (cover).
+
+    Work scales with the REAL query count three ways (all driven by the
+    last-real-fid entries in ``bases``; fillers sort to the global tail):
+
+      * a tile with no real query in the shard's row range skips its DMA
+        AND its whole compute body (``pl.when`` around everything);
+      * the slab streams in CH-row ladder chunks — only chunks the
+        tile's real span reaches are fetched;
+      * each sub-window gathers with the narrow ``fs`` window and widens
+        to ``fsub`` (lax.cond) only when its measured real span needs
+        it, so sparse batches stay correct without dense batches paying
+        for the headroom."""
     import jax
     import jax.numpy as jnp
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
+    fs, ch, nch = sz["fs"], sz["ch"], sz["nch"]
     nsub = tq // sub
-    stride = nsub + 2
+    stride = 2 * nsub + 2
     nk = npl * k
 
     def kern(bases_ref, lo_ref, khi_ref, klo_ref, srid_ref, first_ref,
@@ -386,88 +433,112 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
             last = bases_ref[tt * stride + 1]
             return (last >= lo) & (bg < hi)
 
+        def chunk_needed(tt, c):
+            # chunk c holds slab rows [c*ch, (c+1)*ch): needed while the
+            # tile's real span (or the sub slices' reach) extends into it
+            last = bases_ref[tt * stride + 1]
+            return tile_active(tt) & (
+                (last - (tile_base(tt) + lo) >= c * ch) if c else True
+            )
+
+        def start_tile(tt, slot):
+            for c in range(nch):
+                @pl.when(chunk_needed(tt, c))
+                def _():
+                    pltpu.make_async_copy(
+                        pl_ref.at[pl.ds(tile_base(tt) + c * ch, ch), :],
+                        slab.at[slot, c * ch:(c + 1) * ch],
+                        sem.at[slot, c],
+                    ).start()
+
+        def wait_tile(tt, slot):
+            for c in range(nch):
+                @pl.when(chunk_needed(tt, c))
+                def _():
+                    pltpu.make_async_copy(
+                        pl_ref.at[pl.ds(tile_base(tt) + c * ch, ch), :],
+                        slab.at[slot, c * ch:(c + 1) * ch],
+                        sem.at[slot, c],
+                    ).wait()
+
         @pl.when(t == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        @pl.when((t == 0) & tile_active(0))
+        @pl.when(t == 0)
         def _():
-            pltpu.make_async_copy(
-                pl_ref.at[pl.ds(tile_base(0), fw), :], slab.at[0],
-                sem.at[0],
-            ).start()
+            start_tile(0, 0)
 
-        @pl.when((t + 1 < nt) & tile_active(t + 1))
+        @pl.when(t + 1 < nt)
         def _():
-            pltpu.make_async_copy(
-                pl_ref.at[pl.ds(tile_base(t + 1), fw), :],
-                slab.at[(t + 1) % 2], sem.at[(t + 1) % 2],
-            ).start()
+            start_tile(t + 1, (t + 1) % 2)
+
+        wait_tile(t, t % 2)
 
         @pl.when(tile_active(t))
         def _():
-            pltpu.make_async_copy(
-                pl_ref.at[pl.ds(tile_base(t), fw), :], slab.at[t % 2],
-                sem.at[t % 2],
-            ).wait()
-        b_g = bases_ref[t * stride]
-        b_c = jnp.clip(b_g, lo, hi - fw)               # global, clamped
-        b_l = b_c - lo                                  # local slab row 0
-        whi = khi_ref[:].reshape(nsub, sub)
-        wlo = klo_ref[:].reshape(nsub, sub)
-        shift = jnp.uint32(32 - p)
-        active = tile_active(t)
-        flags = []
-        for s in range(nsub):
-            qh = whi[s, :][:, None]
-            ql = wlo[s, :][:, None]
-            fid = (qh >> shift).astype(jnp.int32) if p < 32 else (
-                qh.astype(jnp.int32))
-            sb_g = b_g + bases_ref[t * stride + 2 + s]
-            sb_c = jnp.clip(sb_g, lo, hi - fsub)       # global, clamped
-            lb = pl.multiple_of(sb_c - b_c, 32)        # within slab
-            loc = fid - sb_c
-            cover = (loc >= 0) & (loc < fsub)
-            oh = jnp.where(
-                loc == jax.lax.broadcasted_iota(jnp.int32, (sub, fsub), 1),
-                1, 0,
-            ).astype(jnp.int8)
-            ne = jnp.zeros((sub, k), jnp.int32)
-            for pli in range(npl):
-                blk = slab[t % 2, pl.ds(lb, fsub), pli * k:(pli + 1) * k]
+            b_g = bases_ref[t * stride]
+            b_c = jnp.clip(b_g, lo, hi - fw)           # global, clamped
+            whi = khi_ref[:].reshape(nsub, sub)
+            wlo = klo_ref[:].reshape(nsub, sub)
+            srid = srid_ref[:].reshape(nsub, sub)
+            first = first_ref[:].reshape(nsub, sub)
+            shift = jnp.uint32(32 - p)
+            flags = []
+            for s in range(nsub):
+                qh = whi[s, :][:, None]
+                ql = wlo[s, :][:, None]
+                fid = (qh >> shift).astype(jnp.int32) if p < 32 else (
+                    qh.astype(jnp.int32))
+                sb_g = b_g + bases_ref[t * stride + 2 + s]
+                sb_c = jnp.clip(sb_g, lo, hi - fsub)   # global, clamped
+                lb = pl.multiple_of(sb_c - b_c, 32)    # within slab
+                loc = fid - sb_c
+                cover = (loc >= 0) & (loc < fsub)
+                oh = jnp.where(
+                    loc == jax.lax.broadcasted_iota(
+                        jnp.int32, (sub, fsub), 1),
+                    1, 0,
+                ).astype(jnp.int8)
                 got = jax.lax.dot_general(
-                    oh, blk, (((1,), (0,)), ((), ())),
+                    oh, slab[t % 2, pl.ds(lb, fsub), :],
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                qb = ((qh if pli >= 4 else ql)
-                      >> jnp.uint32(8 * (pli % 4))).astype(jnp.int32) & 255
-                qb = ((qb + 128) & 255) - 128
-                ne = ne | (got ^ qb)
-            m = jnp.where(jnp.min(ne & 255, axis=1) == 0, 1, 0)
-            m = jnp.where(cover[:, 0] & active, m, 0)
-            flags.append(m[None, :])
-        member = jnp.concatenate(flags, axis=0)        # (nsub, sub)
-        srid = srid_ref[:].reshape(nsub, sub)
-        valid = (srid < jnp.uint32(0x80000000)).astype(jnp.int32)
-        flag = member * valid * first_ref[:].reshape(nsub, sub)
-        rid = ((srid >> jnp.uint32(17)) & jnp.uint32(0x3FFF)).astype(jnp.int32)
-        h = jnp.zeros((128, 128), jnp.float32)
-        for s in range(nsub):
-            hi = (rid[s, :] >> 7)[None, :]
-            lo = (rid[s, :] & 127)[:, None]
-            A = jnp.where(
-                hi == jax.lax.broadcasted_iota(jnp.int32, (128, sub), 0),
-                flag[s, :][None, :], 0,
-            ).astype(jnp.bfloat16)
-            B = jnp.where(
-                lo == jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1),
-                1, 0,
-            ).astype(jnp.bfloat16)
-            h += jax.lax.dot_general(
-                A, B, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        acc[:] += h
+                ne = jnp.zeros((sub, k), jnp.int32)
+                for pli in range(npl):
+                    qb = ((qh if pli >= 4 else ql)
+                          >> jnp.uint32(8 * (pli % 4))).astype(
+                              jnp.int32) & 255
+                    qb = ((qb + 128) & 255) - 128
+                    ne = ne | (got[:, pli * k:(pli + 1) * k] ^ qb)
+                m = jnp.where(jnp.min(ne & 255, axis=1) == 0, 1, 0)
+                m = jnp.where(cover[:, 0], m, 0)
+                flags.append(m[None, :])
+            member = jnp.concatenate(flags, axis=0)    # (nsub, sub)
+            valid = (srid < jnp.uint32(0x80000000)).astype(jnp.int32)
+            flag = member * valid * first
+            rid = ((srid >> jnp.uint32(17))
+                   & jnp.uint32(0x3FFF)).astype(jnp.int32)
+            h = jnp.zeros((128, 128), jnp.float32)
+            for s in range(nsub):
+                hi2 = (rid[s, :] >> 7)[None, :]
+                lo2 = (rid[s, :] & 127)[:, None]
+                A = jnp.where(
+                    hi2 == jax.lax.broadcasted_iota(
+                        jnp.int32, (128, sub), 0),
+                    flag[s, :][None, :], 0,
+                ).astype(jnp.bfloat16)
+                B = jnp.where(
+                    lo2 == jax.lax.broadcasted_iota(
+                        jnp.int32, (sub, 128), 1),
+                    1, 0,
+                ).astype(jnp.bfloat16)
+                h += jax.lax.dot_general(
+                    A, B, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc[:] += h
 
         @pl.when(t == nt - 1)
         def _():
@@ -504,10 +575,10 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
         shard_lo = 0
     skhi, sklo, ssrid, first = _prep_sorted(hlo, hhi, slot_valid, rid_s,
                                             pos_s)
-    sz = _radix_sizing(q, p)
+    sz = _radix_sizing(q, p, max_fw=shard_rows if sharded else None)
     use_kernel = mode in ("compiled", "interpret") and sz is not None
     if use_kernel:
-        bases, overflow = _bases_and_overflow(skhi, p, sz)
+        bases, overflow = _bases_and_overflow(skhi, ssrid, p, sz)
         lo_arr = jnp.asarray(shard_lo, dtype=jnp.int32).reshape(1)
         kern = _probe_kernel_body(sz, npl, k, p, num_segments, shard_rows)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -531,7 +602,7 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
             scratch_shapes=[
                 pltpu.VMEM((2, sz["fw"], npl * k), jnp.int8),
                 pltpu.VMEM((128, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, sz["nch"])),
             ],
         )
         hist = pl.pallas_call(

@@ -219,7 +219,7 @@ class ShardedPipeline:
             return False
         rows_local = nrows // self.n_shard
         q = self.Rs * self.budget_per_shard
-        sz = _radix_sizing(q, t.p)
+        sz = _radix_sizing(q, t.p, max_fw=rows_local)
         if sz is None or rows_local % 32 or rows_local < sz["fw"]:
             return False
         self._radix = (t.p, t.k, t.nplanes, rows_local)
@@ -447,7 +447,8 @@ class ShardedPipeline:
             clone.budget_per_shard = eng.v4_row_budget(
                 clone.L, clone.w, clone._budget_frac
             )
-            sz = _radix_sizing(clone.Rs * clone.budget_per_shard, p)
+            sz = _radix_sizing(clone.Rs * clone.budget_per_shard, p,
+                               max_fw=rows_local)
             mode = (
                 "compiled"
                 if eng._pallas_mode() == "compiled" and sz is not None

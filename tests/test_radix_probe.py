@@ -172,3 +172,93 @@ def test_radix_sidecar_roundtrip(tmp_path):
     t1 = rp.build_radix_table(keys, cache_path=str(ip))
     t2 = rp.build_radix_table(keys, cache_path=str(ip))
     assert np.array_equal(t1.planes, t2.planes) and (t1.p, t1.k) == (t2.p, t2.k)
+
+
+@pytest.mark.parametrize("density", [1.0, 0.66, 0.3])
+def test_probe_hits_sparse_grids_vs_bruteforce(density):
+    """Clustered-filler redesign: real-query spans drive the windows, so
+    batches whose grids are mostly invalid slots (sparse reads, partial
+    batches) must stay exact down to ~1/SPARSE density; the kernel skips
+    all-filler tiles entirely (r4: probe cost scales with real count)."""
+    rng = np.random.default_rng(int(density * 100))
+    keys = np.unique(rng.integers(0, 2**64, 200_000, dtype=np.uint64))
+    t = rp.build_radix_table(keys)
+    planes = jnp.asarray(t.planes)
+    R, Br, nseg = 32, 128, 16
+    rid_rows = np.repeat(np.arange(nseg, dtype=np.int32), 2)
+    rid_s = jnp.asarray(np.broadcast_to(rid_rows[:, None], (R, Br)).copy())
+    pos_s = jnp.asarray(
+        np.broadcast_to(np.arange(Br, dtype=np.int32)[None, :], (R, Br)).copy()
+    )
+    qk = np.where(
+        rng.random((R, Br)) < 0.5,
+        rng.choice(keys, size=(R, Br)),
+        rng.integers(0, 2**64, (R, Br), dtype=np.uint64),
+    )
+    # valid slots form each row's prefix, like the real compacted grid
+    # (small per-row jitter around the target density)
+    cnt = np.clip(
+        (density * Br + rng.integers(-8, 9, R)).astype(int), 1, Br
+    )
+    valid = np.arange(Br)[None, :] < cnt[:, None]
+    hlo = jnp.asarray((qk & 0xFFFFFFFF).astype(np.uint32))
+    hhi = jnp.asarray((qk >> 32).astype(np.uint32))
+    kset = set(keys.tolist())
+    want = np.zeros(nseg, np.int64)
+    for u in range(nseg):
+        vals = set()
+        for r in np.nonzero(rid_rows == u)[0]:
+            for j in range(int(cnt[r])):
+                if int(qk[r, j]) in kset:
+                    vals.add(int(qk[r, j]))
+        want[u] = len(vals)
+    for mode in ("emulate", "interpret"):
+        hits, ov = rp.radix_probe_hits(
+            planes, t.p, t.k, t.nplanes, hlo, hhi, jnp.asarray(valid),
+            rid_s, pos_s, num_segments=nseg, mode=mode,
+        )
+        assert not bool(np.asarray(ov)), (mode, density)
+        assert np.array_equal(np.asarray(hits), want), (mode, density)
+
+
+def test_probe_hits_ultra_sparse_overflows_to_rerun():
+    """Below ~1/SPARSE real density the real spans exceed the widened
+    window: the kernel must RAISE the overflow flag (the engine then
+    reruns the batch through the exact emulation), never return wrong
+    counts silently."""
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 2**64, 200_000, dtype=np.uint64))
+    t = rp.build_radix_table(keys)
+    planes = jnp.asarray(t.planes)
+    R, Br, nseg = 32, 128, 16
+    rid_rows = np.repeat(np.arange(nseg, dtype=np.int32), 2)
+    rid_s = jnp.asarray(np.broadcast_to(rid_rows[:, None], (R, Br)).copy())
+    pos_s = jnp.asarray(
+        np.broadcast_to(np.arange(Br, dtype=np.int32)[None, :], (R, Br)).copy()
+    )
+    qk = rng.choice(keys, size=(R, Br))
+    valid = np.zeros((R, Br), bool)
+    valid[:, :4] = True  # ~3% density: far beyond the sparse headroom
+    hlo = jnp.asarray((qk & 0xFFFFFFFF).astype(np.uint32))
+    hhi = jnp.asarray((qk >> 32).astype(np.uint32))
+    hits, ov = rp.radix_probe_hits(
+        planes, t.p, t.k, t.nplanes, hlo, hhi, jnp.asarray(valid),
+        rid_s, pos_s, num_segments=nseg, mode="interpret",
+    )
+    assert bool(np.asarray(ov))
+    # and the emulation (the rerun target) is exact on the same input
+    kset = set(keys.tolist())
+    want = np.zeros(nseg, np.int64)
+    for u in range(nseg):
+        vals = set()
+        for r in np.nonzero(rid_rows == u)[0]:
+            for j in range(4):
+                if int(qk[r, j]) in kset:
+                    vals.add(int(qk[r, j]))
+        want[u] = len(vals)
+    ehits, eov = rp.radix_probe_hits(
+        planes, t.p, t.k, t.nplanes, hlo, hhi, jnp.asarray(valid),
+        rid_s, pos_s, num_segments=nseg, mode="emulate",
+    )
+    assert not bool(np.asarray(eov))
+    assert np.array_equal(np.asarray(ehits), want)
