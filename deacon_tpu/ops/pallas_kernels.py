@@ -607,7 +607,17 @@ def _select_compact_kernel_body(pci_u32, pvi_u32, mlen_col, allow_col,
         rr = pltpu.roll(x, shift=L - n, axis=1)
         return jnp.where(col < L - n, rr, jnp.int32(imax))
 
-    carry = list(limbs) + [kv]
+    # the canonical value occupies 2k bits of the nl*32-bit limb space:
+    # when the top limb has a spare bit (k <= 31 of the k <= 32 this
+    # kernel supports), the k-mer-valid bit rides there through the
+    # window-min instead of as its own carried plane — one fewer
+    # roll+select per doubling step
+    kv_packed = 2 * k < 32 * nl
+    if kv_packed:
+        carry = list(limbs)
+        carry[nl - 1] = carry[nl - 1] | (kv << U32(31))
+    else:
+        carry = list(limbs) + [kv]
 
     def step(ts, carry, n):
         ts_sh = shift_i32(ts, n)
@@ -622,7 +632,12 @@ def _select_compact_kernel_body(pci_u32, pvi_u32, mlen_col, allow_col,
     if w - span > 0:
         ts, carry = step(ts, carry, w - span)
     wp = jnp.minimum(ts & jnp.int32(0xFFFF), L - 1)
-    vsel, kv_sel = carry[:nl], carry[nl]
+    if kv_packed:
+        vsel = carry[:nl]
+        kv_sel = vsel[nl - 1] >> U32(31)
+        vsel[nl - 1] = vsel[nl - 1] & U32(0x7FFFFFFF)
+    else:
+        vsel, kv_sel = carry[:nl], carry[nl]
 
     prev_wp = pltpu.roll(wp, shift=1, axis=1)
     prev_wp = jnp.where(col >= 1, prev_wp, jnp.int32(-1))
