@@ -262,3 +262,32 @@ def test_probe_hits_ultra_sparse_overflows_to_rerun():
     )
     assert not bool(np.asarray(eov))
     assert np.array_equal(np.asarray(ehits), want)
+
+
+def test_pipeline_sparse_overflow_reruns_exactly(monkeypatch, capfd):
+    """End-to-end engine path for ultra-sparse batches: reads that are
+    mostly Ns leave the slot grid far below the radix windows' sparse
+    floor; the kernel's overflow bit must route the batch through
+    _radix_overflow_rerun (exact emulation) and the counts must still
+    match the oracle. DEACON_PALLAS=interpret runs the real kernel (and
+    its real overflow flag) on CPU."""
+    monkeypatch.setenv("DEACON_PALLAS", "interpret")
+    genome = rs(150_000)
+    idx = np.unique(mnp.compute_minimizer_hashes(genome, 31, 15))
+    index = MinimizerIndex(IndexHeader.new(31, 15), idx)
+    pipe = DevicePipeline(idx, 31, 15, tiles=((2048, 64),))
+    assert pipe._probe_extra and pipe._probe_extra[0] == "radix"
+    reads = []
+    for i in range(8):
+        s = int(RNG.integers(0, len(genome) - 120))
+        reads.append(genome[s:s + 120] + b"N" * 1800)
+    units = [(i, ((0, r),)) for i, r in enumerate(reads)]
+    hits, totals = pipe.launch_counts(units, len(units), 0)()
+    err = capfd.readouterr().err
+    assert "radix probe span overflow" in err
+    idx_set = set(idx.tolist())
+    for r, gh, gt in zip(reads, hits, totals):
+        h, _, _ = mnp.get_minimizer_hashes_and_positions(r, 0, 31, 15)
+        distinct = len(set(x for x in h.tolist() if x in idx_set))
+        assert gt == len(h)
+        assert gh == distinct

@@ -294,6 +294,34 @@ def check_radix() -> None:
     print("  radix probe: compiled == emulation == set oracle "
           f"(P={t.p} K={t.k} npl={t.nplanes})")
 
+    # sparse grids (r4 skip-probe): prefix-valid rows at ~0.3 density make
+    # the tail tiles all-filler — the compiled kernel's tile skip, DMA
+    # ladder and widened windows must stay exact on real hardware
+    cnt = np.clip((0.3 * Br + rng.integers(-8, 9, R)).astype(int), 1, Br)
+    valid_sp = np.arange(Br)[None, :] < cnt[:, None]
+    sv_sp = jnp.asarray(valid_sp)
+    outs_sp = {}
+    for mode in ("compiled", "emulate"):
+        h, ov = rp.radix_probe_hits(
+            planes, t.p, t.k, t.nplanes, hlo, hhi, sv_sp, rid_s, pos_s,
+            num_segments=nseg, mode=mode,
+        )
+        assert not bool(np.asarray(ov)), ("sparse", mode)
+        outs_sp[mode] = np.asarray(h)
+    assert np.array_equal(outs_sp["compiled"], outs_sp["emulate"])
+    want_sp = np.zeros(nseg, np.int64)
+    for u in range(nseg):
+        vals = {
+            int(qk[r, j])
+            for r in np.nonzero(rid_rows == u)[0]
+            for j in range(int(cnt[r]))
+            if int(qk[r, j]) in kset
+        }
+        want_sp[u] = len(vals)
+    assert np.array_equal(outs_sp["compiled"], want_sp)
+    print("  radix probe: sparse-grid (tile skip + ladder) compiled == "
+          "emulation == oracle")
+
 
 def check_index_build() -> None:
     rng = np.random.default_rng(2)
