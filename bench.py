@@ -16,11 +16,13 @@ Prints ONE JSON line. Fields:
   device_step_ms  profiler-measured ms per (R, L) engine step.
   vs_baseline   value / 2.0 (reference: >2 Gbp/s uncompressed per host,
                 BASELINE.md; reference README.md:14).
-  roofline_bound_gbps   (tunnel only) an HBM-bytes bound — NOTE: real-
-                device profiling showed the engine is bound by its two
-                element-serial cuckoo gather passes, not HBM bytes, so
-                the real ceiling sits well below this number; kept for
-                the record. Round-3 v3-architecture model, ~19.4 bytes of
+  roofline_bound_gbps   (tunnel only) an HBM-bytes bound — NOTE:
+                historical. Real-device profiling showed the engine is
+                NOT HBM-bound: the arch-5 radix engine is bound by the
+                query sort and the probe kernel's VPU elementwise
+                volume (PERFNOTES round 4), so the real ceiling sits
+                well below this number; kept for the record. Round-3
+                v3-architecture model, ~19.4 bytes of
                 HBM traffic per base (packed-input select kernel with
                 in-VMEM unpack + in-row flag-cumsum emission, cumsum-free
                 two-level compaction, slot-level canonical-value
@@ -550,10 +552,9 @@ def main() -> None:
             "vs_baseline": round(gbps / 2.0, 4),
         }
     if tunneled:
-        # HBM-bytes bound of the measured program on a v5e. NOTE: round-3
-        # profiling showed the engine is bound by element-serial random
-        # gathers (the cuckoo probe's two passes), not HBM bytes, so the
-        # real ceiling sits well below this number; kept for the record.
+        # HBM-bytes bound of the measured program on a v5e. NOTE:
+        # historical — the arch-5 radix engine is sort/VPU-bound, not
+        # HBM-bound (PERFNOTES round 4); kept for the record.
         result["roofline_bound_gbps"] = round(
             V5E_HBM_BYTES_PER_S / HBM_BYTES_PER_BASE / 1e9, 1
         )
