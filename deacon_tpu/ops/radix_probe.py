@@ -251,15 +251,16 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None):
     """Static tile sizing for (queries, table bits) — returns dict or
     None when the shape can't run the kernel (caller falls back).
 
-    Two window widths per sub-window: ``fs`` covers the span of 128
-    consecutive REAL queries at full slot density (every grid slot
-    valid); ``fsub`` covers it down to 1/SPARSE of the slots being real
-    (sparser batches overflow and rerun via the emulation).  The kernel
-    runs the cheap fs-wide gather and widens to fsub only for the
-    sub-windows whose measured span needs it, so dense batches never pay
-    for the sparse headroom.  Likewise the slab is fetched in CH-row DMA
-    ladder chunks, so a tile only streams the table rows its real
-    queries span."""
+    ``fsub`` (the static per-sub gather window) carries sparse headroom:
+    it covers the span of 128 consecutive REAL queries down to 1/SPARSE
+    of the grid slots being real (sparser batches overflow and rerun via
+    the emulation).  Measured on v5e, widening 224 -> 448 costs only
+    ~0.5 ms/step — a per-sub lax.cond narrow/wide switch was measured at
+    +6 ms and rejected (PERFNOTES round 4), so the kernel always gathers
+    at the full ``fsub``; ``fs`` (the dense-density width) is kept for
+    sizing diagnostics.  The slab is fetched in CH-row DMA ladder
+    chunks, so a tile only streams the table rows its real queries
+    span."""
     def a32(x):
         return max(32, (int(x) + 31) // 32 * 32)
 
@@ -376,11 +377,12 @@ def _bases_and_overflow(skhi, ssrid, p, sz):
     # span checks over real queries only
     ov_s = jnp.any(last_s - (tbase[:, None] + sbase) > fsub - 1)
     ov_t = jnp.any(last_t - tbase > fw - 1)
-    # per-tile layout: [tile_base, tile_last_real_fid, sub_base_1..nsub,
-    # sub_last_real_fid_1..nsub]; last fids drive the sharded/all-filler
-    # tile skip, the DMA ladder depth, and the per-sub widening choice
+    # per-tile layout: [tile_base, tile_last_real_fid, sub_base_1..nsub];
+    # the tile-level last fid drives the sharded/all-filler tile skip and
+    # the DMA ladder depth (the per-sub last fids feed the span check
+    # above and are not needed in-kernel)
     bases = jnp.concatenate(
-        [tbase[:, None], last_t[:, None], sbase, last_s], axis=1
+        [tbase[:, None], last_t[:, None], sbase], axis=1
     ).reshape(-1).astype(jnp.int32)
     return bases, (ov_s | ov_t)
 
@@ -400,19 +402,19 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
         AND its whole compute body (``pl.when`` around everything);
       * the slab streams in CH-row ladder chunks — only chunks the
         tile's real span reaches are fetched;
-      * each sub-window gathers with the narrow ``fs`` window and widens
-        to ``fsub`` (lax.cond) only when its measured real span needs
-        it, so sparse batches stay correct without dense batches paying
-        for the headroom."""
+      * sub-windows gather at the statically sparse-headroomed ``fsub``
+        width (a dynamic narrow/wide switch measured slower — see
+        _radix_sizing); real spans beyond it raise the overflow flag
+        for the exact emulation rerun."""
     import jax
     import jax.numpy as jnp
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
-    fs, ch, nch = sz["fs"], sz["ch"], sz["nch"]
+    ch, nch = sz["ch"], sz["nch"]
     nsub = tq // sub
-    stride = 2 * nsub + 2
+    stride = nsub + 2
     nk = npl * k
 
     def kern(bases_ref, lo_ref, khi_ref, klo_ref, srid_ref, first_ref,
