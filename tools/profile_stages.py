@@ -7,6 +7,7 @@ program are timed for comparison.
 Usage: python tools/profile_stages.py [R] [L] [index_millions]
 """
 
+import os
 import sys
 import time
 
@@ -137,7 +138,26 @@ pc_np, pv_np = eng.host_pack_bits(
 pci_np, pvi_np = eng.host_interleave_packed(pc_np, pv_np)
 pcodes, pvalid = jnp.asarray(pc_np), jnp.asarray(pv_np)
 pci, pvi = jnp.asarray(pci_np), jnp.asarray(pvi_np)
-fused = eng.engine_step_fused((K, W, BUDGET_FUSED, R, MAX_RUN, True))
+# production probe routing: arch-4 shapes default to the arch-5 radix
+# probe (ops/radix_probe.py) — time the FUSED program with the same
+# table representation the CLI uses, falling back like the engine does
+statics = (K, W, BUDGET_FUSED, R, MAX_RUN, True)
+fused_ihi, fused_ilo, fused_inv = ihi, ilo, inv
+if (
+    eng.engine_arch(K, L, R) == 4
+    and os.environ.get("DEACON_PROBE", "radix") == "radix"
+):
+    from deacon_tpu.ops.radix_probe import build_radix_table
+
+    rt = build_radix_table(idx)
+    if rt is not None:
+        statics = statics + (("radix", rt.p, rt.k, rt.nplanes),)
+        fused_ihi = jax.device_put(jnp.asarray(rt.planes))
+        fused_ilo = jax.device_put(jnp.zeros(1, dtype=jnp.uint32))
+        fused_inv = jax.device_put(jnp.zeros(1, dtype=jnp.int32))
+        print(f"FUSED probe: radix p={rt.p} k={rt.k} npl={rt.nplanes}",
+              flush=True)
+fused = eng.engine_step_fused(statics)
 timeone("FUSED total", fused, pcodes, pvalid, mlen, allow_short, rid, mate,
-        cstart, ihi, ilo, inv, pci, pvi, iters=20)
+        cstart, fused_ihi, fused_ilo, fused_inv, pci, pvi, iters=20)
 print("DONE", flush=True)
