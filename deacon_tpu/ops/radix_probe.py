@@ -243,9 +243,12 @@ def _sidecar_save(index_path: str, t: RadixTable) -> None:
 # probes sub-windows of SUB queries via int8 one-hot matmuls against
 # 32-aligned VMEM sub-slices, and accumulates a factorized (128,128) rid
 # histogram of member&first flags on the MXU — hits per read, no random
-# HBM access anywhere.  Invalid slots become uniformly-spread filler keys
-# so tile spans stay density-invariant; the valid bit rides the rid sort
-# operand so filler/real collisions cannot suppress a first-flag.
+# HBM access anywhere.  Invalid slots become MAX-key filler entries that
+# sort to the global tail (the valid bit rides the rid sort operand, so
+# reals precede any equal-key filler and a collision cannot suppress a
+# first-flag): all-filler tiles are skipped outright and every window
+# span is a real-query span, so probe cost tracks the batch's real
+# minimizer count.
 
 def _radix_sizing(q: int, p: int, max_fw: int | None = None):
     """Static tile sizing for (queries, table bits) — returns dict or
@@ -347,12 +350,10 @@ def _bases_and_overflow(skhi, ssrid, p, sz):
 
     Spans are measured over REAL queries only (fillers sort to the tail
     with the maximum key): an all-filler tile gets last_fid=-1, which the
-    kernel's activity test turns into a full compute+DMA skip, and a
-    sub-window whose real span fits ``fs`` skips its widening dot."""
+    kernel's activity test turns into a full compute+DMA skip."""
     import jax.numpy as jnp
 
     tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
-    fs = sz["fs"]
     n_tiles = sz["n_tiles"]
     nsub = tq // sub
     nrows = 1 << p
