@@ -291,3 +291,34 @@ def test_pipeline_sparse_overflow_reruns_exactly(monkeypatch, capfd):
         distinct = len(set(x for x in h.tolist() if x in idx_set))
         assert gt == len(h)
         assert gh == distinct
+
+
+def test_pipeline_radix_chunked_long_reads_sparse_mix():
+    """Long reads spanning multiple chunk rows (cross-chunk overlap
+    dedup) mixed with N-heavy sparse reads and short reads, all through
+    the radix probe on arch-4 tiles — the exact row-utilization mix the
+    round-4 skip/sparse redesign changed. Counts must match the oracle
+    read-for-read."""
+    rng = np.random.default_rng(4242)
+    genome = rs(200_000)
+    idx = np.unique(mnp.compute_minimizer_hashes(genome, 31, 15))
+    index = MinimizerIndex(IndexHeader.new(31, 15), idx)
+    pipe = DevicePipeline(idx, 31, 15, tiles=((512, 64), (1024, 32)))
+    assert pipe._probe_extra and pipe._probe_extra[0] == "radix"
+    reads = []
+    for i in range(6):  # multi-chunk long reads (several rows each)
+        s = int(rng.integers(0, len(genome) - 2600))
+        reads.append(genome[s:s + 2600])
+    reads.append(genome[5000:5400] + b"N" * 2000)        # sparse tail rows
+    reads.append(b"N" * 900 + genome[9000:9500])         # sparse head
+    reads.append(rs(2600))                                # non-host long
+    reads.append(genome[700:760])                         # short
+    reads.append((genome[3000:3100]) * 8)                 # repetitive long
+    units = [(i, ((0, r),)) for i, r in enumerate(reads)]
+    hits, totals = pipe.launch_counts(units, len(units), 0)()
+    idx_set = set(idx.tolist())
+    for i, (r, gh, gt) in enumerate(zip(reads, hits, totals)):
+        h, _, _ = mnp.get_minimizer_hashes_and_positions(r, 0, 31, 15)
+        distinct = len(set(x for x in h.tolist() if x in idx_set))
+        assert gt == len(h), (i, len(r), gt, len(h))
+        assert gh == distinct, (i, len(r), gh, distinct)
