@@ -273,6 +273,9 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None):
         tq //= 2
     if q % tq:
         return None
+    # sub is pinned at 128: wider sub-windows (256) hit a Mosaic
+    # "unsupported shape cast" in the hist one-hots, and the per-query
+    # compare volume is sub-independent anyway
     sub = 128
     nrows = 1 << p
     alpha = nrows / q  # expected table rows per sorted query (dense)
