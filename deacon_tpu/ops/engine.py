@@ -1769,6 +1769,8 @@ def engine_step_fused(statics: tuple):
         os.environ.get("DEACON_RADIX_TQ", ""),
         os.environ.get("DEACON_RADIX_FACTOR", ""),
         os.environ.get("DEACON_RADIX_SLACK", ""),
+        os.environ.get("DEACON_RADIX_SPARSE", ""),
+        os.environ.get("DEACON_RADIX_CH", ""),
     )
     fn = _FUSED_STEPS.get(key)
     if fn is None:

@@ -40,6 +40,9 @@ K_GRANULE = 128
 #: back to other probes / sharding); bytes ~= 2^P * K * 8
 MAX_LOG2_BUCKETS = 25
 
+#: (q, p) shapes already warned about in _radix_sizing's VMEM-cliff check
+_SIZING_CLIFF_WARNED: set = set()
+
 
 @dataclass
 class RadixTable:
@@ -291,6 +294,20 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None):
     fsub = max(fsub, fs)
     fw = min(a32(tq * alpha * sparse * 1.25 + fsub + 64), cap)
     if fw > 4096:  # slab VMEM cap (~2x fw x 768B buffers)
+        # visibility for the perf cliff: sparse headroom (3.5x) can push
+        # shapes over the VMEM cap that DENSE sizing (1.25x) would have
+        # admitted — those now fall back to the much slower XLA emulation
+        fw_dense = min(a32(tq * alpha * 1.25 + fs + 64), cap)
+        if fw_dense <= 4096 and (q, p) not in _SIZING_CLIFF_WARNED:
+            _SIZING_CLIFF_WARNED.add((q, p))
+            import sys
+            print(
+                f"deacon-tpu: radix probe sizing rejected (q={q}, p={p}: "
+                f"sparse fw={fw} > 4096 VMEM cap, dense fw={fw_dense} "
+                "would fit) — falling back to the slower XLA emulation; "
+                "lower DEACON_RADIX_SPARSE if this batch shape is dense",
+                file=sys.stderr,
+            )
         return None
     if fsub > fw:
         fsub = fw
@@ -310,9 +327,9 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None):
 
 def _prep_sorted(hlo, hhi, slot_valid, rid_s, pos_s):
     """Flatten slot grids, swap invalid slots to the MAX filler key, sort
-    by (khi, klo, srid16).  srid16 packs filler(bit15, so reals sort
-    before any equal-key filler) | rid; the returned ssrid is converted
-    to the kernel's u32 layout (filler bit31, rid at bits 17..30).
+    by (khi, klo, srid).  srid is built directly in the kernel's u32
+    layout — filler flag at bit31 (so reals sort before any equal-key
+    filler) and rid at bits 17..30.
 
     Filler entries sort to the global tail (their key is the maximum
     u64), so the tiles beyond the real/filler boundary are skippable and
@@ -441,7 +458,12 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
 
         def chunk_needed(tt, c):
             # chunk c holds slab rows [c*ch, (c+1)*ch): needed while the
-            # tile's real span (or the sub slices' reach) extends into it
+            # tile's real span — measured to the tile's last REAL fid
+            # ONLY — extends into it.  Sub-window gathers can still read
+            # slab rows past that point (unfetched garbage); that is safe
+            # solely because those lanes are neutralized downstream by
+            # the one-hot/cover/valid masking.  Do NOT add logic that
+            # relies on unfetched slab rows holding table data.
             last = bases_ref[tt * stride + 1]
             return tile_active(tt) & (
                 (last - (tile_base(tt) + lo) >= c * ch) if c else True
