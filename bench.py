@@ -320,10 +320,12 @@ def main() -> None:
 
         rt = build_radix_table(idx)
         if rt is not None:
-            probe_extra = ("radix", rt.p, rt.k, rt.nplanes)
+            probe_extra = ("radix", rt.p, rt.k, rt.nplanes, rt.sp)
             max_run = 8
             index_hi = jax.device_put(jnp.asarray(rt.planes), dev)
-            index_lo = jax.device_put(jnp.zeros(1, dtype=jnp.uint32), dev)
+            index_lo = jax.device_put(
+                jnp.asarray(rt.spill) if rt.sp
+                else jnp.zeros(1, dtype=jnp.uint32), dev)
             index_nv = jax.device_put(jnp.zeros(1, dtype=jnp.int32), dev)
     if probe_extra is None and probe_pref != "sorted":
         built = eng.build_cuckoo_planes(idx)

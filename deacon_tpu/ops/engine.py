@@ -1606,7 +1606,11 @@ def _engine_step(
             # batch through the exact emulation twin.
             from . import radix_probe as _rp
 
-            tag, rp_p, rp_k, rp_npl = probe_extra
+            if len(probe_extra) == 5:
+                tag, rp_p, rp_k, rp_npl, rp_sp = probe_extra
+            else:
+                tag, rp_p, rp_k, rp_npl = probe_extra
+                rp_sp = 0
             pos_c, v_c, rt = _values_compact(
                 codes, validb, il_codes, il_valid, mlen, allow_short,
                 k=k, w=w, Br=budget,
@@ -1629,6 +1633,7 @@ def _engine_step(
             hits, overflow = _rp.radix_probe_hits(
                 index_hi, rp_p, rp_k, rp_npl, hlo, hhi, valid2d,
                 rid_s, pos_c, num_segments=num_segments, mode=mode,
+                spill=index_lo if rp_sp else None, sp=rp_sp,
             )
             L = Lp * 4
             l = k + w - 1
@@ -1771,6 +1776,7 @@ def engine_step_fused(statics: tuple):
         os.environ.get("DEACON_RADIX_SLACK", ""),
         os.environ.get("DEACON_RADIX_SPARSE", ""),
         os.environ.get("DEACON_RADIX_CH", ""),
+        os.environ.get("DEACON_RADIX_FWCAP", ""),
     )
     fn = _FUSED_STEPS.get(key)
     if fn is None:
@@ -2251,11 +2257,17 @@ class DevicePipeline:
 
             rt = build_radix_table(arr, cache_path=cache_path)
             if rt is not None:
-                self._probe_extra = ("radix", rt.p, rt.k, rt.nplanes)
+                self._probe_extra = (
+                    "radix", rt.p, rt.k, rt.nplanes, rt.sp
+                )
                 self.max_run = 8  # unused by the radix probe; kept static
                 self.index_hi = jax.device_put(jnp.asarray(rt.planes), device)
+                # the spill side table rides the (otherwise unused)
+                # index_lo argument slot of the fused step
                 self.index_lo = jax.device_put(
-                    jnp.zeros(1, dtype=jnp.uint32), device
+                    jnp.asarray(rt.spill) if rt.sp
+                    else jnp.zeros(1, dtype=jnp.uint32),
+                    device,
                 )
                 self._n_valid = jax.device_put(
                     jnp.zeros(1, dtype=jnp.int32), device
@@ -2476,11 +2488,11 @@ class DevicePipeline:
             "emulation path (adversarially repetitive input?)",
             file=sys.stderr,
         )
-        tag, p, kk, npl = self._probe_extra
+        tag, p, kk, npl, sp = self._probe_extra
         statics = (
             self.k, self.w, budget, R, self.max_run,
             bool(args[0].shape[1] * 4 >= self.L_max),
-            ("radix_emul", p, kk, npl),
+            ("radix_emul", p, kk, npl, sp),
         )
         out = engine_step_fused(statics)(*args)
         return np.asarray(out).astype(np.int64)

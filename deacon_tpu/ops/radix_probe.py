@@ -56,6 +56,17 @@ class RadixTable:
     bit (64-P), which lies inside the stored bytes whenever
     64-P <= 8*nplanes - 1 — guaranteed by n_planes_for().
     n_keys counts DISTINCT keys stored.
+
+    Round 5: P targets a mean bucket load of ~97 (vs the old ~49) and
+    K is pinned at 128; the Poisson tail of buckets holding >128 keys
+    (~0.1% of buckets) spills its excess into ``spill`` — a tiny
+    (2**sp, 8*128) int8 side table, bucketed by the top SP bits and
+    storing ALL 8 key bytes (its bucket id implies too few bits).  It is
+    VMEM-resident in the device kernel and probed in the same pass, so
+    halving the main table's row count (and with it the slab windows and
+    the HBM stream) costs one extra small one-hot matmul per
+    sub-window.  sp == 0 means no spill (the common case for loads
+    landing below ~85).
     """
 
     planes: np.ndarray
@@ -63,14 +74,22 @@ class RadixTable:
     k: int
     n_keys: int
     fp: str
+    spill: np.ndarray | None = None
+    sp: int = 0
 
     @property
     def nplanes(self) -> int:
         return self.planes.shape[1] // self.k
 
     @property
+    def n_spill_rows(self) -> int:
+        return (1 << self.sp) if self.sp else 0
+
+    @property
     def nbytes(self) -> int:
-        return self.planes.nbytes
+        return self.planes.nbytes + (
+            self.spill.nbytes if self.spill is not None else 0
+        )
 
 
 def n_planes_for(p: int) -> int:
@@ -81,29 +100,35 @@ def n_planes_for(p: int) -> int:
 
 
 def choose_p(n: int) -> int:
-    """Smallest P with expected bucket load <= 80: K=128 is then a
-    +5.4 sigma ceiling (P(overflow) ~ 3e-8/bucket; the builder checks the
-    realized max and bumps P if needed).  Floor of 5 keeps 2**p >= the
-    32-row DMA alignment granule."""
+    """Smallest P with expected bucket load <= 100: buckets beyond the
+    K=128 ceiling (a ~0.1% Poisson tail at load 100) spill their excess
+    to the side table, so P can run twice as hot as the old <=80 target
+    — halving table bytes, slab windows and the per-step HBM stream.
+    Floor of 5 keeps 2**p >= the 32-row DMA alignment granule."""
     p = 5
-    while (n >> p) > 80:
+    while (n >> p) > 100:
         p += 1
     return p
 
 
-def _pack_planes(keys: np.ndarray, p: int, k: int) -> np.ndarray:
-    """(2**p, k*nplanes) int8 byte planes from sorted unique u64 keys."""
+def _pack_planes(keys: np.ndarray, p: int, k: int):
+    """(2**p, k*nplanes) int8 byte planes from sorted unique u64 keys,
+    plus the sorted spill keys (rank >= k within their bucket)."""
     nb = 1 << p
     npl = n_planes_for(p)
     b = (keys >> np.uint64(64 - p)).astype(np.int64)
     counts = np.bincount(b, minlength=nb)
-    if counts.max(initial=0) > k:
-        raise ValueError("bucket overflow")
     # slot index of each key within its bucket (keys sorted => buckets
     # are contiguous runs; rank within run)
     starts = np.zeros(nb + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     j = np.arange(keys.size, dtype=np.int64) - starts[b]
+    spill_keys = keys[j >= k]
+    if spill_keys.size:
+        keep = j < k
+        keys = keys[keep]
+        b = b[keep]
+        j = j[keep]
     # empty-slot filler: ((b ^ 1) << (64-P)) — differs from any key of
     # bucket b at stored bit (64-p)
     empty = (np.arange(nb, dtype=np.uint64) ^ np.uint64(1)) << np.uint64(64 - p)
@@ -113,9 +138,58 @@ def _pack_planes(keys: np.ndarray, p: int, k: int) -> np.ndarray:
     by = slots.view(np.uint8).reshape(nb, k, 8)
     if sys_byteorder_big():
         by = by[:, :, ::-1]
-    return np.ascontiguousarray(
+    planes = np.ascontiguousarray(
         by[:, :, :npl].transpose(0, 2, 1).reshape(nb, npl * k)
     ).view(np.int8)
+    return planes, spill_keys
+
+
+#: spill side-table geometry: K=128 slots, all 8 byte planes stored,
+#: bucket rows capped so the table stays VMEM-resident in the kernel
+SPILL_K = 128
+SPILL_NPL = 8
+MAX_SPILL_BITS = 9
+
+
+def _pack_spill(spill_keys: np.ndarray):
+    """Pack the spilled keys into a (2**sp, 8*128) int8 byte-plane table
+    bucketed by the TOP SP bits (all 8 bytes stored — sp implies too few
+    bits to drop any).  Returns (planes, sp) or None when even sp=9
+    (512 rows) cannot hold the realized max bucket (caller bumps p)."""
+    n = int(spill_keys.size)
+    # floor 7 (128 rows): keeps the kernel's one-hot contraction dim at
+    # the 128 MXU granule; the table is tiny either way (<= 512 KB)
+    sp = 7
+    while (n >> sp) > 64 and sp < MAX_SPILL_BITS:
+        sp += 1
+    while sp <= MAX_SPILL_BITS:
+        nb = 1 << sp
+        b = (spill_keys >> np.uint64(64 - sp)).astype(np.int64)
+        if np.bincount(b, minlength=nb).max(initial=0) <= SPILL_K:
+            break
+        sp += 1
+    else:
+        return None
+    if sp > MAX_SPILL_BITS:
+        return None
+    nb = 1 << sp
+    b = (spill_keys >> np.uint64(64 - sp)).astype(np.int64)
+    counts = np.bincount(b, minlength=nb)
+    starts = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    j = np.arange(n, dtype=np.int64) - starts[b]
+    empty = (
+        (np.arange(nb, dtype=np.uint64) ^ np.uint64(1)) << np.uint64(64 - sp)
+    )
+    slots = np.repeat(empty, SPILL_K).reshape(nb, SPILL_K)
+    slots[b, j] = spill_keys
+    by = slots.view(np.uint8).reshape(nb, SPILL_K, 8)
+    if sys_byteorder_big():
+        by = by[:, :, ::-1]
+    planes = np.ascontiguousarray(
+        by.transpose(0, 2, 1).reshape(nb, SPILL_NPL * SPILL_K)
+    ).view(np.int8)
+    return planes, sp
 
 
 def sys_byteorder_big() -> bool:
@@ -143,21 +217,23 @@ def build_radix_table(
         if t is not None:
             return t
     p = choose_p(arr.size)
+    k = K_GRANULE
     while True:
         if p > MAX_LOG2_BUCKETS:
             return None
-        b = (arr >> np.uint64(64 - p)).astype(np.int64)
-        mx = int(np.bincount(b, minlength=1 << p).max(initial=0))
-        # pad to granule with ~4 sigma headroom against the build-time max
-        k = max(K_GRANULE, -(-mx // K_GRANULE) * K_GRANULE)
-        if k <= 256:
+        max_gb = float(os.environ.get("DEACON_RADIX_MAX_GB", "8"))
+        if (1 << p) * n_planes_for(p) * k > max_gb * 1e9:
+            return None  # caller falls back (cuckoo, then sorted planes)
+        planes, spill_keys = _pack_planes(arr, p, k)
+        if spill_keys.size == 0:
+            t = RadixTable(planes, p, k, int(arr.size), fp)
+            break
+        packed = _pack_spill(spill_keys)
+        if packed is not None:
+            spill, sp = packed
+            t = RadixTable(planes, p, k, int(arr.size), fp, spill, sp)
             break
         p += 1  # extreme skew (can't happen for real hashes): split finer
-    max_gb = float(os.environ.get("DEACON_RADIX_MAX_GB", "8"))
-    if (1 << p) * n_planes_for(p) * k > max_gb * 1e9:
-        return None  # caller falls back (cuckoo, then sorted planes)
-    planes = _pack_planes(arr, p, k)
-    t = RadixTable(planes, p, k, int(arr.size), fp)
     if cache_path is not None:
         _sidecar_save(str(cache_path), t)
     return t
@@ -165,7 +241,8 @@ def build_radix_table(
 
 def oracle_member(t: RadixTable, keys: np.ndarray) -> np.ndarray:
     """NumPy reference of the device probe: bucket by top-P bits, compare
-    byte planes across the K slots (test oracle)."""
+    byte planes across the K slots; spilled keys via the side table
+    (test oracle)."""
     q = np.asarray(keys, dtype=np.uint64)
     npl = t.nplanes
     b = (q >> np.uint64(64 - t.p)).astype(np.int64)
@@ -173,8 +250,12 @@ def oracle_member(t: RadixTable, keys: np.ndarray) -> np.ndarray:
     qb = q[:, None].view(np.uint8).reshape(q.size, 8).view(np.int8)
     if sys_byteorder_big():
         qb = qb[:, ::-1]
-    qb = qb[:, :npl]
-    return (rows == qb[:, :, None]).all(axis=1).any(axis=1)
+    m = (rows == qb[:, :npl, None]).all(axis=1).any(axis=1)
+    if t.sp:
+        bs = (q >> np.uint64(64 - t.sp)).astype(np.int64)
+        srows = t.spill[bs].reshape(q.size, SPILL_NPL, SPILL_K)
+        m |= (srows == qb[:, :, None]).all(axis=1).any(axis=1)
+    return m
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +278,7 @@ def _sidecar_load(index_path: str, n_keys: int, fp: str) -> RadixTable | None:
             meta = json.load(f)
         tok = _token(index_path)
         if (
-            meta.get("version") != 1
+            meta.get("version") != 2
             or meta.get("size") != tok["size"]
             or meta.get("mtime_ns") != tok["mtime_ns"]
             or meta.get("n_keys") != n_keys
@@ -205,11 +286,21 @@ def _sidecar_load(index_path: str, n_keys: int, fp: str) -> RadixTable | None:
         ):
             return None
         p, k = int(meta["p"]), int(meta["k"])
+        sp = int(meta.get("sp", 0))
         npl = n_planes_for(p)
+        main = (1 << p) * npl * k
+        sp_sz = ((1 << sp) * SPILL_NPL * SPILL_K) if sp else 0
         planes = np.fromfile(tab_p, dtype=np.int8)
-        if planes.size != (1 << p) * npl * k:
+        if planes.size != main + sp_sz:
             return None
-        return RadixTable(planes.reshape(1 << p, npl * k), p, k, n_keys, fp)
+        spill = (
+            planes[main:].reshape(1 << sp, SPILL_NPL * SPILL_K)
+            if sp else None
+        )
+        return RadixTable(
+            planes[:main].reshape(1 << p, npl * k), p, k, n_keys, fp,
+            spill, sp,
+        )
     except Exception:
         return None
 
@@ -219,11 +310,14 @@ def _sidecar_save(index_path: str, t: RadixTable) -> None:
         tok = _token(index_path)
         tab_p = index_path + ".radix"
         tmp = tab_p + f".tmp.{os.getpid()}"
-        t.planes.tofile(tmp)
+        with open(tmp, "wb") as f:
+            t.planes.tofile(f)
+            if t.sp:
+                t.spill.tofile(f)
         os.replace(tmp, tab_p)
         meta = {
-            "version": 1, "p": t.p, "k": t.k, "n_keys": t.n_keys,
-            "keys_fp": t.fp, **tok,
+            "version": 2, "p": t.p, "k": t.k, "sp": t.sp,
+            "n_keys": t.n_keys, "keys_fp": t.fp, **tok,
         }
         tmpm = index_path + f".radix.json.tmp.{os.getpid()}"
         with open(tmpm, "w") as f:
@@ -253,7 +347,8 @@ def _sidecar_save(index_path: str, t: RadixTable) -> None:
 # span is a real-query span, so probe cost tracks the batch's real
 # minimizer count.
 
-def _radix_sizing(q: int, p: int, max_fw: int | None = None):
+def _radix_sizing(q: int, p: int, max_fw: int | None = None,
+                  compacted: bool = False):
     """Static tile sizing for (queries, table bits) — returns dict or
     None when the shape can't run the kernel (caller falls back).
 
@@ -266,7 +361,13 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None):
     at the full ``fsub``; ``fs`` (the dense-density width) is kept for
     sizing diagnostics.  The slab is fetched in CH-row DMA ladder
     chunks, so a tile only streams the table rows its real queries
-    span."""
+    span.
+
+    ``compacted`` (r5): the caller stable-splits the reals to the front
+    before the sort, so the sorted real prefix is DENSE no matter how
+    empty the slot grid was — the sparse headroom drops to 1.35 (pure
+    Poisson span margin) and the windows shrink ~2.5x, which is what
+    lets panhuman-scale tables (p=22) fit the VMEM slab cap."""
     def a32(x):
         return max(32, (int(x) + 31) // 32 * 32)
 
@@ -284,26 +385,29 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None):
     alpha = nrows / q  # expected table rows per sorted query (dense)
     factor = float(os.environ.get("DEACON_RADIX_FACTOR", "1.6"))
     slack = int(os.environ.get("DEACON_RADIX_SLACK", "72"))
-    sparse = float(os.environ.get("DEACON_RADIX_SPARSE", "3.5"))
+    sparse = float(os.environ.get(
+        "DEACON_RADIX_SPARSE", "1.35" if compacted else "3.5"
+    ))
     cap = nrows if max_fw is None else min(nrows, int(max_fw))
     cap = cap & ~31
     if cap < 32:
         return None
+    fwcap = int(os.environ.get("DEACON_RADIX_FWCAP", "4096"))
     fs = min(a32(sub * alpha * factor + slack), cap)
     fsub = min(a32(sub * alpha * sparse * 1.25 + slack), cap)
     fsub = max(fsub, fs)
     fw = min(a32(tq * alpha * sparse * 1.25 + fsub + 64), cap)
-    if fw > 4096:  # slab VMEM cap (~2x fw x 768B buffers)
+    if fw > fwcap:  # slab VMEM cap (~2x fw x 768B buffers)
         # visibility for the perf cliff: sparse headroom (3.5x) can push
         # shapes over the VMEM cap that DENSE sizing (1.25x) would have
         # admitted — those now fall back to the much slower XLA emulation
         fw_dense = min(a32(tq * alpha * 1.25 + fs + 64), cap)
-        if fw_dense <= 4096 and (q, p) not in _SIZING_CLIFF_WARNED:
+        if fw_dense <= fwcap and (q, p) not in _SIZING_CLIFF_WARNED:
             _SIZING_CLIFF_WARNED.add((q, p))
             import sys
             print(
                 f"deacon-tpu: radix probe sizing rejected (q={q}, p={p}: "
-                f"sparse fw={fw} > 4096 VMEM cap, dense fw={fw_dense} "
+                f"sparse fw={fw} > {fwcap} VMEM cap, dense fw={fw_dense} "
                 "would fit) — falling back to the slower XLA emulation; "
                 "lower DEACON_RADIX_SPARSE if this batch shape is dense",
                 file=sys.stderr,
@@ -316,7 +420,7 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None):
     # DMA ladder: chunk granule (fw padded up to a whole number of chunks;
     # when the padding would exceed the caps, stay single-chunk)
     ch = int(os.environ.get("DEACON_RADIX_CH", "1024"))
-    if fw > ch and -(-fw // ch) * ch <= min(cap, 4096):
+    if fw > ch and -(-fw // ch) * ch <= min(cap, fwcap):
         nch = -(-fw // ch)
         fw = nch * ch
     else:
@@ -325,11 +429,12 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None):
             "ch": ch, "nch": nch, "n_tiles": q // tq}
 
 
-def _prep_sorted(hlo, hhi, slot_valid, rid_s, pos_s):
-    """Flatten slot grids, swap invalid slots to the MAX filler key, sort
-    by (khi, klo, srid).  srid is built directly in the kernel's u32
-    layout — filler flag at bit31 (so reals sort before any equal-key
-    filler) and rid at bits 17..30.
+def _prep_sorted(hlo, hhi, slot_valid, rid_s, pos_s, qc=None):
+    """Flatten slot grids, swap invalid slots to the MAX filler key,
+    optionally stable-split the reals to the front and slice to ``qc``
+    (see _stable_split), then sort by (khi, klo, srid).  srid is built
+    directly in the kernel's u32 layout — filler flag at bit31 (so reals
+    sort before any equal-key filler) and rid at bits 17..30.
 
     Filler entries sort to the global tail (their key is the maximum
     u64), so the tiles beyond the real/filler boundary are skippable and
@@ -349,6 +454,9 @@ def _prep_sorted(hlo, hhi, slot_valid, rid_s, pos_s):
         rid_s.reshape(q).astype(jnp.uint32) << jnp.uint32(17),
         jnp.uint32(0x80000000),
     )
+    ov = None
+    if qc is not None and qc < q:
+        khi, klo, srid, ov = _stable_split(khi, klo, srid, qc)
     skhi, sklo, ssrid = lax.sort((khi, klo, srid), num_keys=3)
     # first occurrence of (key, valid|rid): group boundaries can only be
     # equal-key, so the j=0-of-tile case needs the global shifted compare
@@ -360,7 +468,7 @@ def _prep_sorted(hlo, hhi, slot_valid, rid_s, pos_s):
             | (ssrid[1:] != ssrid[:-1])
         ).astype(jnp.int32),
     ])
-    return skhi, sklo, ssrid, first
+    return skhi, sklo, ssrid, first, ov
 
 
 def _bases_and_overflow(skhi, ssrid, p, sz):
@@ -408,7 +516,61 @@ def _bases_and_overflow(skhi, ssrid, p, sz):
     return bases, (ov_s | ov_t)
 
 
-def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
+def _stable_split(khi, klo, srid, qc: int):
+    """Stable-compact the REAL entries (srid bit31 clear) to the front
+    and slice to the static bound ``qc`` (a tq multiple), re-marking the
+    tail as filler.  Shifted-select compaction, LSB-first: each real
+    moves left by the bits of its ORIGINAL displacement d[i] = number
+    of invalid entries before i, one power of two per stage.  Proof of
+    collision-freedom: for reals i<j, (d_j & m) - (d_i & m)
+    <= d_j - d_i <= j-i-1 < j-i for any low-bit mask m (the hi parts of
+    d are ordered), so current positions i-(d_i&m) < j-(d_j&m) stay
+    STRICTLY ordered after every stage — no two reals ever meet.
+    (The greedy remaining-displacement >= s rule, high bit first, is
+    NOT collision-free — rejected by test.)
+
+    Returns (khi, klo, srid, overflow) with overflow = more reals than
+    ``qc`` (caller reruns via the exact emulation, same contract as the
+    span overflow).  This is what lets the sort and the kernel run at
+    ~0.75x of the slot-grid size and makes the sorted real prefix DENSE
+    (real density ~1.0 regardless of the batch's slot occupancy), which
+    in turn shrinks the sparse headroom in _radix_sizing to ~1.35 and
+    makes mostly-empty tail batches a non-event instead of a rerun."""
+    import jax.numpy as jnp
+
+    q = khi.size
+    invalid = srid >= jnp.uint32(0x80000000)
+    inv = invalid.astype(jnp.int32)
+    d = jnp.cumsum(inv) - inv
+    n_real = jnp.int32(q) - d[-1] - inv[-1]
+    d = jnp.where(invalid, 0, d)
+    for b in range((q - 1).bit_length()):
+        s = 1 << b
+        dm = jnp.pad(d[s:], (0, s))
+        mv = ((dm >> b) & 1) == 1
+        khi = jnp.where(mv, jnp.pad(khi[s:], (0, s)), khi)
+        klo = jnp.where(mv, jnp.pad(klo[s:], (0, s)), klo)
+        srid = jnp.where(mv, jnp.pad(srid[s:], (0, s)), srid)
+        d = jnp.where(mv, dm, d)
+    khi, klo, srid = khi[:qc], klo[:qc], srid[:qc]
+    # the region past n_real holds leftover stale copies — re-mark it as
+    # filler so duplicates cannot corrupt the counts
+    tail = jnp.arange(qc, dtype=jnp.int32) >= n_real
+    fmax = jnp.uint32(0xFFFFFFFF)
+    khi = jnp.where(tail, fmax, khi)
+    klo = jnp.where(tail, fmax, klo)
+    srid = jnp.where(tail, jnp.uint32(0x80000000), srid)
+    return khi, klo, srid, n_real > jnp.int32(qc)
+
+
+def split_bound(q: int, tq: int = 1024) -> int:
+    """Static compacted-query bound: 0.78 of the slot grid rounded up to
+    the tile granule (the mean real/slot ratio is ~0.67 with tiny batch-
+    level variance; repeat-heavy batches beyond 0.78 rerun exactly)."""
+    return min(q, -(-int(0.78 * q) // tq) * tq)
+
+
+def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows, sp=0):
     """Kernel closure for pl.pallas_call (static sizing baked in).
 
     ``shard_rows``: bucket rows held locally (= 2**p single-chip).  The
@@ -439,7 +601,12 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
     nk = npl * k
 
     def kern(bases_ref, lo_ref, khi_ref, klo_ref, srid_ref, first_ref,
-             pl_ref, hist_ref, slab, acc, sem):
+             *rest):
+        if sp:
+            spill_ref, pl_ref, hist_ref, slab, acc, sem = rest
+        else:
+            pl_ref, hist_ref, slab, acc, sem = rest
+            spill_ref = None
         t = pl.program_id(0)
         nt = pl.num_programs(0)
         lo = lo_ref[0]
@@ -542,6 +709,40 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
                     ne = ne | (got[:, pli * k:(pli + 1) * k] ^ qb)
                 m = jnp.where(jnp.min(ne & 255, axis=1) == 0, 1, 0)
                 m = jnp.where(cover[:, 0], m, 0)
+                if sp:
+                    # spill side table: VMEM-resident, bucketed by the
+                    # top SP bits, all 8 byte planes stored.  Replicated
+                    # across shards, so a match counts only on the shard
+                    # whose row range owns the query's PRIMARY bucket —
+                    # each query has exactly one owner even when a tile
+                    # straddles a shard boundary (and is active on both),
+                    # so the psum stays exact.
+                    fsp = (qh >> jnp.uint32(32 - sp)).astype(jnp.int32)
+                    ohs = jnp.where(
+                        fsp == jax.lax.broadcasted_iota(
+                            jnp.int32, (sub, 1 << sp), 1),
+                        1, 0,
+                    ).astype(jnp.int8)
+                    gots = jax.lax.dot_general(
+                        ohs, spill_ref[:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    nes = jnp.zeros((sub, SPILL_K), jnp.int32)
+                    for pli in range(SPILL_NPL):
+                        qb = ((qh if pli >= 4 else ql)
+                              >> jnp.uint32(8 * (pli % 4))).astype(
+                                  jnp.int32) & 255
+                        qb = ((qb + 128) & 255) - 128
+                        nes = nes | (
+                            gots[:, pli * SPILL_K:(pli + 1) * SPILL_K]
+                            ^ qb
+                        )
+                    msp = jnp.where(
+                        jnp.min(nes & 255, axis=1) == 0, 1, 0
+                    )
+                    own = (fid[:, 0] >= lo) & (fid[:, 0] < hi)
+                    msp = jnp.where(own, msp, 0)
+                    m = m | msp
                 flags.append(m[None, :])
             member = jnp.concatenate(flags, axis=0)    # (nsub, sub)
             valid = (srid < jnp.uint32(0x80000000)).astype(jnp.int32)
@@ -577,7 +778,8 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows):
 
 def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
                      *, num_segments: int, mode: str = "compiled",
-                     shard_lo=None, shard_rows: int | None = None):
+                     shard_lo=None, shard_rows: int | None = None,
+                     spill=None, sp: int = 0):
     """hits per read-unit via the sorted static-tile probe.
 
     planes: (2**p, npl*k) int8 device array — or, under shard_map, the
@@ -586,9 +788,13 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
     are masked off, so a psum of per-shard hits over the shard axis is
     the exact global answer.  hlo/hhi/slot_valid: slot grids (any shape,
     flattened).  rid_s/pos_s: per-slot unit id and chunk-local position
-    (same shape).  Returns (hits (num_segments,) i32, overflow bool
-    scalar).  mode: 'compiled' | 'interpret' | 'emulate' (emulate =
-    pure-XLA row-gather twin: CPU tests + overflow reruns).
+    (same shape).  spill/sp: the (2**sp, 8*128) spill side table (None
+    when the build produced none); replicated under shard_map — matches
+    count only on the shard owning the query's primary bucket.  Returns
+    (hits (num_segments,) i32, overflow bool scalar).  mode: 'compiled'
+    | 'interpret' | 'emulate' (emulate = pure-XLA row-gather twin: CPU
+    tests + overflow/split-bound reruns — it never splits, so it is
+    exact on any batch).
     """
     import jax
     import jax.numpy as jnp
@@ -601,28 +807,47 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
     sharded = shard_lo is not None
     if not sharded:
         shard_lo = 0
-    skhi, sklo, ssrid, first = _prep_sorted(hlo, hhi, slot_valid, rid_s,
-                                            pos_s)
-    sz = _radix_sizing(q, p, max_fw=shard_rows if sharded else None)
+    # real-only compaction (r5): stable-split the valid entries to the
+    # front and run the sort + kernel at the 0.78 static bound — both
+    # dominant step costs scale with the sorted length
+    do_split = (
+        mode in ("compiled", "interpret")
+        and os.environ.get("DEACON_RADIX_SPLIT", "1") != "0"
+        and q >= 4096
+    )
+    qc = split_bound(q) if do_split else q
+    compacted = qc < q
+    sz = _radix_sizing(qc, p, max_fw=shard_rows if sharded else None,
+                       compacted=compacted)
     use_kernel = mode in ("compiled", "interpret") and sz is not None
+    skhi, sklo, ssrid, first, ov_split = _prep_sorted(
+        hlo, hhi, slot_valid, rid_s, pos_s,
+        qc=qc if (use_kernel and compacted) else None,
+    )
     if use_kernel:
         bases, overflow = _bases_and_overflow(skhi, ssrid, p, sz)
+        if ov_split is not None:
+            overflow = overflow | ov_split
         lo_arr = jnp.asarray(shard_lo, dtype=jnp.int32).reshape(1)
-        kern = _probe_kernel_body(sz, npl, k, p, num_segments, shard_rows)
+        has_spill = sp > 0 and spill is not None
+        kern = _probe_kernel_body(sz, npl, k, p, num_segments, shard_rows,
+                                  sp=sp if has_spill else 0)
+        win_spec = pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
+                                memory_space=pltpu.VMEM)
+        in_specs = [win_spec, win_spec, win_spec, win_spec]
+        args = [bases, lo_arr, skhi, sklo, ssrid, first]
+        if has_spill:
+            in_specs.append(pl.BlockSpec(
+                (1 << sp, SPILL_NPL * SPILL_K), lambda i, b, lo: (0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+            args.append(spill)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(planes)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(sz["n_tiles"],),
-            in_specs=[
-                pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (128, 128), lambda i, b, lo: (0, 0),
                 memory_space=pltpu.VMEM,
@@ -638,7 +863,7 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
             out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
             grid_spec=grid_spec,
             interpret=(mode == "interpret"),
-        )(bases, lo_arr, skhi, sklo, ssrid, first, planes)
+        )(*args)
         hits = hist.reshape(16384)[:num_segments]
         return hits, overflow
     # ---- XLA emulation: bucket-row gather + plane compare (exact) ----
@@ -649,7 +874,7 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
     rows = planes[jnp.clip(fid_l, 0, shard_rows - 1)]  # (q, npl*k) gather
     rows = rows.reshape(q, npl, k).astype(jnp.int32)
     qb = []
-    for pli in range(npl):
+    for pli in range(8):
         src = skhi if pli >= 4 else sklo
         v = ((src >> jnp.uint32(8 * (pli % 4))).astype(jnp.int32)) & 255
         qb.append(((v + 128) & 255) - 128)
@@ -657,6 +882,15 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
     for pli in range(npl):
         ne = ne | (rows[:, pli, :] ^ qb[pli][:, None])
     member = (jnp.min(ne & 255, axis=1) == 0) & in_range
+    if sp > 0 and spill is not None:
+        fsp = (skhi >> jnp.uint32(32 - sp)).astype(jnp.int32)
+        srows = spill[fsp].reshape(q, SPILL_NPL, SPILL_K).astype(jnp.int32)
+        nes = jnp.zeros((q, SPILL_K), jnp.int32)
+        for pli in range(SPILL_NPL):
+            nes = nes | (srows[:, pli, :] ^ qb[pli][:, None])
+        # replicated side table: count only on the shard owning the
+        # query's primary bucket (matches the kernel's `own` mask)
+        member = member | ((jnp.min(nes & 255, axis=1) == 0) & in_range)
     valid = ssrid < jnp.uint32(0x80000000)
     flag = (member & valid & (first > 0)).astype(jnp.bfloat16)
     rid = ((ssrid >> jnp.uint32(17)) & jnp.uint32(0x3FFF)).astype(jnp.int32)

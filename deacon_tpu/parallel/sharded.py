@@ -105,9 +105,9 @@ def _sharded_step(
 
 def _sharded_step_radix(
     codes_p, valid_p, il_codes, il_valid, mlen, allow_short, rid, mate,
-    chunk_start, planes, _dummy_lo, _dummy_nv,
+    chunk_start, planes, spill, _dummy_nv,
     *, k, w, budget, num_segments, p, kslots, npl, rows_local, l, stride,
-    mode, gather_out=False,
+    mode, sp=0, gather_out=False,
 ):
     """Arch-5 radix-window probe under shard_map: the byte-plane table is
     ROW-SHARDED over the ``shard`` axis (each device holds a contiguous
@@ -139,6 +139,7 @@ def _sharded_step_radix(
         planes, p, kslots, npl, hlo, hhi, valid2d, rid_s, pos_c,
         num_segments=num_segments, mode=mode,
         shard_lo=shard_lo, shard_rows=rows_local,
+        spill=spill if sp else None, sp=sp,
     )
     hits = jax.lax.psum(hits_l, "shard")
     totals = rp.totals_grid(
@@ -209,7 +210,9 @@ class ShardedPipeline:
             return False
         if eng.engine_arch(self.k, self.L, self.Rs) != 4 or self.Rs > 16384:
             return False
-        from ..ops.radix_probe import _radix_sizing, build_radix_table
+        from ..ops.radix_probe import (
+            _radix_sizing, build_radix_table, split_bound,
+        )
 
         t = build_radix_table(arr)
         if t is None:
@@ -219,16 +222,27 @@ class ShardedPipeline:
             return False
         rows_local = nrows // self.n_shard
         q = self.Rs * self.budget_per_shard
-        sz = _radix_sizing(q, t.p, max_fw=rows_local)
+        # mirror radix_probe_hits' own sizing decision (split-compacted
+        # by default)
+        qc = split_bound(q) if (
+            os.environ.get("DEACON_RADIX_SPLIT", "1") != "0" and q >= 4096
+        ) else q
+        sz = _radix_sizing(qc, t.p, max_fw=rows_local, compacted=qc < q)
         if sz is None or rows_local % 32 or rows_local < sz["fw"]:
             return False
-        self._radix = (t.p, t.k, t.nplanes, rows_local)
+        self._radix = (t.p, t.k, t.nplanes, rows_local, t.sp)
         self._empty_index = arr.size == 0
         self._raw_hashes = arr  # host copy for the lazy --debug hash probe
         idx_sharding = NamedSharding(self.mesh, P("shard"))
         self.index_hi = jax.device_put(jnp.asarray(t.planes), idx_sharding)
+        # spill side table rides the index_lo slot, REPLICATED across the
+        # mesh (tiny); matches count only on the shard owning the query's
+        # primary bucket, so the psum stays exact
+        repl = NamedSharding(self.mesh, P())
         self.index_lo = jax.device_put(
-            jnp.zeros(self.n_shard, dtype=jnp.uint32), idx_sharding
+            jnp.asarray(t.spill) if t.sp
+            else jnp.zeros(1, dtype=jnp.uint32),
+            repl,
         )
         self._n_valid = jax.device_put(
             jnp.zeros(self.n_shard, dtype=jnp.int32), idx_sharding
@@ -249,14 +263,17 @@ class ShardedPipeline:
         mesh = self.mesh
         gather_out = len({d.process_index for d in mesh.devices.flat}) > 1
         row_sharding = NamedSharding(mesh, P("data"))
-        self._in_shardings = (row_sharding,) * 9 + (idx_sharding,) * 3
-        p, kslots, npl, rows_local = self._radix
+        repl = NamedSharding(mesh, P())
+        self._in_shardings = (
+            (row_sharding,) * 9 + (idx_sharding, repl, idx_sharding)
+        )
+        p, kslots, npl, rows_local, sp = self._radix
         fn = functools.partial(
             _sharded_step_radix,
             k=self.k, w=self.w, budget=self.budget_per_shard,
             num_segments=self.Rs, p=p, kslots=kslots, npl=npl,
             rows_local=rows_local, l=self.l, stride=self._stride,
-            mode=mode, gather_out=gather_out,
+            mode=mode, sp=sp, gather_out=gather_out,
         )
         out_specs = (
             (P(), P(), P()) if gather_out
@@ -267,7 +284,7 @@ class ShardedPipeline:
             in_specs=(
                 P("data"), P("data"), P("data"), P("data"),
                 P("data"), P("data"), P("data"), P("data"), P("data"),
-                P("shard"), P("shard"), P("shard"),
+                P("shard"), P(), P("shard"),
             ),
             out_specs=out_specs,
         )
@@ -438,17 +455,23 @@ class ShardedPipeline:
         if self._radix is not None:
             # re-derive sizing for the new geometry; if the new (Q, P)
             # can't run the kernel, fall back to emulation mode (exact)
-            from ..ops.radix_probe import _radix_sizing
+            from ..ops.radix_probe import _radix_sizing, split_bound
 
-            p, kslots, npl, rows_local = self._radix
+            p, kslots, npl, rows_local, sp = self._radix
             clone._radix = self._radix
             clone._raw_hashes = self._raw_hashes
             clone._fn_emul_cache = None
             clone.budget_per_shard = eng.v4_row_budget(
                 clone.L, clone.w, clone._budget_frac
             )
-            sz = _radix_sizing(clone.Rs * clone.budget_per_shard, p,
-                               max_fw=rows_local)
+            q2 = clone.Rs * clone.budget_per_shard
+            import os as _os
+            qc2 = split_bound(q2) if (
+                _os.environ.get("DEACON_RADIX_SPLIT", "1") != "0"
+                and q2 >= 4096
+            ) else q2
+            sz = _radix_sizing(qc2, p, max_fw=rows_local,
+                               compacted=qc2 < q2)
             mode = (
                 "compiled"
                 if eng._pallas_mode() == "compiled" and sz is not None

@@ -322,3 +322,147 @@ def test_pipeline_radix_chunked_long_reads_sparse_mix():
         distinct = len(set(x for x in h.tolist() if x in idx_set))
         assert gt == len(h), (i, len(r), gt, len(h))
         assert gh == distinct, (i, len(r), gh, distinct)
+
+
+# ---------------------------------------------------------------------------
+# round 5: spill side table (p targets load ~97, K=128, excess keys in a
+# VMEM-resident side table) + the real-only stable split before the sort
+# ---------------------------------------------------------------------------
+
+def _index_with_spill(genome, k=31, w=15):
+    """Minimizer hashes of ``genome`` plus 140 crafted keys that share the
+    top 30 bits of one REAL hash h and sort BELOW it in its bucket, so h
+    itself is forced into the spill table — spill hits are then reachable
+    from real reads."""
+    idx = np.unique(mnp.compute_minimizer_hashes(genome, k, w))
+    h = None
+    for cand in idx:
+        if int(cand) & 0xFFFFFFFF > 10_000:  # room below for crafted lows
+            h = int(cand)
+            break
+    assert h is not None
+    top = np.uint64(h & ~0x3FFFFFFFF)  # keep top 30 bits
+    lows = RNG.integers(0, h & 0x3FFFFFFFF, 140, dtype=np.uint64)
+    crafted = np.unique(top | lows)
+    allk = np.unique(np.concatenate([idx, crafted]))
+    return allk, h
+
+
+def test_spill_build_forced_and_oracle():
+    genome = rs(400_000)
+    allk, h = _index_with_spill(genome)
+    t = rp.build_radix_table(allk)
+    assert t.sp > 0, "expected a spill table"
+    # h must actually have spilled (not be in the primary planes)
+    t_nospill = rp.RadixTable(t.planes, t.p, t.k, t.n_keys, t.fp)
+    assert not rp.oracle_member(t_nospill, np.array([h], np.uint64))[0]
+    assert rp.oracle_member(t, np.array([h], np.uint64))[0]
+    # full membership parity
+    q = np.concatenate([
+        allk[:: max(1, allk.size // 2000)],
+        RNG.integers(0, 2**64, 3000, dtype=np.uint64),
+    ])
+    kset = set(allk.tolist())
+    want = np.array([int(x) in kset for x in q.tolist()])
+    assert np.array_equal(rp.oracle_member(t, q), want)
+
+
+def test_probe_hits_spill_and_split_vs_bruteforce():
+    """q=8192 engages the stable split (qc=7168) in kernel modes; the
+    index carries a forced spill table.  emulate (no split) and
+    interpret (split + spill compare in-kernel) must both match the
+    brute-force distinct-hit counts."""
+    genome = rs(400_000)
+    allk, h = _index_with_spill(genome)
+    t = rp.build_radix_table(allk)
+    assert t.sp > 0
+    planes = jnp.asarray(t.planes)
+    spill = jnp.asarray(t.spill)
+    R, Br, nseg = 64, 128, 32
+    rid_rows = np.repeat(np.arange(nseg, dtype=np.int32), 2)
+    rid_s = jnp.asarray(np.broadcast_to(rid_rows[:, None], (R, Br)).copy())
+    pos_s = jnp.asarray(
+        np.broadcast_to(np.arange(Br, dtype=np.int32)[None, :], (R, Br)).copy()
+    )
+    qk = np.where(
+        RNG.random((R, Br)) < 0.5,
+        RNG.choice(allk, size=(R, Br)),
+        RNG.integers(0, 2**64, (R, Br), dtype=np.uint64),
+    )
+    qk[0, 0] = h                 # guaranteed spill hit
+    qk[3, :8] = h                # spill hit deduped within a unit
+    valid = RNG.random((R, Br)) < 0.67
+    valid[0, 0] = True
+    valid[3, :8] = True
+    hlo = jnp.asarray((qk & 0xFFFFFFFF).astype(np.uint32))
+    hhi = jnp.asarray((qk >> 32).astype(np.uint32))
+    sv = jnp.asarray(valid)
+    kset = set(allk.tolist())
+    want = np.zeros(nseg, np.int64)
+    for u in range(nseg):
+        vals = set()
+        for r in np.nonzero(rid_rows == u)[0]:
+            for j in range(Br):
+                if valid[r, j] and int(qk[r, j]) in kset:
+                    vals.add(int(qk[r, j]))
+        want[u] = len(vals)
+    from deacon_tpu.ops.radix_probe import split_bound
+    assert split_bound(R * Br) < R * Br  # split engaged at this q
+    for mode in ("emulate", "interpret"):
+        hits, ov = rp.radix_probe_hits(
+            planes, t.p, t.k, t.nplanes, hlo, hhi, sv, rid_s, pos_s,
+            num_segments=nseg, mode=mode, spill=spill, sp=t.sp,
+        )
+        assert not bool(np.asarray(ov)), mode
+        assert np.array_equal(np.asarray(hits), want), mode
+
+
+def test_split_bound_overflow_flags_rerun():
+    """A batch denser than the 0.78 split bound must raise the overflow
+    flag (host reruns via emulation), never silently drop reals."""
+    keys = np.unique(RNG.integers(0, 2**64, 200_000, dtype=np.uint64))
+    t = rp.build_radix_table(keys)
+    planes = jnp.asarray(t.planes)
+    R, Br, nseg = 64, 128, 32
+    rid_rows = np.repeat(np.arange(nseg, dtype=np.int32), 2)
+    rid_s = jnp.asarray(np.broadcast_to(rid_rows[:, None], (R, Br)).copy())
+    pos_s = jnp.asarray(np.zeros((R, Br), np.int32))
+    qk = RNG.integers(0, 2**64, (R, Br), dtype=np.uint64)
+    hlo = jnp.asarray((qk & 0xFFFFFFFF).astype(np.uint32))
+    hhi = jnp.asarray((qk >> 32).astype(np.uint32))
+    sv = jnp.asarray(np.ones((R, Br), bool))  # 100% > 0.78 bound
+    hits, ov = rp.radix_probe_hits(
+        planes, t.p, t.k, t.nplanes, hlo, hhi, sv, rid_s, pos_s,
+        num_segments=nseg, mode="interpret",
+        spill=jnp.asarray(t.spill) if t.sp else None, sp=t.sp,
+    )
+    assert bool(np.asarray(ov))
+
+
+def test_pipeline_spilled_index_matches_host(tmp_path):
+    """DevicePipeline end-to-end with a spilled index: per-read counts
+    must equal the host set oracle, including reads whose minimizer
+    landed in the spill table."""
+    genome = rs(400_000)
+    allk, h = _index_with_spill(genome)
+    t = rp.build_radix_table(allk)
+    assert t.sp > 0
+    index = MinimizerIndex(IndexHeader.new(31, 15), allk)
+    pipe = DevicePipeline(allk, 31, 15, tiles=[(512, 64)])
+    assert pipe._probe_extra is not None and pipe._probe_extra[0] == "radix"
+    assert pipe._probe_extra[4] == t.sp
+    seqs = []
+    for _ in range(30):
+        n = int(RNG.integers(31, 480))
+        if RNG.random() < 0.6:
+            s = int(RNG.integers(0, len(genome) - n))
+            seqs.append(genome[s:s + n])
+        else:
+            seqs.append(rs(n))
+    hits, totals = pipe.counts_single(seqs, 0)
+    for i, s in enumerate(seqs):
+        hh, _, _ = mnp.get_minimizer_hashes_and_positions(s, 0, 31, 15)
+        m = index.contains(hh)
+        assert (hits[i], totals[i]) == (
+            int(np.unique(hh[m]).size), int(hh.size)
+        ), i

@@ -142,3 +142,41 @@ def test_sharded_radix_counts_match_oracle():
         assert (ph[i], pt[i]) == (
             int(np.unique(hs[m]).size), int(ha.size + hb.size)
         ), i
+
+
+def test_sharded_radix_spilled_index_matches_oracle():
+    """r5 spill side table under shard_map: the spill is REPLICATED and a
+    match counts only on the shard owning the query's primary bucket, so
+    the psum of per-shard histograms stays exact — including for a read
+    whose minimizer was forced into the spill."""
+    from deacon_tpu.parallel.sharded import ShardedPipeline, make_mesh
+    from tests.test_radix_probe import _index_with_spill
+    from deacon_tpu.ops import radix_probe as rp
+
+    genome = rs(400_000)
+    allk, h = _index_with_spill(genome)
+    t = rp.build_radix_table(allk)
+    assert t.sp > 0
+    index = MinimizerIndex(IndexHeader.new(31, 15), allk)
+
+    mesh = make_mesh(4, 2)
+    pipe = ShardedPipeline(
+        allk, 31, 15, mesh, row_len=256, rows_per_shard=64
+    )
+    assert pipe._radix is not None and pipe._radix[4] == t.sp
+
+    seqs = []
+    for _ in range(40):
+        n = int(RNG.integers(31, 600))
+        if RNG.random() < 0.5:
+            s = int(RNG.integers(0, len(genome) - n))
+            seqs.append(genome[s:s + n])
+        else:
+            seqs.append(rs(n))
+    hits, totals = pipe.counts_single(seqs)
+    for i, s in enumerate(seqs):
+        hh, _, _ = mnp.get_minimizer_hashes_and_positions(s, 0, 31, 15)
+        m = index.contains(hh)
+        assert (hits[i], totals[i]) == (
+            int(np.unique(hh[m]).size), int(hh.size)
+        ), (i, len(s))

@@ -466,10 +466,11 @@ def exp_arch5():
     rid = jnp.asarray(np.arange(R_, dtype=np.int32))
     mate = jnp.asarray(np.zeros(R_, np.int32))
     cstart = jnp.asarray(np.zeros(R_, np.int32))
-    dummy_lo = jnp.zeros(1, dtype=jnp.uint32)
+    dummy_lo = (jnp.asarray(t.spill) if t.sp
+                else jnp.zeros(1, dtype=jnp.uint32))
     dummy_nv = jnp.zeros(1, dtype=jnp.int32)
     statics = (K_, W_, budget, R_, 8, True,
-               ("radix", t.p, t.k, t.nplanes))
+               ("radix", t.p, t.k, t.nplanes, t.sp))
     fn = eng.engine_step_fused(statics)
     args = (jnp.asarray(pc), jnp.asarray(pv), mlen, allow_short, rid,
             mate, cstart, planes, dummy_lo, dummy_nv,
@@ -481,8 +482,295 @@ def f_wrap(fn):
     return fn
 
 
+def exp_r5sort():
+    # Round-5: the sort wall at the 4x batch (VERDICT r4 #1a).  Q4 =
+    # 12.58M slots (R=4096 x Br=3072).  Questions: (a) does ns/elem hold
+    # at 4x, (b) does num_keys matter (movement- vs comparator-bound),
+    # (c) how much cheaper are SEGMENTED sorts of the same total volume
+    # (the T-bit pre-binning design would buy rows of Q4/2^T), (d) what
+    # a compacted real-only sort (0.75 bound) saves.
+    Q4 = 12_582_912
+    a = jnp.asarray(rng.integers(0, 2**32, Q4, dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, Q4, dtype=np.uint32))
+    c = jnp.asarray(rng.integers(0, 2**31, Q4, dtype=np.int32))
+
+    @jax.jit
+    def f3(a, b, c):
+        return jax.lax.sort((a, b, c), num_keys=3)
+
+    @jax.jit
+    def f1(a, b, c):
+        return jax.lax.sort((a, b, c), num_keys=1)
+
+    measure("r5 sort3 nk3 12.58M", f3, (a, b, c), iters=4)
+    measure("r5 sort3 nk1 12.58M", f1, (a, b, c), iters=4)
+
+    Qc = 9_437_184  # 0.75 compacted bound
+    measure("r5 sort3 nk3 9.4M", f3, (a[:Qc], b[:Qc], c[:Qc]), iters=4)
+
+    for rows in (16, 64, 256):
+        cols = Q4 // rows
+        ar = a.reshape(rows, cols)
+        br = b.reshape(rows, cols)
+        cr = c.reshape(rows, cols)
+
+        @jax.jit
+        def fr(x, y, z):
+            return jax.lax.sort((x, y, z), dimension=1, num_keys=3)
+
+        measure(f"r5 rowsort ({rows},{cols//1024}K) nk3", fr,
+                (ar, br, cr), iters=4)
+
+
+def exp_r5sort2():
+    # Round-5 follow-up: the sort knee between 2.36M and 6.3M (candidate
+    # compacted-q sizes), and the 1-bit stable butterfly split that
+    # compacts reals to the front before the sort (23 shifted-select
+    # stages; displacement d = count of invalids before i is monotone so
+    # the greedy high-bit-first shift never collides).
+    for q in (2_359_296, 3_145_728, 4_718_592, 6_291_456):
+        a = jnp.asarray(rng.integers(0, 2**32, q, dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, q, dtype=np.uint32))
+        c = jnp.asarray(rng.integers(0, 2**31, q, dtype=np.int32))
+
+        @jax.jit
+        def f3(a, b, c):
+            return jax.lax.sort((a, b, c), num_keys=3)
+
+        measure(f"r5 sort3 {q/1e6:.2f}M", f3, (a, b, c), iters=6)
+
+    Q1 = 3_145_728
+    a = jnp.asarray(rng.integers(0, 2**32, Q1, dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, Q1, dtype=np.uint32))
+    c = jnp.asarray(rng.integers(0, 2**31, Q1, dtype=np.int32))
+    v = jnp.asarray(rng.random(Q1) < 0.67)
+
+    @jax.jit
+    def fsplit(a, b, c, v):
+        d = jnp.cumsum((~v).astype(jnp.int32)) - (~v).astype(jnp.int32)
+        d = jnp.where(v, d, 0)
+        n = Q1
+        s = 1 << (n - 1).bit_length() - 1
+        while s >= 1:
+            dm = jnp.pad(d[s:], (0, s))
+            mv = dm >= s
+            am = jnp.pad(a[s:], (0, s))
+            bm = jnp.pad(b[s:], (0, s))
+            cm = jnp.pad(c[s:], (0, s))
+            a = jnp.where(mv, am, a)
+            b = jnp.where(mv, bm, b)
+            c = jnp.where(mv, cm, c)
+            d = jnp.where(mv, dm - s, d)
+            s >>= 1
+        return a, b, c
+
+    r = measure("r5 split1bit 3.1M", fsplit, (a, b, c, v), iters=6)
+
+    @jax.jit
+    def fsplit_sort(a, b, c, v):
+        aa, bb, cc = fsplit(a, b, c, v)
+        qc = (Q1 // 4) * 3
+        return jax.lax.sort((aa[:qc], bb[:qc], cc[:qc]), num_keys=3)
+
+    measure("r5 split+sort(0.75) 3.1M", fsplit_sort, (a, b, c, v), iters=6)
+
+
+def exp_r5floor():
+    # Round-5: decompose the probe kernel's ~2 us/tile floor.  (a) an
+    # empty-body grid over 3072 tiles with the bases prefetch + slab DMA
+    # pattern but no compute, (b) the same with G=4 tiles merged per grid
+    # step (grid 768, body unrolled 4x) — if (b) ~= (a)/4 the floor is
+    # grid-iteration overhead and the real kernel should merge tiles.
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P_ = 21
+    NK = 768
+    TQ = 1024
+    FW = 512
+    n_tiles = Q // TQ
+    sh_np = np.sort(rng.integers(0, 2**31, Q, dtype=np.int32))
+    sh = jnp.asarray(sh_np)
+    fid_np = (sh_np >> (31 - P_)) & ((1 << P_) - 1)
+    tb = fid_np[::TQ]
+    tbase_np = np.clip((tb - 8) // 32 * 32, 0, (1 << P_) - FW).astype(np.int32)
+    bases = jnp.asarray(tbase_np)
+    planes = jnp.asarray(rng.integers(0, 127, (1 << P_, NK), dtype=np.int8))
+
+    def make(G):
+        def kern(bases_ref, sh_ref, out_ref, slab, acc, sem):
+            t = pl.program_id(0)
+            nt = pl.num_programs(0)
+
+            @pl.when(t == 0)
+            def _():
+                acc[:] = jnp.zeros_like(acc)
+
+            for g in range(G):
+                tt = t * G + g
+                slot = tt % 2
+
+                @pl.when(tt == 0)
+                def _():
+                    b0 = pl.multiple_of(bases_ref[0], 32)
+                    pltpu.make_async_copy(
+                        pl_ref_.at[pl.ds(b0, FW), :], slab.at[0], sem.at[0]
+                    ).start()
+
+                nxt = tt + 1
+
+                @pl.when(nxt < nt * G)
+                def _():
+                    bn = pl.multiple_of(bases_ref[nxt % (nt * G)], 32)
+                    pltpu.make_async_copy(
+                        pl_ref_.at[pl.ds(bn, FW), :], slab.at[nxt % 2],
+                        sem.at[nxt % 2],
+                    ).start()
+
+                b = pl.multiple_of(bases_ref[tt], 32)
+                pltpu.make_async_copy(
+                    pl_ref_.at[pl.ds(b, FW), :], slab.at[slot], sem.at[slot]
+                ).wait()
+                acc[:] += jnp.float32(1.0)
+
+            @pl.when(t == nt - 1)
+            def _():
+                out_ref[:] = acc[:].astype(jnp.int32)
+
+        def kern3(bases_ref, sh_ref, pl_ref, out_ref, slab, acc, sem):
+            global pl_ref_
+            pl_ref_ = pl_ref
+            kern(bases_ref, sh_ref, out_ref, slab, acc, sem)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles // G,),
+            in_specs=[
+                pl.BlockSpec((TQ * G,), lambda i, b: (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (128, 128), lambda i, b: (0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, FW, NK), jnp.int8),
+                pltpu.VMEM((128, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+
+        @jax.jit
+        def f(bases, sh, planes):
+            return pl.pallas_call(
+                kern3,
+                out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
+                grid_spec=grid_spec,
+            )(bases, sh, planes)
+
+        return f
+
+    for G in (1, 2, 4, 8):
+        measure(f"r5 floor dma-only G={G}", make(G),
+                (bases, sh, planes), iters=8)
+
+
+def exp_r5probe410():
+    # Round-5: the radix probe at panhuman scale (VERDICT r4 #2) in the
+    # POST-SPLIT regime: q stays at the 1x-batch 3.1M (and the compacted
+    # 2.36M) with a ~0.97-dense sorted stream, p=23, and the VMEM slab
+    # cap raised past 4096 (slab 2 x fw x 768B; fw ~6-7K = 9-11 MB of
+    # the 16 MB VMEM).  If this compiles and runs near the p=21 rate,
+    # panhuman-scale needs neither a 4x batch nor a spill table.
+    # Table planes are zeros (timing is shape/DMA-driven).
+    from deacon_tpu.ops import radix_probe as rp
+
+    P5, K5 = 23, 128
+    NPL5 = rp.n_planes_for(P5)
+    planes = jnp.asarray(
+        np.zeros(((1 << P5), NPL5 * K5), dtype=np.int8))
+
+    def go(tag, q, dens, p_):
+        R5, BR5 = 1024, q // 1024
+        hhi = jnp.asarray(
+            rng.integers(0, 2**32, (R5, BR5), dtype=np.uint32))
+        hlo = jnp.asarray(
+            rng.integers(0, 2**32, (R5, BR5), dtype=np.uint32))
+        sv = jnp.asarray(rng.random((R5, BR5)) < dens)
+        rid_s = jnp.asarray(
+            np.repeat(np.arange(R5, dtype=np.int32), BR5).reshape(R5, BR5))
+        pos_s = jnp.asarray(np.zeros((R5, BR5), np.int32))
+
+        @jax.jit
+        def f(planes, hlo, hhi, sv, rid_s, pos_s):
+            return rp.radix_probe_hits(
+                planes, p_, K5, NPL5, hlo, hhi, sv, rid_s, pos_s,
+                num_segments=R5)
+
+        from deacon_tpu.ops.radix_probe import _radix_sizing
+        print(f"   sizing: {_radix_sizing(q, p_)}", flush=True)
+        measure(f"r5 probe410 {tag}", f,
+                (planes, hlo, hhi, sv, rid_s, pos_s), iters=4)
+
+    os.environ["DEACON_RADIX_FWCAP"] = "8192"
+    os.environ["DEACON_RADIX_SPARSE"] = "1.35"
+    go("q3.1M dens.97 p23 fwcap8K", 3_145_728, 0.97, P5)
+    go("q2.36M dens.97 p23 fwcap8K", 2_359_296, 0.97, P5)
+    os.environ["DEACON_RADIX_SPARSE"] = "3.5"
+    os.environ["DEACON_RADIX_FWCAP"] = "4096"
+    # the r4-default regime on the same table for reference (fits only
+    # with the 0.67-density sizing at p=21)
+    go("q3.1M dens.67 p21 (100M ref)", 3_145_728, 0.67, 21)
+    os.environ.pop("DEACON_RADIX_SPARSE")
+    os.environ.pop("DEACON_RADIX_FWCAP")
+
+
+def exp_r5probe100():
+    # Same 4x-batch probe against the 100M-scale table (p=21): TQ and
+    # CH sweeps that the p=23 cap forbids.
+    from deacon_tpu.ops import radix_probe as rp
+
+    P5, K5 = 21, 128
+    NPL5 = rp.n_planes_for(P5)
+    R5, BR5 = 4096, 3072
+    planes = jnp.asarray(
+        np.zeros(((1 << P5), NPL5 * K5), dtype=np.int8))
+    hhi = jnp.asarray(rng.integers(0, 2**32, (R5, BR5), dtype=np.uint32))
+    hlo = jnp.asarray(rng.integers(0, 2**32, (R5, BR5), dtype=np.uint32))
+    sv = jnp.asarray(rng.random((R5, BR5)) < 0.67)
+    rid_s = jnp.asarray(
+        np.repeat(np.arange(R5, dtype=np.int32), BR5).reshape(R5, BR5))
+    pos_s = jnp.asarray(np.zeros((R5, BR5), np.int32))
+
+    def go(tag):
+        @jax.jit
+        def f(planes, hlo, hhi, sv, rid_s, pos_s):
+            return rp.radix_probe_hits(
+                planes, P5, K5, NPL5, hlo, hhi, sv, rid_s, pos_s,
+                num_segments=R5)
+
+        measure(f"r5 probe100 q12.58M {tag}", f,
+                (planes, hlo, hhi, sv, rid_s, pos_s), iters=4)
+
+    go("tq1024 ch1024")
+    os.environ["DEACON_RADIX_TQ"] = "2048"
+    go("tq2048 ch1024")
+    os.environ["DEACON_RADIX_CH"] = "512"
+    go("tq2048 ch512")
+    os.environ.pop("DEACON_RADIX_TQ")
+    go("tq1024 ch512")
+    os.environ["DEACON_RADIX_CH"] = "256"
+    go("tq1024 ch256")
+    os.environ.pop("DEACON_RADIX_CH")
+
+
 EXPS = {
     "arch5": exp_arch5,
+    "r5sort": exp_r5sort,
+    "r5sort2": exp_r5sort2,
+    "r5floor": exp_r5floor,
+    "r5probe410": exp_r5probe410,
+    "r5probe100": exp_r5probe100,
     "fhist": exp_fhist,
     "pwin": exp_pwin,
     "sort2": exp_sort2,

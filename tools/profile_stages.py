@@ -151,12 +151,14 @@ if (
 
     rt = build_radix_table(idx)
     if rt is not None:
-        statics = statics + (("radix", rt.p, rt.k, rt.nplanes),)
+        statics = statics + (("radix", rt.p, rt.k, rt.nplanes, rt.sp),)
         fused_ihi = jax.device_put(jnp.asarray(rt.planes))
-        fused_ilo = jax.device_put(jnp.zeros(1, dtype=jnp.uint32))
+        fused_ilo = jax.device_put(
+            jnp.asarray(rt.spill) if rt.sp
+            else jnp.zeros(1, dtype=jnp.uint32))
         fused_inv = jax.device_put(jnp.zeros(1, dtype=jnp.int32))
-        print(f"FUSED probe: radix p={rt.p} k={rt.k} npl={rt.nplanes}",
-              flush=True)
+        print(f"FUSED probe: radix p={rt.p} k={rt.k} npl={rt.nplanes} "
+              f"sp={rt.sp}", flush=True)
 fused = eng.engine_step_fused(statics)
 timeone("FUSED total", fused, pcodes, pvalid, mlen, allow_short, rid, mate,
         cstart, fused_ihi, fused_ilo, fused_inv, pci, pvi, iters=20)
