@@ -213,6 +213,13 @@ def main() -> None:
                          "haplotypes (r3 VERDICT item 6)")
     ap.add_argument("--divergence", type=float, default=0.02,
                     help="per-base SNP divergence between haplotypes")
+    ap.add_argument("--holdout", action="store_true",
+                    help="with --pangenome N: index N haplotypes but draw "
+                         "host reads from an ADDITIONAL held-out haplotype "
+                         "of the same base genome — the reads-from-a-new-"
+                         "individual situation the panhuman bar describes "
+                         "(r4 VERDICT item 4); sensitivity then measures "
+                         "how pangenome redundancy covers novel variants")
     ap.add_argument("--err-sweep", default=None,
                     help="comma-separated Illumina substitution rates, e.g. "
                          "'0,0.001,0.005,0.01' — prints a sensitivity curve")
@@ -228,6 +235,11 @@ def main() -> None:
         host_seqs = [base]
         for _h in range(args.pangenome - 1):
             host_seqs.append(mutate_subs(rng, base, args.divergence))
+        read_source_seqs = host_seqs
+        if args.holdout:
+            # index the N haplotypes; reads come from a novel individual
+            # (one more divergent haplotype, NOT indexed)
+            read_source_seqs = [mutate_subs(rng, base, args.divergence)]
         host_fa = f"{td}/host.fa"
         write_fasta(host_fa, {
             f"hap{i}": s.tobytes() for i, s in enumerate(host_seqs)
@@ -251,17 +263,24 @@ def main() -> None:
         idx = dt.load_index(host_idx)
         k, w = idx.header.kmer_length, idx.header.window_size
 
+    if not args.host_fasta:
+        src_seqs = read_source_seqs
+    else:
+        src_seqs = host_seqs
+
     def sim_host(n, platform, err=None):
-        """Reads spread across host sequences proportionally to length.
-        Renamed globally: per-chromosome sim_reads restarts its counter,
-        and duplicate read ids would corrupt the kept-set accounting."""
-        lens = np.array([len(s) for s in host_seqs], dtype=np.float64)
-        picks = rng.choice(len(host_seqs), size=n, p=lens / lens.sum())
+        """Reads spread across the read-source sequences proportionally to
+        length (the indexed haplotypes, or the held-out one under
+        --holdout). Renamed globally: per-chromosome sim_reads restarts
+        its counter, and duplicate read ids would corrupt the kept-set
+        accounting."""
+        lens = np.array([len(s) for s in src_seqs], dtype=np.float64)
+        picks = rng.choice(len(src_seqs), size=n, p=lens / lens.sum())
         out = []
-        for ci in range(len(host_seqs)):
+        for ci in range(len(src_seqs)):
             m = int((picks == ci).sum())
             if m:
-                out.extend(sim_reads(rng, host_seqs[ci], m, platform,
+                out.extend(sim_reads(rng, src_seqs[ci], m, platform,
                                      err=err, keep_clean=True))
         return [(f"{platform}{j}", s, c) for j, (_nm, s, c) in enumerate(out)]
 
