@@ -100,14 +100,21 @@ def n_planes_for(p: int) -> int:
 
 
 def choose_p(n: int) -> int:
-    """Smallest P with expected bucket load <= 100: buckets beyond the
-    K=128 ceiling (a ~0.1% Poisson tail at load 100) spill their excess
-    to the side table, so P can run twice as hot as the old <=80 target
-    — halving table bytes, slab windows and the per-step HBM stream.
-    Floor of 5 keeps 2**p >= the 32-row DMA alignment granule."""
+    """Bucket bits.  Base rule: smallest P with expected load <= 80
+    (K=128 is then a +5.4 sigma ceiling).  Spill tier (r5): when that P
+    would exceed 2**22 rows — the single-chip kernel's window-sizing
+    ceiling at the canonical ~2.4M-query sort length — drop one level if
+    load <= 100 fits there; the ~0.1% Poisson tail of buckets beyond
+    K=128 spills its excess to the side table, halving table bytes and
+    alpha.  This is exactly what makes panhuman-1 (410M keys -> p=22,
+    load 97.7) run the compiled kernel at all; smaller tables keep the
+    spill-free layout (the spill compare costs ~+1.3 ms/step).  Floor
+    of 5 keeps 2**p >= the 32-row DMA alignment granule."""
     p = 5
-    while (n >> p) > 100:
+    while (n >> p) > 80:
         p += 1
+    if p > 22 and (n >> (p - 1)) <= 100:
+        p -= 1
     return p
 
 
@@ -385,8 +392,15 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None,
     alpha = nrows / q  # expected table rows per sorted query (dense)
     factor = float(os.environ.get("DEACON_RADIX_FACTOR", "1.6"))
     slack = int(os.environ.get("DEACON_RADIX_SLACK", "72"))
+    # compacted: the caller stable-split the reals to the front, so qc is
+    # the sized length but the REAL count can still be far below it on
+    # sparse batches (compaction does not narrow the row span of 128
+    # consecutive reals — that is nrows/n_real regardless of padding).
+    # 2.75 preserves the uncompacted design's ABSOLUTE coverage
+    # (3.5 x qc/q = 3.5 x 0.78): batches down to the same real count run
+    # in-kernel, sparser ones rerun via emulation.
     sparse = float(os.environ.get(
-        "DEACON_RADIX_SPARSE", "1.35" if compacted else "3.5"
+        "DEACON_RADIX_SPARSE", "2.75" if compacted else "3.5"
     ))
     cap = nrows if max_fw is None else min(nrows, int(max_fw))
     cap = cap & ~31
@@ -397,6 +411,15 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None,
     fsub = min(a32(sub * alpha * sparse * 1.25 + slack), cap)
     fsub = max(fsub, fs)
     fw = min(a32(tq * alpha * sparse * 1.25 + fsub + 64), cap)
+    if compacted and fw > fwcap and "DEACON_RADIX_SPARSE" not in os.environ:
+        # adaptive coverage at big-alpha tables (panhuman p=22): prefer
+        # the wide 2.75x span margin, but narrow to 1.55x when that is
+        # what fits the VMEM slab — batches sparser than the narrow
+        # coverage rerun exactly via the emulation (one tail batch per
+        # stream in practice)
+        sparse = 1.55
+        fsub = max(min(a32(sub * alpha * sparse * 1.25 + slack), cap), fs)
+        fw = min(a32(tq * alpha * sparse * 1.25 + fsub + 64), cap)
     if fw > fwcap:  # slab VMEM cap (~2x fw x 768B buffers)
         # visibility for the perf cliff: sparse headroom (3.5x) can push
         # shapes over the VMEM cap that DENSE sizing (1.25x) would have
@@ -516,6 +539,30 @@ def _bases_and_overflow(skhi, ssrid, p, sz):
     return bases, (ov_s | ov_t)
 
 
+def _cumsum_mxu(x):
+    """Inclusive prefix sum of small non-negative i32 via two-level f32
+    matmuls (XLA's reduce-window cumsum costs 0.56 ms at 3.1M on v5e;
+    this is ~5x cheaper).  Exact while the total stays < 2^24."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = x.size
+    if n % 1024 or n < 2048:
+        return jnp.cumsum(x)
+    rows = n // 1024
+    X = x.reshape(rows, 1024).astype(jnp.float32)
+    U = jnp.triu(jnp.ones((1024, 1024), jnp.float32))
+    inner = lax.dot_general(
+        X, U, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    offs = jnp.concatenate([
+        jnp.zeros((1,), jnp.float32), jnp.cumsum(inner[:, -1])[:-1]
+    ])
+    return (inner + offs[:, None]).reshape(n).astype(jnp.int32)
+
+
 def _stable_split(khi, klo, srid, qc: int):
     """Stable-compact the REAL entries (srid bit31 clear) to the front
     and slice to the static bound ``qc`` (a tq multiple), re-marking the
@@ -541,7 +588,7 @@ def _stable_split(khi, klo, srid, qc: int):
     q = khi.size
     invalid = srid >= jnp.uint32(0x80000000)
     inv = invalid.astype(jnp.int32)
-    d = jnp.cumsum(inv) - inv
+    d = _cumsum_mxu(inv) - inv
     n_real = jnp.int32(q) - d[-1] - inv[-1]
     d = jnp.where(invalid, 0, d)
     for b in range((q - 1).bit_length()):
@@ -710,13 +757,17 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows, sp=0):
                 m = jnp.where(jnp.min(ne & 255, axis=1) == 0, 1, 0)
                 m = jnp.where(cover[:, 0], m, 0)
                 if sp:
-                    # spill side table: VMEM-resident, bucketed by the
-                    # top SP bits, all 8 byte planes stored.  Replicated
-                    # across shards, so a match counts only on the shard
-                    # whose row range owns the query's PRIMARY bucket —
-                    # each query has exactly one owner even when a tile
-                    # straddles a shard boundary (and is active on both),
-                    # so the psum stays exact.
+                    # Spill side table compare, per sub against the
+                    # VMEM-resident (2^sp, 8*128) planes.  Unconditional:
+                    # a pl.when gate on "any query's primary row is
+                    # full" measured +2.4 ms/step (Mosaic serializes
+                    # per-sub conds — same finding as r4's narrow/wide
+                    # cond), while the ungated compare costs ~+1.3.
+                    # Replicated across shards: a match counts only on
+                    # the shard whose row range owns the query's PRIMARY
+                    # bucket — each query has exactly one owner even
+                    # when a tile straddles a boundary — keeping the
+                    # psum exact.
                     fsp = (qh >> jnp.uint32(32 - sp)).astype(jnp.int32)
                     ohs = jnp.where(
                         fsp == jax.lax.broadcasted_iota(
@@ -741,8 +792,7 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows, sp=0):
                         jnp.min(nes & 255, axis=1) == 0, 1, 0
                     )
                     own = (fid[:, 0] >= lo) & (fid[:, 0] < hi)
-                    msp = jnp.where(own, msp, 0)
-                    m = m | msp
+                    m = m | jnp.where(own, msp, 0)
                 flags.append(m[None, :])
             member = jnp.concatenate(flags, axis=0)    # (nsub, sub)
             valid = (srid < jnp.uint32(0x80000000)).astype(jnp.int32)
@@ -810,16 +860,30 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
     # real-only compaction (r5): stable-split the valid entries to the
     # front and run the sort + kernel at the 0.78 static bound — both
     # dominant step costs scale with the sorted length
-    do_split = (
-        mode in ("compiled", "interpret")
-        and os.environ.get("DEACON_RADIX_SPLIT", "1") != "0"
-        and q >= 4096
-    )
-    qc = split_bound(q) if do_split else q
-    compacted = qc < q
-    sz = _radix_sizing(qc, p, max_fw=shard_rows if sharded else None,
-                       compacted=compacted)
-    use_kernel = mode in ("compiled", "interpret") and sz is not None
+    kernel_wanted = mode in ("compiled", "interpret")
+    # Auto-split: the real-only compaction costs ~+1.3 ms/step and buys
+    # back ~1.2 in the sort, so it is a wash where the UNCOMPACTED
+    # sizing already fits (measured r5; the r4 filler-tile skip already
+    # stops the probe paying for invalid slots).  Where it doesn't fit —
+    # panhuman-scale p=22, alpha ~1.7 — the 0.78x sorted length is what
+    # brings the windows under the VMEM slab cap, so split then.
+    qc, compacted, sz = q, False, None
+    if kernel_wanted:
+        mfw = shard_rows if sharded else None
+        sz = _radix_sizing(q, p, max_fw=mfw, compacted=False)
+        if (
+            sz is None
+            and os.environ.get("DEACON_RADIX_SPLIT", "1") != "0"
+            and q >= 4096
+            and split_bound(q) < q
+        ):
+            qc = split_bound(q)
+            sz = _radix_sizing(qc, p, max_fw=mfw, compacted=True)
+            compacted = sz is not None
+            if sz is None:
+                qc = q
+    use_kernel = kernel_wanted and sz is not None
+    has_spill = sp > 0 and spill is not None
     skhi, sklo, ssrid, first, ov_split = _prep_sorted(
         hlo, hhi, slot_valid, rid_s, pos_s,
         qc=qc if (use_kernel and compacted) else None,
@@ -829,7 +893,6 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
         if ov_split is not None:
             overflow = overflow | ov_split
         lo_arr = jnp.asarray(shard_lo, dtype=jnp.int32).reshape(1)
-        has_spill = sp > 0 and spill is not None
         kern = _probe_kernel_body(sz, npl, k, p, num_segments, shard_rows,
                                   sp=sp if has_spill else 0)
         win_spec = pl.BlockSpec((sz["tq"],), lambda i, b, lo: (i,),

@@ -222,12 +222,16 @@ class ShardedPipeline:
             return False
         rows_local = nrows // self.n_shard
         q = self.Rs * self.budget_per_shard
-        # mirror radix_probe_hits' own sizing decision (split-compacted
-        # by default)
-        qc = split_bound(q) if (
+        # mirror radix_probe_hits' own sizing decision (uncompacted
+        # first, split only when that is what fits)
+        sz = _radix_sizing(q, t.p, max_fw=rows_local, compacted=False)
+        if sz is None and (
             os.environ.get("DEACON_RADIX_SPLIT", "1") != "0" and q >= 4096
-        ) else q
-        sz = _radix_sizing(qc, t.p, max_fw=rows_local, compacted=qc < q)
+        ):
+            qc = split_bound(q)
+            if qc < q:
+                sz = _radix_sizing(qc, t.p, max_fw=rows_local,
+                                   compacted=True)
         if sz is None or rows_local % 32 or rows_local < sz["fw"]:
             return False
         self._radix = (t.p, t.k, t.nplanes, rows_local, t.sp)
@@ -466,12 +470,15 @@ class ShardedPipeline:
             )
             q2 = clone.Rs * clone.budget_per_shard
             import os as _os
-            qc2 = split_bound(q2) if (
+            sz = _radix_sizing(q2, p, max_fw=rows_local, compacted=False)
+            if sz is None and (
                 _os.environ.get("DEACON_RADIX_SPLIT", "1") != "0"
                 and q2 >= 4096
-            ) else q2
-            sz = _radix_sizing(qc2, p, max_fw=rows_local,
-                               compacted=qc2 < q2)
+            ):
+                qc2 = split_bound(q2)
+                if qc2 < q2:
+                    sz = _radix_sizing(qc2, p, max_fw=rows_local,
+                                       compacted=True)
             mode = (
                 "compiled"
                 if eng._pallas_mode() == "compiled" and sz is not None

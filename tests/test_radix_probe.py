@@ -419,9 +419,15 @@ def test_probe_hits_spill_and_split_vs_bruteforce():
 
 def test_split_bound_overflow_flags_rerun():
     """A batch denser than the 0.78 split bound must raise the overflow
-    flag (host reruns via emulation), never silently drop reals."""
-    keys = np.unique(RNG.integers(0, 2**64, 200_000, dtype=np.uint64))
+    flag (host reruns via emulation), never silently drop reals.
+    400K keys at q=8192 is a geometry where the UNCOMPACTED sizing
+    fails, so the auto-split actually engages."""
+    keys = np.unique(RNG.integers(0, 2**64, 400_000, dtype=np.uint64))
     t = rp.build_radix_table(keys)
+    from deacon_tpu.ops.radix_probe import _radix_sizing
+    assert _radix_sizing(64 * 128, t.p, compacted=False) is None, (
+        "geometry no longer forces the split path"
+    )
     planes = jnp.asarray(t.planes)
     R, Br, nseg = 64, 128, 32
     rid_rows = np.repeat(np.arange(nseg, dtype=np.int32), 2)

@@ -448,9 +448,11 @@ def exp_arch5():
     from deacon_tpu.ops import minimizers_np as mnp
     from deacon_tpu.ops import radix_probe as rp
 
-    R_, L_ = 16384, 1024
+    R_ = int(os.environ.get("DEACON_LAB_R", "16384"))
+    L_ = int(os.environ.get("DEACON_LAB_L", "1024"))
     K_, W_ = 31, 15
-    keys = np.unique(rng.integers(0, 2**64, NIDX, dtype=np.uint64))
+    nidx = int(float(os.environ.get("DEACON_LAB_NIDX_M", "100")) * 1e6)
+    keys = np.unique(rng.integers(0, 2**64, nidx, dtype=np.uint64))
     t = rp.build_radix_table(keys)
     print(f"table: P={t.p} K={t.k} npl={t.nplanes} "
           f"{t.nbytes/1e9:.2f} GB", flush=True)

@@ -245,16 +245,40 @@ def check_pipeline() -> None:
 
 def check_radix() -> None:
     """Compiled Mosaic radix-window probe == XLA emulation twin ==
-    NumPy set oracle on chip, including duplicate-heavy query grids."""
+    NumPy set oracle on chip, including duplicate-heavy query grids,
+    the split/skip sparse path, forced spill hits, the overflow->rerun
+    flag, and a sharded table layout (r4 VERDICT items 6/7)."""
     import jax.numpy as jnp
 
     from deacon_tpu.ops import radix_probe as rp
 
     rng = np.random.default_rng(11)
     keys = np.unique(rng.integers(0, 2**64, 500_000, dtype=np.uint64))
+    # force a spill: 140 crafted keys sharing a real key's top 30 bits
+    # and sorting below it in the bucket, so that key itself spills
+    h_real = None
+    for cand in keys:
+        if int(cand) & 0xFFFFFFFF > 10_000:
+            h_real = int(cand)
+            break
+    top = np.uint64(h_real & ~0x3FFFFFFFF)
+    crafted = np.unique(
+        top | rng.integers(0, h_real & 0x3FFFFFFFF, 140, dtype=np.uint64)
+    )
+    keys = np.unique(np.concatenate([keys, crafted]))
     t = rp.build_radix_table(keys)
+    assert t.sp > 0, "expected a forced spill table"
     planes = jnp.asarray(t.planes)
-    R, Br, nseg = 64, 128, 32
+    spill = jnp.asarray(t.spill)
+    # geometry chosen so the COMPILED sizing fits (q=16384 at p=13 — the
+    # old 8192 geometry silently fell back to emulation, gating nothing)
+    R, Br, nseg = 64, 256, 32
+    q = R * Br
+    from deacon_tpu.ops.radix_probe import _radix_sizing, split_bound
+    qc = split_bound(q)
+    assert _radix_sizing(qc, t.p, compacted=qc < q) is not None, (
+        "check geometry no longer runs the compiled kernel"
+    )
     rid_rows = np.repeat(np.arange(nseg, dtype=np.int32), 2)
     rid_s = jnp.asarray(np.broadcast_to(rid_rows[:, None], (R, Br)).copy())
     pos_s = jnp.asarray(
@@ -267,60 +291,100 @@ def check_radix() -> None:
     )
     qk[1] = qk[0]
     qk[5, :] = qk[5, 0]  # massive in-row duplication
-    valid = rng.random((R, Br)) < 0.8
+    qk[2, 0] = h_real    # guaranteed spill-table hit
+    qk[7, :8] = h_real   # spill hit deduped within a unit
+    valid = rng.random((R, Br)) < 0.67
+    valid[2, 0] = True
+    valid[7, :8] = True
     hlo = jnp.asarray((qk & 0xFFFFFFFF).astype(np.uint32))
     hhi = jnp.asarray((qk >> 32).astype(np.uint32))
     sv = jnp.asarray(valid)
+    kset = set(keys.tolist())
+
+    def brute(valid_m):
+        want = np.zeros(nseg, np.int64)
+        for u in range(nseg):
+            vals = {
+                int(qk[r, j])
+                for r in np.nonzero(rid_rows == u)[0]
+                for j in range(Br)
+                if valid_m[r, j] and int(qk[r, j]) in kset
+            }
+            want[u] = len(vals)
+        return want
+
     outs = {}
     for mode in ("compiled", "emulate"):
         h, ov = rp.radix_probe_hits(
             planes, t.p, t.k, t.nplanes, hlo, hhi, sv, rid_s, pos_s,
-            num_segments=nseg, mode=mode,
+            num_segments=nseg, mode=mode, spill=spill, sp=t.sp,
         )
         assert not bool(np.asarray(ov)), mode
         outs[mode] = np.asarray(h)
     assert np.array_equal(outs["compiled"], outs["emulate"])
-    kset = set(keys.tolist())
-    want = np.zeros(nseg, np.int64)
-    for u in range(nseg):
-        vals = {
-            int(qk[r, j])
-            for r in np.nonzero(rid_rows == u)[0]
-            for j in range(Br)
-            if valid[r, j] and int(qk[r, j]) in kset
-        }
-        want[u] = len(vals)
-    assert np.array_equal(outs["compiled"], want)
-    print("  radix probe: compiled == emulation == set oracle "
-          f"(P={t.p} K={t.k} npl={t.nplanes})")
+    assert np.array_equal(outs["compiled"], brute(valid))
+    print("  radix probe: compiled == emulation == set oracle, spill "
+          f"hits included (P={t.p} K={t.k} npl={t.nplanes} sp={t.sp})")
 
-    # sparse grids (r4 skip-probe): prefix-valid rows at ~0.3 density make
-    # the tail tiles all-filler — the compiled kernel's tile skip, DMA
-    # ladder and widened windows must stay exact on real hardware
-    cnt = np.clip((0.3 * Br + rng.integers(-8, 9, R)).astype(int), 1, Br)
+    # sparse grids: prefix-valid rows at ~0.4 density — the split
+    # compacts them, tail tiles go all-filler, and the compiled kernel's
+    # tile skip + DMA ladder must stay exact on real hardware
+    cnt = np.clip((0.4 * Br + rng.integers(-8, 9, R)).astype(int), 1, Br)
     valid_sp = np.arange(Br)[None, :] < cnt[:, None]
     sv_sp = jnp.asarray(valid_sp)
     outs_sp = {}
     for mode in ("compiled", "emulate"):
         h, ov = rp.radix_probe_hits(
             planes, t.p, t.k, t.nplanes, hlo, hhi, sv_sp, rid_s, pos_s,
-            num_segments=nseg, mode=mode,
+            num_segments=nseg, mode=mode, spill=spill, sp=t.sp,
         )
         assert not bool(np.asarray(ov)), ("sparse", mode)
         outs_sp[mode] = np.asarray(h)
     assert np.array_equal(outs_sp["compiled"], outs_sp["emulate"])
-    want_sp = np.zeros(nseg, np.int64)
-    for u in range(nseg):
-        vals = {
-            int(qk[r, j])
-            for r in np.nonzero(rid_rows == u)[0]
-            for j in range(int(cnt[r]))
-            if int(qk[r, j]) in kset
-        }
-        want_sp[u] = len(vals)
+    want_sp = brute(valid_sp)
     assert np.array_equal(outs_sp["compiled"], want_sp)
-    print("  radix probe: sparse-grid (tile skip + ladder) compiled == "
-          "emulation == oracle")
+    print("  radix probe: sparse-grid (split + tile skip + ladder) "
+          "compiled == emulation == oracle")
+
+    # ultra-sparse: real count below the window coverage must raise the
+    # overflow flag ON CHIP (the engine's regrow/rerun trigger — r4
+    # VERDICT item 7), never return silently wrong counts
+    cnt_u = np.clip((0.02 * Br + rng.integers(0, 3, R)).astype(int), 1, Br)
+    valid_u = np.arange(Br)[None, :] < cnt_u[:, None]
+    h, ov = rp.radix_probe_hits(
+        planes, t.p, t.k, t.nplanes, hlo, hhi, jnp.asarray(valid_u),
+        rid_s, pos_s, num_segments=nseg, mode="compiled",
+        spill=spill, sp=t.sp,
+    )
+    assert bool(np.asarray(ov)), "ultra-sparse batch must flag overflow"
+    print("  radix probe: ultra-sparse batch flags the rerun on chip")
+
+    # sharded table layout on ONE chip (r4 VERDICT item 6): partition the
+    # rows as an 8-shard mesh would, run the kernel once per shard with
+    # global bases clamped into its range (out-of-range tiles skip, slab
+    # capped at the shard's rows), and sum — must equal the global run.
+    n_shard = 8
+    rows_local = (1 << t.p) // n_shard
+    hsum = np.zeros(nseg, np.int64)
+    any_kernel = False
+    for s in range(n_shard):
+        part = jnp.asarray(
+            t.planes[s * rows_local:(s + 1) * rows_local]
+        )
+        sz_ok = _radix_sizing(qc, t.p, max_fw=rows_local,
+                              compacted=qc < q) is not None
+        any_kernel = any_kernel or sz_ok
+        h, ov = rp.radix_probe_hits(
+            part, t.p, t.k, t.nplanes, hlo, hhi, sv, rid_s, pos_s,
+            num_segments=nseg, mode="compiled" if sz_ok else "emulate",
+            shard_lo=jnp.int32(s * rows_local), shard_rows=rows_local,
+            spill=spill, sp=t.sp,
+        )
+        assert not bool(np.asarray(ov)), ("shard", s)
+        hsum += np.asarray(h).astype(np.int64)
+    assert np.array_equal(hsum, brute(valid)), "sharded sum != oracle"
+    print(f"  radix probe: 8-shard row partition on chip "
+          f"(capped slab, kernel={any_kernel}) sums == oracle")
 
 
 def check_index_build() -> None:
