@@ -55,7 +55,8 @@ Prints ONE JSON line. Fields:
 `python bench.py --e2e` prints the e2e measurement as its own JSON line
 after the headline line (two lines total).
 
-Env knobs: DEACON_BENCH_INDEX_M (index size in millions, default 100),
+Env knobs: DEACON_BENCH_INDEX_M (index size in millions, default 410 —
+the panhuman-1 scale, r4 VERDICT item 2),
 DEACON_BENCH_ROWS / DEACON_BENCH_ROWLEN (tile), DEACON_BENCH_ITERS,
 DEACON_BENCH_E2E=0, DEACON_BENCH_E2E_MBP (host e2e input size, default 200).
 """
@@ -297,7 +298,7 @@ def main() -> None:
     from deacon_tpu.ops import minimizers_np as mnp
 
     k, w = 31, 15
-    n_index = int(float(os.environ.get("DEACON_BENCH_INDEX_M", "100")) * 1e6)
+    n_index = int(float(os.environ.get("DEACON_BENCH_INDEX_M", "410")) * 1e6)
     R = int(os.environ.get("DEACON_BENCH_ROWS", "1024"))
     L = int(os.environ.get("DEACON_BENCH_ROWLEN", "16384"))
     iters = int(os.environ.get("DEACON_BENCH_ITERS", "200"))
@@ -542,6 +543,7 @@ def main() -> None:
             ),
             "device_step_ms": round(real_ms, 3),
             "dispatch_proxy_gbps": round(gbps, 2),
+            "index_keys": n_index,
         }
     else:
         result = {

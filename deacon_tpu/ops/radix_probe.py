@@ -494,14 +494,31 @@ def _prep_sorted(hlo, hhi, slot_valid, rid_s, pos_s, qc=None):
     return skhi, sklo, ssrid, first, ov
 
 
-def _bases_and_overflow(skhi, ssrid, p, sz):
+def spill_window(sp: int, q: int, sub: int = 128) -> int:
+    """Static per-sub spill one-hot width: sorted queries make a sub
+    span ~sp_rows*sub/q spill rows (usually < 1); 32 covers production
+    shapes with alignment slack, tiny-q tests get proportionally more."""
+    rows = 1 << sp
+    # +48: the 32-row base alignment can eat 31 rows, plus the -8 base
+    # margin and span jitter
+    need = int(rows * sub / max(q, 1) * 1.5 + 48)
+    w = max(64, (need + 31) // 32 * 32)
+    return min(rows, w)
+
+
+def _bases_and_overflow(skhi, ssrid, p, sz, sp: int = 0):
     """32-aligned slab/sub-slice bases from strided boundary fids, plus
     per-tile/per-sub LAST REAL fids and the span-overflow flag (overflow
     => host reruns via the emulation).
 
     Spans are measured over REAL queries only (fillers sort to the tail
     with the maximum key): an all-filler tile gets last_fid=-1, which the
-    kernel's activity test turns into a full compute+DMA skip."""
+    kernel's activity test turns into a full compute+DMA skip.
+
+    ``sp`` > 0 appends per-sub SPILL window bases (the sub's first real
+    spill-row, aligned) and folds their span check into the overflow
+    flag — the kernel then one-hots the spill compare over a
+    spill_window()-row slice instead of all 2**sp rows."""
     import jax.numpy as jnp
 
     tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
@@ -529,14 +546,30 @@ def _bases_and_overflow(skhi, ssrid, p, sz):
     # span checks over real queries only
     ov_s = jnp.any(last_s - (tbase[:, None] + sbase) > fsub - 1)
     ov_t = jnp.any(last_t - tbase > fw - 1)
-    # per-tile layout: [tile_base, tile_last_real_fid, sub_base_1..nsub];
-    # the tile-level last fid drives the sharded/all-filler tile skip and
-    # the DMA ladder depth (the per-sub last fids feed the span check
-    # above and are not needed in-kernel)
-    bases = jnp.concatenate(
-        [tbase[:, None], last_t[:, None], sbase], axis=1
-    ).reshape(-1).astype(jnp.int32)
-    return bases, (ov_s | ov_t)
+    ov = ov_s | ov_t
+    # per-tile layout: [tile_base, tile_last_real_fid, sub_base_1..nsub,
+    # (spill_sub_base_1..nsub when sp)]; the tile-level last fid drives
+    # the sharded/all-filler tile skip and the DMA ladder depth (the
+    # per-sub last fids feed the span check above, not the kernel)
+    parts = [tbase[:, None], last_t[:, None], sbase]
+    if sp:
+        fsp_w = sz["fsp_w"]
+        sp_rows = 1 << sp
+        fidp = (skhi >> jnp.uint32(32 - sp)).astype(jnp.int32)
+        fidp_m = jnp.where(
+            ssrid < jnp.uint32(0x80000000), fidp, jnp.int32(-1)
+        )
+        f_first_sp = fidp[::sub].reshape(n_tiles, nsub)
+        sbase_sp = jnp.clip(
+            (f_first_sp - 8) & ~31, 0, sp_rows - fsp_w
+        )
+        last_sp = jnp.max(
+            fidp_m.reshape(n_tiles * nsub, sub), axis=1
+        ).reshape(n_tiles, nsub)
+        ov = ov | jnp.any(last_sp - sbase_sp > fsp_w - 1)
+        parts.append(sbase_sp)
+    bases = jnp.concatenate(parts, axis=1).reshape(-1).astype(jnp.int32)
+    return bases, ov
 
 
 def _cumsum_mxu(x):
@@ -644,7 +677,8 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows, sp=0):
     tq, sub, fsub, fw = sz["tq"], sz["sub"], sz["fsub"], sz["fw"]
     ch, nch = sz["ch"], sz["nch"]
     nsub = tq // sub
-    stride = nsub + 2
+    stride = nsub + 2 + (nsub if sp else 0)
+    fsp_w = sz.get("fsp_w", 32)
     nk = npl * k
 
     def kern(bases_ref, lo_ref, khi_ref, klo_ref, srid_ref, first_ref,
@@ -757,25 +791,34 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows, sp=0):
                 m = jnp.where(jnp.min(ne & 255, axis=1) == 0, 1, 0)
                 m = jnp.where(cover[:, 0], m, 0)
                 if sp:
-                    # Spill side table compare, per sub against the
-                    # VMEM-resident (2^sp, 8*128) planes.  Unconditional:
-                    # a pl.when gate on "any query's primary row is
-                    # full" measured +2.4 ms/step (Mosaic serializes
-                    # per-sub conds — same finding as r4's narrow/wide
-                    # cond), while the ungated compare costs ~+1.3.
-                    # Replicated across shards: a match counts only on
-                    # the shard whose row range owns the query's PRIMARY
-                    # bucket — each query has exactly one owner even
-                    # when a tile straddles a boundary — keeping the
-                    # psum exact.
+                    # Spill side table compare, per sub against a
+                    # spill_window()-row slice of the VMEM-resident
+                    # (2^sp, 8*128) planes — sorted queries make a sub
+                    # span <~1 spill row, so the slice (base from the
+                    # bases stream; span check rides the overflow flag)
+                    # cuts the one-hot matmul ~8-16x vs all rows.
+                    # Unconditional: a pl.when gate on "any query's
+                    # primary row is full" measured +2.4 ms/step (Mosaic
+                    # serializes per-sub conds — same finding as r4's
+                    # narrow/wide cond).  Replicated across shards: a
+                    # match counts only on the shard whose row range
+                    # owns the query's PRIMARY bucket — each query has
+                    # exactly one owner even when a tile straddles a
+                    # boundary — keeping the psum exact.
                     fsp = (qh >> jnp.uint32(32 - sp)).astype(jnp.int32)
+                    sb_sp = bases_ref[t * stride + 2 + nsub + s]
+                    loc_sp = fsp - sb_sp
+                    cov_sp = (loc_sp >= 0) & (loc_sp < fsp_w)
                     ohs = jnp.where(
-                        fsp == jax.lax.broadcasted_iota(
-                            jnp.int32, (sub, 1 << sp), 1),
+                        loc_sp == jax.lax.broadcasted_iota(
+                            jnp.int32, (sub, fsp_w), 1),
                         1, 0,
                     ).astype(jnp.int8)
                     gots = jax.lax.dot_general(
-                        ohs, spill_ref[:], (((1,), (0,)), ((), ())),
+                        ohs,
+                        spill_ref[pl.ds(
+                            pl.multiple_of(sb_sp, 32), fsp_w), :],
+                        (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
                     nes = jnp.zeros((sub, SPILL_K), jnp.int32)
@@ -792,7 +835,7 @@ def _probe_kernel_body(sz, npl, k, p, nseg, shard_rows, sp=0):
                         jnp.min(nes & 255, axis=1) == 0, 1, 0
                     )
                     own = (fid[:, 0] >= lo) & (fid[:, 0] < hi)
-                    m = m | jnp.where(own, msp, 0)
+                    m = m | jnp.where(own & cov_sp[:, 0], msp, 0)
                 flags.append(m[None, :])
             member = jnp.concatenate(flags, axis=0)    # (nsub, sub)
             valid = (srid < jnp.uint32(0x80000000)).astype(jnp.int32)
@@ -889,7 +932,11 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
         qc=qc if (use_kernel and compacted) else None,
     )
     if use_kernel:
-        bases, overflow = _bases_and_overflow(skhi, ssrid, p, sz)
+        if has_spill:
+            sz = dict(sz, fsp_w=spill_window(sp, qc))
+        bases, overflow = _bases_and_overflow(
+            skhi, ssrid, p, sz, sp=sp if has_spill else 0
+        )
         if ov_split is not None:
             overflow = overflow | ov_split
         lo_arr = jnp.asarray(shard_lo, dtype=jnp.int32).reshape(1)
