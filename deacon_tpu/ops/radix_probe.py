@@ -355,7 +355,7 @@ def _sidecar_save(index_path: str, t: RadixTable) -> None:
 # minimizer count.
 
 def _radix_sizing(q: int, p: int, max_fw: int | None = None,
-                  compacted: bool = False):
+                  compacted: bool = False, warn: bool = True):
     """Static tile sizing for (queries, table bits) — returns dict or
     None when the shape can't run the kernel (caller falls back).
 
@@ -425,7 +425,7 @@ def _radix_sizing(q: int, p: int, max_fw: int | None = None,
         # shapes over the VMEM cap that DENSE sizing (1.25x) would have
         # admitted — those now fall back to the much slower XLA emulation
         fw_dense = min(a32(tq * alpha * 1.25 + fs + 64), cap)
-        if fw_dense <= fwcap and (q, p) not in _SIZING_CLIFF_WARNED:
+        if warn and fw_dense <= fwcap and (q, p) not in _SIZING_CLIFF_WARNED:
             _SIZING_CLIFF_WARNED.add((q, p))
             import sys
             print(
@@ -913,13 +913,15 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
     qc, compacted, sz = q, False, None
     if kernel_wanted:
         mfw = shard_rows if sharded else None
-        sz = _radix_sizing(q, p, max_fw=mfw, compacted=False)
-        if (
-            sz is None
-            and os.environ.get("DEACON_RADIX_SPLIT", "1") != "0"
-            and q >= 4096
-            and split_bound(q) < q
-        ):
+        can_split = (
+            os.environ.get("DEACON_RADIX_SPLIT", "1") != "0"
+            and q >= 4096 and split_bound(q) < q
+        )
+        # don't emit the sizing-cliff warning for the uncompacted
+        # attempt when the split fallback may still fit
+        sz = _radix_sizing(q, p, max_fw=mfw, compacted=False,
+                           warn=not can_split)
+        if sz is None and can_split:
             qc = split_bound(q)
             sz = _radix_sizing(qc, p, max_fw=mfw, compacted=True)
             compacted = sz is not None
