@@ -128,7 +128,18 @@ def main():
           f"{args.mbp:.0f} Mbp {'gz' if args.gz else 'plain'} input ==")
     rows = {}
     for t in (1, 2):
-        prof, wall = run_one(idx, fq, t, out)
+        best, best_wall = None, None
+        for rep in range(3):
+            prof, wall = run_one(idx, fq, t, out)
+            if best is None:
+                best, best_wall = prof, wall
+            else:
+                # hypervisor steal on this box inflates individual runs
+                # 2-5x (PERFNOTES round-1 caveat): per-stage MINIMUM
+                # across reps is the least-contended estimate
+                best = {k: min(best[k], prof[k]) for k in best}
+                best_wall = min(best_wall, wall)
+        prof, wall = best, best_wall
         rows[t] = (prof, wall)
         par = (prof["w_parse"] + prof["extract"] + prof["probe"]
                + prof["format"] + prof["compress"])
@@ -139,31 +150,40 @@ def main():
               f"compress {prof['compress']:.0f}] | "
               f"writer {prof['emit'] + prof['write']:.0f}")
 
-    # per-Mbp rates from the -t2 run (steadier pool accounting)
-    prof, _ = rows[2]
+    # per-Mbp rates from the -t1 run (least core contention on this
+    # 2-vCPU box; -t2 inflates reader thread-CPU ~2x via cache thrash)
+    prof, _ = rows[1]
     mbp = args.mbp
     reader = prof["r_parse"] / mbp
     writer = (prof["emit"] + prof["write"]) / mbp
     par = (prof["w_parse"] + prof["extract"] + prof["probe"]
            + prof["format"] + prof["compress"]) / mbp
-    print(f"\nper-Mbp thread-CPU: reader {reader:.3f} ms | "
+    print(f"\nper-Mbp thread-CPU (-t1 basis): reader {reader:.3f} ms | "
           f"parallel pool {par:.3f} ms | writer {writer:.3f} ms")
 
     print("\n== feed-ceiling model: Gbp/s on a C-core host ==")
     print("   wall/Mbp = max(reader, writer, pool/(C-2)); null-output "
           "write cost retained")
-    print(f"{'cores':>6} {'bound':>10} {'Gbp/s':>8}")
+    print(f"{'cores':>6} {'bound':>14} {'Gbp/s':>8} {'x4 ranks':>9}")
     for c in (2, 4, 8, 16, 32, 64):
         w_eff = max(1, c - 2)
         per = {"reader(serial)": reader, "writer(serial)": writer,
                "workers": par / w_eff}
         bound = max(per, key=per.get)
         wall_ms = per[bound]
-        print(f"{c:>6} {bound:>14} {1.0 / wall_ms:>8.2f}")
-    print("\nNOTE: serial-stage rates assume the measured single-thread "
-          "rate holds; beyond ~8 workers, memory bandwidth and queue "
-          "contention are unmeasured on this 2-vCPU box — treat >8-core "
-          "rows as the model's statement, not a measurement.")
+        # pod-data runs R ranks per host = R independent readers/writers;
+        # the per-host ceiling multiplies until the pool binds
+        r4 = min(4 / max(reader, writer), (c - 8) / par if c > 8 else 0)
+        print(f"{c:>6} {bound:>14} {1.0 / wall_ms:>8.2f} "
+              f"{max(r4, 0):>9.2f}")
+    print("\nNOTES: (1) the reader's chunk scan + arena hand-off is the "
+          "serial ceiling — the '>2 Gbp/s/host' figure is reachable only "
+          "via pod-data multi-rank (R readers per host, right column at "
+          "R=4) or faster cores, NOT by worker count alone; (2) serial-"
+          "stage rates assume the measured single-thread rate holds; "
+          "memory bandwidth and queue contention beyond 2 cores are "
+          "unmeasured on this box — treat big-C rows as the model's "
+          "statement, not a measurement.")
 
 
 if __name__ == "__main__":
