@@ -213,6 +213,14 @@ def main() -> None:
                          "haplotypes (r3 VERDICT item 6)")
     ap.add_argument("--divergence", type=float, default=0.02,
                     help="per-base SNP divergence between haplotypes")
+    ap.add_argument("--shared-pool", action="store_true",
+                    help="with --pangenome: haplotypes draw their SNPs "
+                         "from a SHARED population variant pool (each "
+                         "site gets an allele frequency ~U(0.05,0.95)) "
+                         "instead of independent mutations — real "
+                         "pangenomes share common alleles, which is what "
+                         "makes indexed redundancy cover a held-out "
+                         "individual's variants")
     ap.add_argument("--holdout", action="store_true",
                     help="with --pangenome N: index N haplotypes but draw "
                          "host reads from an ADDITIONAL held-out haplotype "
@@ -232,14 +240,37 @@ def main() -> None:
         host_fa = args.host_fasta
     else:
         base = rng.choice(BASES, size=int(args.genome_mbp * 1e6)).astype(np.uint8)
-        host_seqs = [base]
-        for _h in range(args.pangenome - 1):
-            host_seqs.append(mutate_subs(rng, base, args.divergence))
+        if args.shared_pool:
+            # population variant pool: sites at 2x the target divergence,
+            # allele frequency ~U(0.05, 0.95) per site; each haplotype
+            # (and the held-out individual) carries site v iff coin < f_v
+            n_sites = int(len(base) * args.divergence * 2)
+            sites = rng.choice(len(base), size=n_sites, replace=False)
+            freqs = rng.uniform(0.05, 0.95, n_sites)
+            alts = BASES[
+                (np.searchsorted(BASES, base[sites])
+                 + rng.integers(1, 4, n_sites)) % 4
+            ]
+
+            def make_hap():
+                take = rng.random(n_sites) < freqs
+                h = base.copy()
+                h[sites[take]] = alts[take]
+                return h
+
+            host_seqs = [make_hap() for _ in range(args.pangenome)]
+        else:
+            host_seqs = [base]
+            for _h in range(args.pangenome - 1):
+                host_seqs.append(mutate_subs(rng, base, args.divergence))
         read_source_seqs = host_seqs
         if args.holdout:
             # index the N haplotypes; reads come from a novel individual
             # (one more divergent haplotype, NOT indexed)
-            read_source_seqs = [mutate_subs(rng, base, args.divergence)]
+            read_source_seqs = [
+                make_hap() if args.shared_pool
+                else mutate_subs(rng, base, args.divergence)
+            ]
         host_fa = f"{td}/host.fa"
         write_fasta(host_fa, {
             f"hap{i}": s.tobytes() for i, s in enumerate(host_seqs)

@@ -452,8 +452,21 @@ def exp_arch5():
     L_ = int(os.environ.get("DEACON_LAB_L", "1024"))
     K_, W_ = 31, 15
     nidx = int(float(os.environ.get("DEACON_LAB_NIDX_M", "100")) * 1e6)
-    keys = np.unique(rng.integers(0, 2**64, nidx, dtype=np.uint64))
-    t = rp.build_radix_table(keys)
+    cache = f"/dev/shm/lab_radix_{nidx}.npz"
+    t = None
+    if os.path.exists(cache):
+        z = np.load(cache)
+        t = rp.RadixTable(
+            z["planes"], int(z["p"]), int(z["k"]), int(z["n"]), "lab",
+            z["spill"] if z["sp"] else None, int(z["sp"]),
+        )
+    if t is None:
+        keys = np.unique(rng.integers(0, 2**64, nidx, dtype=np.uint64))
+        t = rp.build_radix_table(keys)
+        np.savez(cache, planes=t.planes, p=t.p, k=t.k, n=t.n_keys,
+                 sp=t.sp,
+                 spill=t.spill if t.spill is not None
+                 else np.zeros((1, 1), np.int8))
     print(f"table: P={t.p} K={t.k} npl={t.nplanes} "
           f"{t.nbytes/1e9:.2f} GB", flush=True)
     planes = jnp.asarray(t.planes)
