@@ -979,43 +979,68 @@ def radix_probe_hits(planes, p, k, npl, hlo, hhi, slot_valid, rid_s, pos_s,
         hits = hist.reshape(16384)[:num_segments]
         return hits, overflow
     # ---- XLA emulation: bucket-row gather + plane compare (exact) ----
-    fid = (skhi >> jnp.uint32(32 - p)).astype(jnp.int32) if p < 32 else (
-        skhi.astype(jnp.int32))
-    fid_l = fid - jnp.asarray(shard_lo, dtype=jnp.int32)
-    in_range = (fid_l >= 0) & (fid_l < shard_rows)
-    rows = planes[jnp.clip(fid_l, 0, shard_rows - 1)]  # (q, npl*k) gather
-    rows = rows.reshape(q, npl, k).astype(jnp.int32)
-    qb = []
-    for pli in range(8):
-        src = skhi if pli >= 4 else sklo
-        v = ((src >> jnp.uint32(8 * (pli % 4))).astype(jnp.int32)) & 255
-        qb.append(((v + 128) & 255) - 128)
-    ne = jnp.zeros((q, k), jnp.int32)
-    for pli in range(npl):
-        ne = ne | (rows[:, pli, :] ^ qb[pli][:, None])
-    member = (jnp.min(ne & 255, axis=1) == 0) & in_range
-    if sp > 0 and spill is not None:
-        fsp = (skhi >> jnp.uint32(32 - sp)).astype(jnp.int32)
-        srows = spill[fsp].reshape(q, SPILL_NPL, SPILL_K).astype(jnp.int32)
-        nes = jnp.zeros((q, SPILL_K), jnp.int32)
-        for pli in range(SPILL_NPL):
-            nes = nes | (srows[:, pli, :] ^ qb[pli][:, None])
-        # replicated side table: count only on the shard owning the
-        # query's primary bucket (matches the kernel's `own` mask)
-        member = member | ((jnp.min(nes & 255, axis=1) == 0) & in_range)
-    valid = ssrid < jnp.uint32(0x80000000)
-    flag = (member & valid & (first > 0)).astype(jnp.bfloat16)
-    rid = ((ssrid >> jnp.uint32(17)) & jnp.uint32(0x3FFF)).astype(jnp.int32)
-    hi = (rid >> 7)[None, :]
-    lo = (rid & 127)[:, None]
-    steps = jnp.arange(128, dtype=jnp.int32)
-    A = jnp.where(hi == steps[:, None], flag[None, :], 0).astype(jnp.bfloat16)
-    B = jnp.where(lo == steps[None, :], 1, 0).astype(jnp.bfloat16)
+    # Chunked over the sorted stream: one chunk's row gather + i32
+    # compare intermediates for the full 3.1M-query production batch
+    # would need ~30 GB of HBM (measured OOM on v5e, r5) — the
+    # first-flags are GLOBAL (computed on the whole sorted stream
+    # above), so per-chunk (128,128) histograms sum exactly.
     import jax.lax as lax
 
-    hist = lax.dot_general(
-        A, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
+    n_ch = 1
+    while q // n_ch > 524288 and q % (n_ch * 2) == 0:
+        n_ch *= 2
+    qch = q // n_ch
+    shard_lo_a = jnp.asarray(shard_lo, dtype=jnp.int32)
+    steps = jnp.arange(128, dtype=jnp.int32)
+    hist = jnp.zeros((128, 128), jnp.float32)
+    for ci in range(n_ch):
+        sl = slice(ci * qch, (ci + 1) * qch)
+        ckhi, cklo = skhi[sl], sklo[sl]
+        csrid, cfirst = ssrid[sl], first[sl]
+        fid = (
+            (ckhi >> jnp.uint32(32 - p)).astype(jnp.int32) if p < 32
+            else ckhi.astype(jnp.int32)
+        )
+        fid_l = fid - shard_lo_a
+        in_range = (fid_l >= 0) & (fid_l < shard_rows)
+        rows = planes[jnp.clip(fid_l, 0, shard_rows - 1)]
+        rows = rows.reshape(qch, npl, k).astype(jnp.int32)
+        qb = []
+        for pli in range(8):
+            src = ckhi if pli >= 4 else cklo
+            v = ((src >> jnp.uint32(8 * (pli % 4))).astype(jnp.int32)) & 255
+            qb.append(((v + 128) & 255) - 128)
+        ne = jnp.zeros((qch, k), jnp.int32)
+        for pli in range(npl):
+            ne = ne | (rows[:, pli, :] ^ qb[pli][:, None])
+        member = (jnp.min(ne & 255, axis=1) == 0) & in_range
+        if sp > 0 and spill is not None:
+            fsp = (ckhi >> jnp.uint32(32 - sp)).astype(jnp.int32)
+            srows = spill[fsp].reshape(
+                qch, SPILL_NPL, SPILL_K).astype(jnp.int32)
+            nes = jnp.zeros((qch, SPILL_K), jnp.int32)
+            for pli in range(SPILL_NPL):
+                nes = nes | (srows[:, pli, :] ^ qb[pli][:, None])
+            # replicated side table: count only on the shard owning
+            # the query's primary bucket (the kernel's `own` mask)
+            member = member | (
+                (jnp.min(nes & 255, axis=1) == 0) & in_range
+            )
+        valid = csrid < jnp.uint32(0x80000000)
+        flag = (member & valid & (cfirst > 0)).astype(jnp.bfloat16)
+        rid = ((csrid >> jnp.uint32(17))
+               & jnp.uint32(0x3FFF)).astype(jnp.int32)
+        hi = (rid >> 7)[None, :]
+        lo = (rid & 127)[:, None]
+        A = jnp.where(
+            hi == steps[:, None], flag[None, :], 0
+        ).astype(jnp.bfloat16)
+        B = jnp.where(lo == steps[None, :], 1, 0).astype(jnp.bfloat16)
+        hist = hist + lax.dot_general(
+            A, B, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    hist = hist.astype(jnp.int32)
     hits = hist.reshape(16384)[:num_segments]
     return hits, jnp.zeros((), dtype=bool)
 

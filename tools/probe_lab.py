@@ -779,8 +779,44 @@ def exp_r5probe100():
     os.environ.pop("DEACON_RADIX_CH")
 
 
+def exp_r5emul():
+    # Round-5 robustness: the exact-emulation rerun (tail batches,
+    # overflow batches) at PRODUCTION scale on the real chip — it
+    # gathers (q, 768B) rows; confirm it completes, its memory
+    # behavior, and its cost (the amortization argument needs the
+    # number).
+    from deacon_tpu.ops import radix_probe as rp
+
+    nidx = int(float(os.environ.get("DEACON_LAB_NIDX_M", "410")) * 1e6)
+    cache = f"/dev/shm/lab_radix_{nidx}.npz"
+    z = np.load(cache)
+    t = rp.RadixTable(
+        z["planes"], int(z["p"]), int(z["k"]), int(z["n"]), "lab",
+        z["spill"] if z["sp"] else None, int(z["sp"]),
+    )
+    planes = jnp.asarray(t.planes)
+    spill = jnp.asarray(t.spill) if t.sp else None
+    R5, BR5 = 1024, 3072
+    hhi = jnp.asarray(rng.integers(0, 2**32, (R5, BR5), dtype=np.uint32))
+    hlo = jnp.asarray(rng.integers(0, 2**32, (R5, BR5), dtype=np.uint32))
+    sv = jnp.asarray(rng.random((R5, BR5)) < 0.3)   # tail-batch density
+    rid_s = jnp.asarray(
+        np.repeat(np.arange(R5, dtype=np.int32), BR5).reshape(R5, BR5))
+    pos_s = jnp.asarray(np.zeros((R5, BR5), np.int32))
+
+    @jax.jit
+    def f(planes, spill, hlo, hhi, sv, rid_s, pos_s):
+        return rp.radix_probe_hits(
+            planes, t.p, t.k, t.nplanes, hlo, hhi, sv, rid_s, pos_s,
+            num_segments=R5, mode="emulate", spill=spill, sp=t.sp)
+
+    measure(f"r5 emulation rerun q3.1M p{t.p}", f,
+            (planes, spill, hlo, hhi, sv, rid_s, pos_s), iters=3)
+
+
 EXPS = {
     "arch5": exp_arch5,
+    "r5emul": exp_r5emul,
     "r5sort": exp_r5sort,
     "r5sort2": exp_r5sort2,
     "r5floor": exp_r5floor,
