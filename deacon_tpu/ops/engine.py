@@ -1777,6 +1777,7 @@ def engine_step_fused(statics: tuple):
         os.environ.get("DEACON_RADIX_SPARSE", ""),
         os.environ.get("DEACON_RADIX_CH", ""),
         os.environ.get("DEACON_RADIX_FWCAP", ""),
+        os.environ.get("DEACON_RADIX_SPLIT", ""),
     )
     fn = _FUSED_STEPS.get(key)
     if fn is None:
